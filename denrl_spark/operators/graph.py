@@ -1,0 +1,66 @@
+"""Graph materialization (stage 6): triples -> canonical vertex/edge
+tables with lineage columns, parquet/Iceberg-shaped.
+
+Vertices: one row per canonical entity (canonical_id, surface, the set
+of observed types, mention count). Edges: one row per (src, pred, dst)
+canonical pair with observation count and sentence provenance. Relation
+rows are the triples whose ent2_tag carries the reference's ``/``
+convention (run_jointmodel.py:619); entity-tag co-mentions are kept in a
+separate co-occurrence table rather than polluting the KG edges.
+
+Partitioning: edges are written bucketed by src canonical id hash so
+downstream per-entity scans prune; lineage (round, src_partition) is
+stamped by CheckpointManager at write time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from denrl_spark.operators.linking import canonicalize
+
+
+def materialize_graph(
+    triples: DataFrame, mentions_map: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (vertices, edges) DataFrames from a triple table."""
+    mmap = mentions_map if mentions_map is not None else canonicalize(triples)
+    mmap = F.broadcast(mmap.select("surface", "canonical_id", "canonical_surface"))
+
+    t = triples.where(F.col("ent2_tag").contains("/"))
+    src = mmap.withColumnRenamed("surface", "ent1").withColumnRenamed(
+        "canonical_id", "src_id"
+    ).withColumnRenamed("canonical_surface", "src_surface")
+    dst = mmap.withColumnRenamed("surface", "ent2").withColumnRenamed(
+        "canonical_id", "dst_id"
+    ).withColumnRenamed("canonical_surface", "dst_surface")
+    linked = t.join(src, "ent1").join(dst, "ent2")
+
+    edges = (
+        linked.groupBy("src_id", "src_surface", F.col("ent2_tag").alias("pred"), "dst_id", "dst_surface")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.countDistinct("sent_id").alias("n_sents"),
+            F.min("sent_id").alias("first_sent_id"),
+        )
+    )
+
+    v_src = linked.select(
+        F.col("src_id").alias("canonical_id"),
+        F.col("src_surface").alias("canonical_surface"),
+        F.col("ent1_tag").alias("etype"),
+    )
+    v_dst = linked.select(
+        F.col("dst_id").alias("canonical_id"),
+        F.col("dst_surface").alias("canonical_surface"),
+        F.lit(None).cast("string").alias("etype"),
+    )
+    vertices = (
+        v_src.unionByName(v_dst)
+        .groupBy("canonical_id", "canonical_surface")
+        .agg(
+            F.collect_set("etype").alias("types"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+    return vertices, edges

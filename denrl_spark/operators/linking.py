@@ -1,0 +1,123 @@
+"""Entity linking & canonicalization (north-star component; no reference
+counterpart — surface-form clustering is implicit in the reference's
+exact-string triple matching, run_jointmodel.py:975,981).
+
+Pipeline: normalize mention surfaces -> build similarity edges
+(normalized-form equality by default, plus caller-supplied alias edges)
+-> iterative connected components over DataFrames (GraphFrames-style
+label propagation: each node adopts the min component id among itself
+and its neighbors until fixpoint) -> canonical node id = min member id.
+
+Scale notes:
+- node/component state is hash-partitioned on ``node_id`` each round so
+  the self-join co-locates; AQE skew-join splitting handles hot mentions
+  (celebrity entities), and ``salt_buckets`` pre-salts the mention->
+  normalized-form grouping, the classic power-law hotspot.
+- iterations are bounded (components of similarity graphs are shallow;
+  min-label propagation converges in O(diameter) rounds) and each round
+  is checkpoint-friendly (localCheckpoint truncates the lineage so plans
+  don't grow exponentially).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from denrl_spark.operators.tagging import stable_id  # reuse content-hash ids
+
+
+def normalize_surface(col: F.Column) -> F.Column:
+    """Lower-case, strip punctuation, collapse whitespace — JVM-side."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}]+", " ")  # punctuation -> space
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def extract_mentions(triples: DataFrame) -> DataFrame:
+    """Triples -> distinct mention table (surface, norm, mention_id)."""
+    surfaces = (
+        triples.select(F.col("ent1").alias("surface"))
+        .unionByName(triples.select(F.col("ent2").alias("surface")))
+        .where(F.col("surface") != "")
+        .distinct()
+    )
+    return surfaces.withColumn("norm", normalize_surface(F.col("surface"))).withColumn(
+        "mention_id", F.xxhash64("surface")
+    )
+
+
+def mention_edges(mentions: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Similarity edges: mentions sharing a normalized form. The
+    norm-grouping is salted: group (norm, salt) first (map-side combine
+    shrinks hot norms), then link every member to the per-norm min id —
+    a star, which is enough for connectivity."""
+    salted = mentions.withColumn(
+        "salt", F.pmod(F.xxhash64("mention_id"), F.lit(salt_buckets))
+    )
+    local_min = salted.groupBy("norm", "salt").agg(F.min("mention_id").alias("local_min"))
+    anchor = local_min.groupBy("norm").agg(F.min("local_min").alias("anchor"))
+    return (
+        mentions.join(anchor, "norm")
+        .where(F.col("mention_id") != F.col("anchor"))
+        .select(F.col("mention_id").alias("src"), F.col("anchor").alias("dst"))
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """(node_id) x (src, dst) -> (node_id, component) via min-label
+    propagation. Deterministic; component = min node_id in component."""
+    spark = nodes.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    labels = nodes.select(
+        F.col("node_id"), F.col("node_id").alias("component")
+    ).repartition(n_part, "node_id")
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    for _ in range(max_iter):
+        msgs = (
+            und.join(labels, und.src == labels.node_id)
+            .select(F.col("dst").alias("node_id"), "component")
+        )
+        new_labels = (
+            labels.select("node_id", "component")
+            .unionByName(msgs)
+            .groupBy("node_id")
+            .agg(F.min("component").alias("component"))
+            .repartition(n_part, "node_id")
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize(triples: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Mentions -> (surface, norm, canonical_id, canonical_surface)."""
+    mentions = extract_mentions(triples).cache()
+    edges = mention_edges(mentions, salt_buckets=salt_buckets)
+    comp = connected_components(
+        mentions.select(F.col("mention_id").alias("node_id")), edges
+    )
+    labeled = mentions.join(
+        comp, mentions.mention_id == comp.node_id
+    ).select("surface", "norm", "mention_id", "component")
+    canon_surface = (
+        labeled.groupBy("component")
+        .agg(F.min("surface").alias("canonical_surface"))
+    )
+    return (
+        labeled.join(canon_surface, "component")
+        .withColumn("canonical_id", F.xxhash64("canonical_surface"))
+        .select("surface", "norm", "canonical_id", "canonical_surface")
+    )

@@ -1,0 +1,70 @@
+"""Entity canonicalization (connected components) + graph materialize."""
+
+from pyspark.sql import functions as F
+
+from denrl_spark.operators.graph import materialize_graph
+from denrl_spark.operators.linking import (
+    canonicalize,
+    connected_components,
+    extract_mentions,
+)
+from denrl_spark.operators.spans import assemble_triples
+from denrl_spark.operators.tagging import build_instances
+from denrl_spark.sources.corpus import transcripts
+from denrl_spark.sources.kb import KB
+
+KBD = KB.default()
+
+
+def test_connected_components_chain_and_star(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "node_id long")
+    # chain 1-2-3-4-5, star 6<-7,8,9; 10 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 6), (8, 6), (9, 6)], "src long, dst long"
+    )
+    comp = {r["node_id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {comp[i] for i in (6, 7, 8, 9)} == {6}
+    assert comp[10] == 10
+
+
+def test_canonicalize_merges_case_and_punct_variants(spark):
+    trips = spark.createDataFrame(
+        [
+            (1, "Alice Johnson", "PERSON", "new york", "/p/lived"),
+            (2, "alice  johnson", "PERSON", "New-York", "/p/lived"),
+            (3, "alice johnson!", "PERSON", "paris", "/p/lived"),
+        ],
+        "sent_id long, ent1 string, ent1_tag string, ent2 string, ent2_tag string",
+    )
+    cmap = canonicalize(trips)
+    rows = cmap.collect()
+    alice = {r["surface"]: r["canonical_id"] for r in rows if "lice" in r["surface"]}
+    assert len(set(alice.values())) == 1 and len(alice) == 3
+    ny = {r["surface"]: r["canonical_id"] for r in rows if "ork" in r["surface"]}
+    assert len(set(ny.values())) == 1 and len(ny) == 2
+    # paris distinct from the others
+    all_ids = {r["canonical_id"] for r in rows}
+    assert len(all_ids) == 3
+
+
+def test_materialize_graph_end_to_end(spark):
+    tr = transcripts(spark, 40, seed=42)
+    ins = build_instances(tr, KBD).cache()
+    trips = assemble_triples(ins).cache()
+    vertices, edges = materialize_graph(trips)
+    v, e = vertices.cache(), edges.cache()
+    assert v.count() > 0 and e.count() > 0
+    # every edge endpoint exists in vertices
+    missing = (
+        e.select(F.col("src_id").alias("canonical_id"))
+        .unionByName(e.select(F.col("dst_id").alias("canonical_id")))
+        .distinct()
+        .join(v, "canonical_id", "left_anti")
+        .count()
+    )
+    assert missing == 0
+    # only '/'-relation predicates in the edge table
+    assert e.where(~F.col("pred").contains("/")).count() == 0
+    # n_obs aggregates duplicates
+    assert e.agg(F.max("n_obs")).collect()[0][0] >= 1

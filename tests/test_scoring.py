@@ -1,0 +1,127 @@
+"""Frozen scorer, Viterbi decode, target attention, KL confidence."""
+
+import itertools
+
+import math
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from denrl_spark.operators.attention import (
+    target_att_py,
+    with_kl_confidence,
+    with_target_att,
+)
+from denrl_spark.operators.evaluate import triple_metrics
+from denrl_spark.operators.patterns import extract_patterns, relation_bow, topk_patterns
+from denrl_spark.operators.scoring import (
+    bio_transitions,
+    build_label_list,
+    score_instances,
+    viterbi_batch,
+)
+from denrl_spark.operators.spans import assemble_triples
+from denrl_spark.operators.tagging import build_instances
+from denrl_spark.sources.corpus import transcripts
+from denrl_spark.sources.kb import KB
+
+KBD = KB.default()
+
+
+def test_viterbi_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    t_, v_ = 4, 5
+    trans = rng.normal(size=(v_, v_)).astype(np.float32)
+    em = rng.normal(size=(3, t_, v_)).astype(np.float32)
+    lengths = np.array([4, 3, 1])
+    got = viterbi_batch(em, trans, lengths)
+    for b in range(3):
+        ln = lengths[b]
+        best, best_s = None, -1e18
+        for path in itertools.product(range(v_), repeat=int(ln)):
+            s = em[b, 0, path[0]]
+            for i in range(1, int(ln)):
+                s += trans[path[i - 1], path[i]] + em[b, i, path[i]]
+            if s > best_s:
+                best_s, best = s, path
+        assert tuple(got[b, : int(ln)]) == best
+
+
+def test_bio_transitions_block_illegal():
+    labels = build_label_list(KBD)
+    trans = bio_transitions(labels)
+    li = {l: i for i, l in enumerate(labels)}
+    assert trans[li["O"], li["I-PERSON"]] < -1e6
+    assert trans[li["B-PERSON"], li["I-PERSON"]] == 0
+    assert trans[li["B-LOCATION"], li["I-PERSON"]] < -1e6
+    assert trans[li["I-PERSON"], li["I-PERSON"]] == 0
+
+
+def test_target_att_py_semantics():
+    toks = "alice johnson lived near new york".split()
+    tags = ["B-PERSON", "I-PERSON", "O", "O", "B-/p/l", "I-/p/l"]
+    bow = {"/p/l": {"lived", "near"}}
+    att = target_att_py(toks, tags, 1, bow)
+    # entity tokens (0,1) + bow tokens (2,3); relation-tagged tokens are NOT
+    # entity evidence ('/'-tags excluded) -> 4 hits, each 0.25
+    assert att == [0.25, 0.25, 0.25, 0.25, 0.0, 0.0]
+    # negative instance -> zeros
+    assert target_att_py(toks, tags, -5, bow) == [0.0] * 6
+    # no relations -> entity indicator only
+    att2 = target_att_py(toks, ["B-PERSON", "I-PERSON", "O", "O", "O", "O"], 1, bow)
+    assert att2 == [0.5, 0.5, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_kl_confidence_jvm_matches_python(spark):
+    rows = [
+        ([0.5, 0.5, 0.0], [0.4, 0.4, 0.2]),
+        ([0.0, 0.0, 0.0], [0.3, 0.3, 0.4]),  # zero target -> kl 0, conf 1
+    ]
+    df = spark.createDataFrame(rows, "target_att array<double>, position_att array<double>")
+    got = with_kl_confidence(df).select("kl_loss", "confidence", "selected").collect()
+    exp0 = sum(t * (math.log(t) - math.log(p)) for t, p in zip(*rows[0]) if t > 0)
+    assert math.isclose(got[0]["kl_loss"], exp0, rel_tol=1e-9)
+    assert math.isclose(got[0]["confidence"], 1 / (1 + exp0), rel_tol=1e-9)
+    assert got[1]["kl_loss"] == 0.0 and got[1]["confidence"] == 1.0 and got[1]["selected"]
+
+
+def test_scored_predictions_match_reference_triples(spark):
+    """North-rule gate: predicted triples vs gold-path triples P/R >= 0.95
+    (expected 1.0 on the deterministic corpus)."""
+    tr = transcripts(spark, 60, seed=42)
+    ins = build_instances(tr, KBD).cache()
+    raw = extract_patterns(ins)
+    bow_rows = relation_bow(topk_patterns(raw)).collect()
+    bow: dict = {}
+    for r in bow_rows:
+        bow.setdefault(r["relation"], set()).add(r["token"])
+    scored = score_instances(ins, KBD, bow).cache()
+    # decoded tags reproduce gold tags on this corpus
+    mism = scored.where(
+        F.col("pred_tags").cast("string") != F.col("ner_tags").cast("string")
+    ).count()
+    assert mism == 0
+    pred_trips = assemble_triples(scored, tags_col="pred_tags")
+    gold_trips = assemble_triples(scored, tags_col="ner_tags")
+    m = triple_metrics(pred_trips, gold_trips)
+    assert m["precision"] >= 0.95 and m["recall"] >= 0.95
+    # position attention is a proper distribution
+    bad = scored.where(
+        F.abs(
+            F.aggregate("position_att", F.lit(0.0).cast("double"), lambda a, x: a + x)
+            - 1.0
+        )
+        > 1e-3
+    ).count()
+    assert bad == 0
+
+
+def test_with_target_att_spark_matches_py(spark):
+    tr = transcripts(spark, 20, seed=9)
+    ins = build_instances(tr, KBD)
+    bow = {"/people/person/place_lived": {"lived", "near"}}
+    rows = with_target_att(ins, bow).collect()
+    for r in rows[:50]:
+        exp = target_att_py(list(r["tokens"]), list(r["ner_tags"]), r["instance_id"], bow)
+        got = [round(float(x), 6) for x in r["target_att"]]
+        assert got == [round(x, 6) for x in exp]
