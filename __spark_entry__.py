@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query at sf0.001 — the full KG-construction
+  gold path (documents -> transcripts -> distant-supervision instances ->
+  BIO span grouping -> per-sentence triple assembly), returning the
+  (sent_id, ent1, ent1_tag, ent2, ent2_tag) triple DataFrame.
+- ``queries()`` / ``oracle_sql()``: operator registry, one entry per
+  implemented operator family from SURVEY.md §2 plus the training-data
+  pipeline operators (dedup / similarity / text analysis). SQL oracles
+  live next to their Spark twins in denrl_spark/plans/driver_queries.py.
 """
 
 from __future__ import annotations
@@ -15,24 +18,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: gold-path triple extraction at sf0.001."""
+    from denrl_spark.operators.spans import assemble_triples
+    from denrl_spark.operators.tagging import build_instances
+    from denrl_spark.plans.docs_kg import docs_kb, transcripts_from_documents
+
+    tr = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    ins = build_instances(tr, docs_kb())
+    return assemble_triples(ins)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from denrl_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from denrl_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

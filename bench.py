@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query seconds plus KG throughput (turns/sec,
+triples/sec) for the scaling-efficiency evidence in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from denrl_spark.session import get_spark
+    from denrl_spark.plans.driver_queries import QUERIES
+
+    spark = get_spark(
+        cpus, app_name="denrl_bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+
+    bench_queries = [
+        "kg_gold_triples",
+        "kg_pred_triples",
+        "kg_edges",
+        "kg_topk_patterns",
+        "rel_agg_stats",
+        "rel_topk_per_group",
+        "dedup_lsh_pairs",
+        "dedup_jaccard_pairs",
+        "text_fingerprint",
+        "sim_cosine_topk",
+    ]
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        counts[name] = QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG throughput: the flagship gold path processes every derived turn
+    n_turns = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    gold_sec = timings["kg_gold_triples"]
+    triples = counts["kg_gold_triples"]
+
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    out = {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "turns": n_turns,
+        "triples": triples,
+        "turns_per_sec": round(n_turns / gold_sec, 1) if gold_sec else None,
+        "triples_per_sec": round(triples / gold_sec, 1) if gold_sec else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

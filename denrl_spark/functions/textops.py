@@ -1,0 +1,159 @@
+"""Text analysis + deduplication over a ``documents``-shaped table
+(doc_id, text, ...). All hot paths are JVM-side built-ins (split/
+regexp/aggregate/window) — no Python UDFs anywhere in this module, so
+every operator rides whole-stage codegen and scales with executors.
+
+Operators (training-data-pipeline set required beyond the reference):
+- token counting: whitespace + BPE-ish regex tokenization counts
+- quality scoring: stopword ratio, distinct-token ratio, length
+- language ID: stopword-list scoring argmax (n-gram-free heuristic)
+- document fingerprint: order-sensitive polynomial rolling hash
+- exact dedup: text-hash groupBy, min-doc-id representative
+- MinHash/LSH near-dup: token 3-gram shingles -> per-band min of
+  md5(band:shingle) -> banded signature -> candidate pairs by bucket join
+- n-gram Jaccard: distinct-shingle overlap join with floor(1e6*j) score
+
+Ratios are emitted as ``floor(1e6 * ratio)`` bigints so DuckDB oracle
+hash-comparison is exact (no float formatting drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+STOPWORDS_EN = ["the", "a", "an", "that", "with"]
+LANG_MARKERS = {
+    "query_ish": ["join", "scan", "filter", "agg", "window"],
+    "data_ish": ["table", "row", "column", "batch", "stream"],
+}
+HASH_P = 1_000_003
+N_BANDS = 8
+
+
+def _toks(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_re_tokens, n_chars)."""
+    return docs.select(
+        "doc_id",
+        F.size(_toks()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).alias("n_re_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio_e6, uniq_ratio_e6)."""
+    t = docs.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+    stops = F.size(F.filter("toks", lambda x: x.isin(STOPWORDS_EN)))
+    uniq = F.size(F.array_distinct("toks"))
+    return t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.floor(1_000_000 * stops / n).cast("long").alias("stop_ratio_e6"),
+        F.floor(1_000_000 * uniq / n).cast("long").alias("uniq_ratio_e6"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred): argmax of marker-token hits, ties -> first."""
+    t = docs.select("doc_id", _toks().alias("toks"))
+    scores = [
+        F.size(F.filter("toks", lambda x: x.isin(words))).alias(f"s_{name}")
+        for name, words in LANG_MARKERS.items()
+    ]
+    t = t.select("doc_id", *scores)
+    names = list(LANG_MARKERS)
+    pred = F.when(F.col(f"s_{names[0]}") >= F.col(f"s_{names[1]}"), names[0]).otherwise(
+        names[1]
+    )
+    return t.select("doc_id", pred.alias("lang_pred"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): order-sensitive rolling hash
+    fp = sum_i(i * (ascii(tok_i)*31 + len(tok_i))) mod P — pure integer
+    math so the oracle matches bit-exactly."""
+    t = docs.select("doc_id", F.posexplode(_toks()).alias("pos", "tok"))
+    code = (F.ascii("tok") * 31 + F.length("tok")).cast("long")
+    return (
+        t.select("doc_id", ((F.col("pos") + 1) * code).alias("term"))
+        .groupBy("doc_id")
+        .agg(F.pmod(F.sum("term"), F.lit(HASH_P)).alias("fp"))
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """(text_hash=md5, rep_doc_id, n_dups): exact dedup by content."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): token n-grams via window lead (n=3)."""
+    t = docs.select("doc_id", F.posexplode(_toks()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t = t.withColumn("t1", F.lead("tok", 1).over(w)).withColumn(
+        "t2", F.lead("tok", 2).over(w)
+    )
+    return t.where(F.col("t2").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("shingle")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, mh): per-band min-wise hash over shingles; the hash
+    family is md5('band:shingle') compared lexicographically — identical
+    in Spark and DuckDB, so oracle-exact."""
+    sh = shingles(docs)
+    banded = sh.withColumn(
+        "band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("shingle")))).alias("mh")
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_a, doc_b): pairs sharing any minhash band bucket. The join is
+    on (band, mh) — the bucketed equi-join that replaces the O(n^2)
+    all-pairs comparison at scale."""
+    sig = minhash_signatures(docs, n_bands)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, ["band", "mh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, min_j_e6: int = 200_000) -> DataFrame:
+    """(doc_a, doc_b, j_e6): distinct-3-gram Jaccard >= threshold, via
+    shared-shingle counting (no cross join: the shingle equi-join prunes
+    to pairs that share at least one shingle)."""
+    sh = shingles(docs).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "j_e6",
+            F.floor(1_000_000 * F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).cast("long"),
+        )
+    )
+    return j.where(F.col("j_e6") >= min_j_e6).select("doc_a", "doc_b", "j_e6")

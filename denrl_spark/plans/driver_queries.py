@@ -1,0 +1,485 @@
+"""Driver-contract registry: named queries (Spark) + matching DuckDB
+oracle SQL, consumed by ``__spark_entry__.py``.
+
+Each entry exercises one or more operators from SURVEY.md §2 (tagged in
+the docstrings below). Spark callables take (spark, sf_dir) and return a
+DataFrame; oracle SQL runs on the driver's pre-registered DuckDB views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Column names and types are aligned on both sides; ratio /
+score outputs are integer-scaled (floor(1e6*x)) to make value-hash
+comparison exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from denrl_spark.functions import textops
+from denrl_spark.functions.similarity import cosine_topk, lsh_topk
+from denrl_spark.plans import docs_kg
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# KG stages over the documents-derived corpus (SURVEY.md §2.3/2.4/2.5)
+# --------------------------------------------------------------------------
+
+_q("kg_distant_pairs", docs_kg.distant_pairs_sql())(docs_kg.distant_pairs)
+_q("kg_patterns_between", docs_kg.patterns_between_sql())(docs_kg.patterns_between)
+_q("kg_topk_patterns", docs_kg.topk_patterns_docs_sql())(docs_kg.topk_patterns_docs)
+
+
+@_q("kg_gold_triples")  # full DENRL label path — not SQL-expressible (rows-only)
+def kg_gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from denrl_spark.operators.spans import assemble_triples
+    from denrl_spark.operators.tagging import build_instances
+
+    tr = docs_kg.transcripts_from_documents(spark, sf_dir)
+    ins = build_instances(tr, docs_kg.docs_kb())
+    return assemble_triples(ins)
+
+
+@_q("kg_pred_triples")  # scored prediction path (rows-only)
+def kg_pred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from denrl_spark.operators.scoring import score_instances
+    from denrl_spark.operators.spans import assemble_triples
+    from denrl_spark.operators.tagging import build_instances
+
+    kb = docs_kg.docs_kb()
+    tr = docs_kg.transcripts_from_documents(spark, sf_dir)
+    ins = build_instances(tr, kb)
+    scored = score_instances(ins, kb, {})
+    return assemble_triples(scored, tags_col="pred_tags")
+
+
+@_q("kg_edges")  # canonicalized KG edge table (rows-only)
+def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from denrl_spark.operators.graph import materialize_graph
+
+    trips = kg_gold_triples(spark, sf_dir)
+    _, edges = materialize_graph(trips)
+    return edges
+
+
+# --------------------------------------------------------------------------
+# Relational operators on the TPC-H-ish tables (SURVEY.md §2.2/2.4-2.7)
+# --------------------------------------------------------------------------
+
+@_q(
+    "rel_filter_project",  # F1 length filter + F6 column pruning
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 30",
+)
+def rel_filter_project(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@_q(
+    "rel_agg_stats",  # A6/A7 metric reductions
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def rel_agg_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "rel_topk_per_group",  # A2/O3 top-k per group window
+    """
+    SELECT o_orderpriority, o_orderkey, rank FROM (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+      FROM orders) WHERE rank <= 3
+    """,
+)
+def rel_topk_per_group(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "rank")
+    )
+
+
+@_q(
+    "rel_dedup_first_per_group",  # O4 first-instance-per-sentence dedup
+    """
+    SELECT o_custkey, o_orderkey FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def rel_dedup_first(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+@_q(
+    "rel_semi_join",  # F4 set-membership filter as left-semi join
+    """
+    SELECT DISTINCT l_orderkey FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+    """,
+)
+def rel_semi_join(spark, sf_dir):
+    big = _t(spark, sf_dir, "orders").where("o_totalprice > 200000").select("o_orderkey")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(big, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey")
+        .distinct()
+    )
+
+
+@_q(
+    "rel_anti_join",  # U2 id-set difference as left-anti join
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def rel_anti_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    )
+
+
+@_q(
+    "rel_union_distinct",  # U1/U3 union + distinct
+    """
+    SELECT DISTINCT k FROM (
+      SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 5000)
+    """,
+)
+def rel_union_distinct(spark, sf_dir):
+    a = (
+        _t(spark, sf_dir, "customer")
+        .where("c_mktsegment = 'BUILDING'")
+        .select(F.col("c_nationkey").alias("k"))
+    )
+    b = (
+        _t(spark, sf_dir, "supplier")
+        .where("s_acctbal > 5000")
+        .select(F.col("s_nationkey").alias("k"))
+    )
+    return a.unionByName(b).distinct()
+
+
+@_q(
+    "rel_broadcast_join_agg",  # J1-style broadcast dim join + agg
+    """
+    SELECT n.n_name, count(*) AS n_cust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def rel_broadcast_join_agg(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            # money summed as exact integer cents: double-sum order and
+            # cast semantics (trunc vs round) differ between engines
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("bal_cents"),
+        )
+    )
+
+
+@_q(
+    "rel_distinct_labels",  # A1 distinct label discovery (explode+distinct)
+    """
+    SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+    """,
+)
+def rel_distinct_labels(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+
+
+@_q(
+    "rel_json_extract",  # scalar JSON function over events props
+    """
+    SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY 1
+    """,
+)
+def rel_json_extract(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_k")
+        )
+    )
+
+
+@_q(
+    "rel_sessionize",  # sessionization: lag gap + cumsum window
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+    gaps AS (
+      SELECT user_id, t,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    sess AS (
+      SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps)
+    SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions
+    FROM sess GROUP BY 1
+    """,
+)
+def rel_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    gaps = e.withColumn(
+        "new_s",
+        F.when(F.col("t") - F.lag("t").over(w) > 1800, 1).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("sid").cast("bigint").alias("n_sessions")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis / dedup / similarity (training-data-pipeline operators)
+# --------------------------------------------------------------------------
+
+@_q(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_re_tokens,
+           CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    return textops.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_quality",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(floor(1000000 * len(list_filter(toks, x -> x IN ('the','a','an','that','with'))) / len(toks)) AS BIGINT) AS stop_ratio_e6,
+           CAST(floor(1000000 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS uniq_ratio_e6
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    return textops.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_langid",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(list_filter(toks, x -> x IN ('join','scan','filter','agg','window')))
+                  >= len(list_filter(toks, x -> x IN ('table','row','column','batch','stream')))
+                THEN 'query_ish' ELSE 'data_ish' END AS lang_pred
+    FROM t
+    """,
+)
+def text_langid(spark, sf_dir):
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_fingerprint",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents)
+    SELECT doc_id,
+           CAST(sum(pos * (ascii(tok) * 31 + length(tok))) % 1000003 AS BIGINT) AS fp
+    FROM t GROUP BY 1
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    return textops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return textops.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle FROM (
+        SELECT doc_id, tok,
+               lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+               lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM (SELECT doc_id,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents))
+      WHERE t2 IS NOT NULL
+"""
+
+
+@_q(
+    "dedup_minhash_sig",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    banded AS (
+      SELECT doc_id, unnest(range(0, 8)) AS band, shingle FROM sh)
+    SELECT doc_id, CAST(band AS INT) AS band,
+           min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS mh
+    FROM banded GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_sig(spark, sf_dir):
+    return textops.minhash_signatures(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "mh"
+    )
+
+
+@_q(
+    "dedup_lsh_pairs",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    banded AS (
+      SELECT doc_id, unnest(range(0, 8)) AS band, shingle FROM sh),
+    sig AS (
+      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS mh
+      FROM banded GROUP BY 1, 2)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_lsh_pairs(spark, sf_dir):
+    return textops.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(floor(1000000 * shared / (na.n_sh + nb.n_sh - shared)) AS BIGINT) AS j_e6
+    FROM shared
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE floor(1000000 * shared / (na.n_sh + nb.n_sh - shared)) >= 200000
+    """,
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    return textops.jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(1000 * list_dot_product(qv, cv) /
+                  (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) AS BIGINT) AS cos_e3
+      FROM q, c WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_e3,
+             CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_e3 DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, cos_e3 FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where("vec_id < 8"), k=3)
+
+
+@_q("sim_lsh_topk")  # approximate ANN path (rows-only)
+def sim_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where("vec_id < 8"), k=3)
