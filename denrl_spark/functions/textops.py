@@ -94,6 +94,36 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def build_vocab(docs: DataFrame, max_size: int = 1_000_000) -> DataFrame:
+    """A5 vocab build (run_lstm.py:332-344): token frequency top-N with
+    special ids 0=[PAD], 1=[UNK]; real tokens get ids from 2, ordered
+    (count desc, token asc) for partition-invariant determinism."""
+    counts = (
+        docs.select(F.explode(_toks()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("token_id", (F.row_number().over(w) + 1).cast("int"))
+        .where(F.col("token_id") < max_size + 2)
+        .select("token", "token_id", "cnt")
+    )
+
+
+def encode_tokens(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """M6 word->id encode (run_lstm.py:287-299): (doc_id, pos, token_id)
+    with UNK=1 fallback, via broadcast join on the vocab (never a Python
+    dict lookup UDF)."""
+    t = docs.select("doc_id", F.posexplode(_toks()).alias("pos", "tok"))
+    v = F.broadcast(vocab.select(F.col("token").alias("tok"), "token_id"))
+    return t.join(v, "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("token_id", F.lit(1)).cast("int").alias("token_id"),
+    )
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle): token n-grams via window lead (n=3)."""
     t = docs.select("doc_id", F.posexplode(_toks()).alias("pos", "tok"))

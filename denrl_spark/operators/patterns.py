@@ -120,6 +120,76 @@ def extract_patterns(instances: DataFrame, tags_col: str = "ner_tags") -> DataFr
     return cols.mapInPandas(gen, PATTERN_ROW_SCHEMA).where(F.col("pattern") != "")
 
 
+def extract_ent_patterns_py(
+    tokens: list[str], tags: list[str], query_id: int, max_ent_range: int
+) -> list[dict]:
+    """M4 (ent_pattern_extract, run_jointmodel.py:1623-1655): context
+    windows of up to ``max_ent_range`` tokens before/after the query
+    span, keyed by the query's entity type; the query's own I-
+    continuation extends the span end before the post-window starts."""
+    query_tag = tags[query_id][2:]
+    query_end = query_id
+    pre, post = [], []
+    for index, tag in enumerate(tags):
+        if index < query_id and query_id - index <= max_ent_range:
+            pre.append(tokens[index])
+        elif index > query_id:
+            if tag != "O" and tag[:2] == "I-" and index == query_end + 1:
+                query_end += 1
+            elif index - query_end <= max_ent_range:
+                post.append(tokens[index])
+    return [
+        {"entity": query_tag, "pattern": " ".join(p)}
+        for p in (pre, post)
+        if p
+    ]
+
+
+ENT_PATTERN_ROW_SCHEMA = (
+    "conv_id string, turn_idx int, sent_id bigint, instance_id bigint, "
+    "query_id int, entity string, pattern string"
+)
+
+
+def extract_ent_patterns(
+    instances: DataFrame, max_ent_range: int = 4, tags_col: str = "ner_tags"
+) -> DataFrame:
+    """Instance table -> exploded (instance, entity, pattern) rows
+    (optional feature, gated by max_ent_range in the reference,
+    run_jointmodel.py:229-232). Top-k selection reuses topk_patterns on
+    the ``entity`` column renamed to ``relation`` (A3 == A2 with
+    max_size 20, run_jointmodel.py:1715-1747)."""
+    cols = instances.select(
+        "conv_id", "turn_idx", "sent_id", "instance_id", "query_id", "tokens", tags_col
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.instance_id < 0:
+                    continue
+                for d in extract_ent_patterns_py(
+                    list(r.tokens), list(getattr(r, tags_col)), int(r.query_id), max_ent_range
+                ):
+                    rows.append(
+                        (
+                            r.conv_id, int(r.turn_idx), int(r.sent_id),
+                            int(r.instance_id), int(r.query_id),
+                            d["entity"], d["pattern"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "sent_id", "instance_id",
+                    "query_id", "entity", "pattern",
+                ],
+            )
+
+    return cols.mapInPandas(gen, ENT_PATTERN_ROW_SCHEMA).where(F.col("pattern") != "")
+
+
 def pattern_counts(raw_patterns: DataFrame) -> DataFrame:
     """A2/A8: (relation, pattern, cnt) with a deterministic rank."""
     w = Window.partitionBy("relation").orderBy(F.desc("cnt"), F.asc("pattern"))

@@ -64,14 +64,42 @@ def viterbi_batch(emissions: np.ndarray, transitions: np.ndarray, lengths: np.nd
     emissions: (B, T, V) float32; lengths: (B,). Returns (B, T) int tag
     ids (padding positions carry 0). Semantics of
     models/crf/base_crf.py:117-169 without learned start/end scores.
+
+    Fast path: when ``transitions`` is a 0/IMPOSSIBLE mask (the BIO case
+    from ``bio_transitions``), the (B, V, V) candidate tensor is never
+    materialized — each step is O(B*V): fully-allowed destinations take
+    the global argmax, restricted destinations (I-tags, 2 allowed
+    sources each) take a 2-way max. This matters at scale: the dense
+    step is memory-bandwidth-bound and stops scaling past ~8 workers per
+    host; the structured step keeps the whole batch in cache.
     """
     b, t, v = emissions.shape
+    is_mask = bool(np.all((transitions == 0) | (transitions <= IMPOSSIBLE / 2)))
+    allowed = transitions > IMPOSSIBLE / 2  # (V, V) sources-allowed per dest
+    full_dest = allowed.all(axis=0)  # destinations reachable from every tag
+    restricted = [
+        (j, np.flatnonzero(allowed[:, j])) for j in range(v) if not full_dest[j]
+    ]
+
     score = emissions[:, 0, :].copy()  # (B, V)
-    back = np.zeros((b, t, v), dtype=np.int32)
+    # int16 backpointers: tag vocabularies are small; this halves-to-
+    # quarters the dominant memory traffic of the DP (back is B*T*V)
+    back = np.zeros((b, t, v), dtype=np.int16)
     for step in range(1, t):
-        cand = score[:, :, None] + transitions[None, :, :]  # (B, V, V)
-        best_prev = cand.argmax(axis=1)  # (B, V)
-        best_score = np.take_along_axis(cand, best_prev[:, None, :], axis=1)[:, 0, :]
+        if is_mask:
+            g_prev = score.argmax(axis=1)  # (B,)
+            g_best = score[np.arange(b), g_prev]  # (B,)
+            best_prev = np.broadcast_to(g_prev[:, None], (b, v)).copy()
+            best_score = np.broadcast_to(g_best[:, None], (b, v)).copy()
+            for j, srcs in restricted:
+                sub = score[:, srcs]  # (B, n_src) with n_src small
+                k = sub.argmax(axis=1)
+                best_prev[:, j] = srcs[k]
+                best_score[:, j] = sub[np.arange(b), k]
+        else:
+            cand = score[:, :, None] + transitions[None, :, :]  # (B, V, V)
+            best_prev = cand.argmax(axis=1)  # (B, V)
+            best_score = np.take_along_axis(cand, best_prev[:, None, :], axis=1)[:, 0, :]
         new_score = best_score + emissions[:, step, :]
         active = (step < lengths)[:, None]
         score = np.where(active, new_score, score)
@@ -88,17 +116,76 @@ def viterbi_batch(emissions: np.ndarray, transitions: np.ndarray, lengths: np.nd
     return out
 
 
+def forward_backward_batch(
+    emissions: np.ndarray, transitions: np.ndarray, lengths: np.ndarray
+) -> np.ndarray:
+    """K7 (models/crf/base_crf.py:30-115): log-space alpha/beta recursions
+    -> per-token tag marginals (B, T, V); padding rows are uniform.
+    Used for marginal-confidence variants of instance selection."""
+    b, t, v = emissions.shape
+    em = emissions.astype(np.float64)
+    alpha = np.full((b, t, v), -np.inf)
+    beta = np.full((b, t, v), -np.inf)
+    alpha[:, 0, :] = em[:, 0, :]
+    for step in range(1, t):
+        prev = alpha[:, step - 1, :, None] + transitions[None, :, :]  # (B,V,V)
+        m = prev.max(axis=1)
+        new = m + np.log(np.exp(prev - m[:, None, :]).sum(axis=1)) + em[:, step, :]
+        active = (step < lengths)[:, None]
+        alpha[:, step, :] = np.where(active, new, alpha[:, step - 1, :])
+    for i in range(b):
+        beta[i, lengths[i] - 1, :] = 0.0
+    for step in range(t - 2, -1, -1):
+        nxt = beta[:, step + 1, None, :] + transitions[None, :, :] + em[:, step + 1, None, :]
+        m = nxt.max(axis=2)
+        new = m + np.log(np.exp(nxt - m[:, :, None]).sum(axis=2))
+        active = (step < lengths - 1)[:, None]
+        beta[:, step, :] = np.where(active, new, beta[:, step, :])
+    log_marg = alpha + beta
+    m = log_marg.max(axis=2, keepdims=True)
+    p = np.exp(log_marg - m)
+    return p / p.sum(axis=2, keepdims=True)
+
+
+def viterbi_restricted(
+    emissions: np.ndarray,
+    transitions: np.ndarray,
+    lengths: np.ndarray,
+    possible: np.ndarray,
+) -> np.ndarray:
+    """Restricted Viterbi (models/crf/base_crf.py:171-240, the PartialCRF
+    decode surface): ``possible`` is a (B, T, V) boolean mask of allowed
+    tags per position (the reference builds it from partially-observed
+    tags with O -> everything allowed, models/crf/utils.py:8-19).
+    Disallowed tags get IMPOSSIBLE added to their emissions."""
+    em = emissions + np.where(possible, 0.0, IMPOSSIBLE).astype(np.float32)
+    return viterbi_batch(em, transitions, lengths)
+
+
 def emissions_for_instance(
     tokens: list[str], query_id: int, kb: KB, label_index: dict[str, int], instance_id: int = 0
 ) -> np.ndarray:
     """Deterministic featurizer: KB span alignment -> one-hot-ish
     emissions (the frozen stand-in for encoder+classifier K1/K3)."""
+    spans = None if instance_id < 0 else find_entity_spans(tokens, kb)
+    return emissions_from_spans(tokens, spans, query_id, kb, label_index, instance_id)
+
+
+def emissions_from_spans(
+    tokens: list[str],
+    spans: list[tuple[int, int, str, str]] | None,
+    query_id: int,
+    kb: KB,
+    label_index: dict[str, int],
+    instance_id: int = 0,
+) -> np.ndarray:
+    """Same featurizer with pre-computed spans: the matcher runs once per
+    SENTENCE instead of once per instance (k-fold saving, k = spans)."""
     n, v = len(tokens), len(label_index)
     em = np.full((n, v), NON_EVIDENCE, dtype=np.float32)
     em[:, label_index["O"]] = 0.0
-    if instance_id < 0:  # negative instance: trained target is all-O
+    if instance_id < 0 or spans is None:  # negative instance: target all-O
         return em
-    spans = find_entity_spans(tokens, kb)
     query = next((s for s in spans if s[0] == query_id), None)
     for s, e, surf, typ in spans:
         if query is not None and (s, e) == (query[0], query[1]):
@@ -117,16 +204,32 @@ SCORED_SCHEMA = (
     "query_id int, tokens array<string>, ner_tags array<string>, "
     "pred_tags array<string>, position_att array<float>"
 )
+SCORED_SCHEMA_NO_ATT = (
+    "conv_id string, turn_idx int, sent_id bigint, instance_id bigint, "
+    "query_id int, tokens array<string>, ner_tags array<string>, "
+    "pred_tags array<string>"
+)
 
 
 def score_instances(
-    instances: DataFrame, kb: KB | None = None, bow: dict[str, set] | None = None
+    instances: DataFrame,
+    kb: KB | None = None,
+    bow: dict[str, set] | None = None,
+    pre_partitioned: bool = False,
+    emit_attention: bool = True,
 ) -> DataFrame:
-    """Batch inference: adds pred_tags + position_att via one Arrow pass.
+    """Batch inference: adds pred_tags (+ position_att) via one Arrow pass.
 
     ``bow`` is the mined relation bag-of-words (A4) used for the
     position-attention distribution; the KB and BoW ride the closure
-    (both tiny — the explicit-broadcast equivalent)."""
+    (both tiny — the explicit-broadcast equivalent).
+
+    ``emit_attention=False`` drops the position_att column (only the
+    KL-selection path needs it) — it is the widest output column, and
+    skipping it halves Arrow traffic on the pure extraction path.
+    The transform is row-wise and order-preserving, so builder layout
+    (sentence contiguity) survives for assemble_triples(assume_grouped).
+    """
     kb = kb or KB.default()
     bow = {k: set(vv) for k, vv in (bow or {}).items()}
     labels: list[str] = build_label_list(kb)
@@ -140,7 +243,10 @@ def score_instances(
             iids = pdf["instance_id"].to_numpy()
             bsz = len(toks_col)
             if bsz == 0:
-                yield pdf.assign(pred_tags=None, position_att=None)
+                if emit_attention:
+                    yield pdf.assign(pred_tags=None, position_att=None)
+                else:
+                    yield pdf.assign(pred_tags=None)
                 continue
             lengths = np.array([len(t) for t in toks_col])
             tmax = int(lengths.max())
@@ -153,21 +259,33 @@ def score_instances(
             pred_tags = [
                 [labels[ids[i, j]] for j in range(int(lengths[i]))] for i in range(bsz)
             ]
-            # position attention from PREDICTED tags + mined BoW (smoothed
-            # so KL's log is finite) — the K2 stand-in.
-            pas = []
-            for i, toks in enumerate(toks_col):
-                att = target_att_py(toks, pred_tags[i], int(iids[i]), bow)
-                eps = 1e-6
-                sm = [a + eps for a in att]
-                z = sum(sm)
-                pas.append([a / z for a in sm])
             out = pdf.copy()
             out["pred_tags"] = pred_tags
-            out["position_att"] = pas
+            if emit_attention:
+                # position attention from PREDICTED tags + mined BoW
+                # (smoothed so KL's log is finite) — the K2 stand-in.
+                pas = []
+                for i, toks in enumerate(toks_col):
+                    att = target_att_py(toks, pred_tags[i], int(iids[i]), bow)
+                    eps = 1e-6
+                    sm = [a + eps for a in att]
+                    z = sum(sm)
+                    pas.append([a / z for a in sm])
+                out["position_att"] = pas
             yield out
 
     cols = instances.select(
         "conv_id", "turn_idx", "sent_id", "instance_id", "query_id", "tokens", "ner_tags"
     )
-    return cols.mapInPandas(gen, SCORED_SCHEMA)
+    if not pre_partitioned:
+        # lift file-level parallelism to cluster parallelism before the
+        # Arrow stage (callers whose input already has builder layout —
+        # e.g. straight from build_instances — pass pre_partitioned=True:
+        # the transform preserves partitioning and order, so sentence
+        # contiguity survives and no wide shuffle is paid)
+        spark = instances.sparkSession
+        cols = cols.repartition(
+            spark.sparkContext.defaultParallelism * 2, "sent_id"
+        )
+    schema = SCORED_SCHEMA if emit_attention else SCORED_SCHEMA_NO_ATT
+    return cols.mapInPandas(gen, schema)

@@ -51,18 +51,37 @@ def stable_id(*parts) -> int:
     return int.from_bytes(h.digest(), "big") & ((1 << 62) - 1)
 
 
+_KB_INDEX_CACHE: dict[int, dict] = {}
+
+
+def _kb_first_token_index(kb: KB) -> dict[str, list[tuple[tuple[str, ...], str, str]]]:
+    """first-token -> [(token_tuple, surface, type)] sorted longest-first.
+    Turns the per-position join-and-probe into a dict hit on the first
+    token (hot-path tagging runs this per token of every turn)."""
+    idx = _KB_INDEX_CACHE.get(id(kb))
+    if idx is None:
+        idx = {}
+        for surf, typ in kb.entity_type.items():
+            toks = tuple(surf.split(" "))
+            idx.setdefault(toks[0], []).append((toks, surf, typ))
+        for cands in idx.values():
+            cands.sort(key=lambda c: -len(c[0]))
+        _KB_INDEX_CACHE[id(kb)] = idx
+    return idx
+
+
 def find_entity_spans(tokens: list[str], kb: KB) -> list[tuple[int, int, str, str]]:
     """Greedy longest-match left-to-right. Returns (start, end_exclusive,
     surface, entity_type) sorted by start; spans never overlap."""
+    idx = _kb_first_token_index(kb)
     spans = []
     i, n = 0, len(tokens)
     while i < n:
         hit = None
-        for ln in range(min(MAX_ENTITY_TOKENS, n - i), 0, -1):
-            surf = " ".join(tokens[i : i + ln])
-            t = kb.entity_type.get(surf)
-            if t is not None:
-                hit = (i, i + ln, surf, t)
+        for toks, surf, typ in idx.get(tokens[i], ()):
+            ln = len(toks)
+            if i + ln <= n and tuple(tokens[i : i + ln]) == toks:
+                hit = (i, i + ln, surf, typ)
                 break
         if hit:
             spans.append(hit)
@@ -105,18 +124,21 @@ def tag_instance(
     return tags
 
 
-def instances_for_turn(
+def instances_and_spans_for_turn(
     conv_id: str, turn_idx: int, text: str, kb: KB
-) -> list[dict]:
-    """All query instances for one turn (pure; shared by the Spark UDF and
-    the pytest oracle). Empty when the turn has no KB entity or exceeds
-    MAX_TOKENS (length filter F1, run_jointmodel.py:516-520)."""
+) -> tuple[list[dict], list[tuple[int, int, str, str]]]:
+    """All query instances for one turn plus the shared entity spans
+    (pure; shared by the Spark UDFs and the pytest oracle). Empty when
+    the turn has no KB entity or exceeds MAX_TOKENS (length filter F1,
+    run_jointmodel.py:516-520). Returning the spans lets the fused
+    prediction path build emissions without re-running the matcher per
+    instance."""
     tokens = tokenize(text)
     if not tokens or len(tokens) > MAX_TOKENS:
-        return []
+        return [], []
     spans = find_entity_spans(tokens, kb)
     if not spans:
-        return []
+        return [], []
     sent_id = stable_id(conv_id, turn_idx)
     out = []
     for q in spans:
@@ -131,14 +153,31 @@ def instances_for_turn(
                 "ner_tags": tag_instance(tokens, spans, q, kb),
             }
         )
-    return out
+    return out, spans
 
 
-def build_instances(transcripts: DataFrame, kb: KB | None = None) -> DataFrame:
+def instances_for_turn(
+    conv_id: str, turn_idx: int, text: str, kb: KB
+) -> list[dict]:
+    return instances_and_spans_for_turn(conv_id, turn_idx, text, kb)[0]
+
+
+def build_instances(
+    transcripts: DataFrame, kb: KB | None = None, n_partitions: int | None = None
+) -> DataFrame:
     """Transcripts -> instance table. One mapInPandas pass; the KB rides the
-    task closure (tiny, equivalent to an explicit broadcast)."""
+    task closure (tiny, equivalent to an explicit broadcast).
+
+    The input is re-hashed across ``n_partitions`` (default 2x cores)
+    first: transcript tables often arrive as few large files, and without
+    this the Arrow-UDF stage runs at file parallelism, not cluster
+    parallelism."""
     kb = kb or KB.default()
-    cols = transcripts.select("conv_id", "turn_idx", "text")
+    spark = transcripts.sparkSession
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
+    cols = transcripts.select("conv_id", "turn_idx", "text").repartition(
+        n_partitions, "conv_id", "turn_idx"
+    )
 
     def gen(batches):
         for pdf in batches:

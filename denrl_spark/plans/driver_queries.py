@@ -76,7 +76,9 @@ def kg_pred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from denrl_spark.operators.graph import materialize_graph
 
-    trips = kg_gold_triples(spark, sf_dir)
+    # cache: canonicalization and edge aggregation both consume the
+    # triples; without this the whole extraction path runs twice
+    trips = kg_gold_triples(spark, sf_dir).cache()
     _, edges = materialize_graph(trips)
     return edges
 

@@ -1,0 +1,106 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+- S1/S2: JSONL instance tables (the reference's native format,
+  run_jointmodel.py:390-403 / run_lstm.py:606-614) — schema-declared
+  reads (never inferSchema in production paths).
+- S5: predictions sink — space-joined tag rows to text files
+  (run_jointmodel.py:2062-2067).
+- S6: triple CSV sinks (run_jointmodel.py:1048-1054).
+- S7: metrics JSON log (KLloss_{epoch}.json analog).
+- S4 lives in plans/checkpoints.py (manifest commit protocol).
+
+Iceberg writes are gated: ``write_table`` uses the Iceberg catalog when
+available, else partitioned parquet with identical layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+INSTANCE_SCHEMA_T = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("sent_id", T.LongType()),
+        T.StructField("instance_id", T.LongType()),
+        T.StructField("query_id", T.IntegerType()),
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("ner_tags", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def read_instances_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S2: JSONL -> instance DataFrame with declared schema."""
+    return spark.read.schema(INSTANCE_SCHEMA_T).json(path)
+
+
+def write_instances_jsonl(df: DataFrame, path: str) -> None:
+    df.select([f.name for f in INSTANCE_SCHEMA_T.fields]).write.mode(
+        "overwrite"
+    ).json(path)
+
+
+def write_predictions_txt(scored: DataFrame, path: str, tags_col: str = "pred_tags") -> None:
+    """S5: one line per instance, space-joined predicted tags, ordered by
+    (sent_id, instance_id) within files."""
+    (
+        scored.select(
+            F.concat_ws(" ", F.col(tags_col)).alias("value"),
+            "sent_id",
+            "instance_id",
+        )
+        .repartition(1)
+        .sortWithinPartitions("sent_id", "instance_id")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def write_triples_csv(triples: DataFrame, path: str) -> None:
+    """S6: triple rows as CSV."""
+    triples.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_metrics_json(metrics: dict, out_dir: str, name: str) -> str:
+    """S7: small metrics dict -> one JSON file (driver-side by design)."""
+    os.makedirs(out_dir, exist_ok=True)
+    p = os.path.join(out_dir, name)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, indent=2)
+    os.replace(tmp, p)
+    return p
+
+
+def write_table(
+    df: DataFrame,
+    path_or_table: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Iceberg-or-parquet sink: ``catalog.db.table`` writes through the
+    Iceberg catalog when its extensions are on the classpath (not in this
+    sandbox), otherwise a filesystem path gets partitioned parquet."""
+    if "." in path_or_table and not path_or_table.startswith(("/", "file:", "s3:")):
+        try:
+            w = df.writeTo(path_or_table)
+            if mode == "overwrite":
+                w.createOrReplace()
+            else:
+                w.append()
+            return
+        except Exception:
+            raise RuntimeError(
+                "Iceberg catalog not available in this environment; "
+                "pass a filesystem path for the parquet fallback"
+            )
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path_or_table)

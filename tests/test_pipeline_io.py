@@ -1,0 +1,64 @@
+"""End-to-end pipeline report + sources/sinks round-trips."""
+
+from pyspark.sql import functions as F
+
+from denrl_spark.operators.tagging import build_instances
+from denrl_spark.plans.pipeline import length_partition, run_kg_pipeline
+from denrl_spark.sources.corpus import transcripts
+from denrl_spark.sources.io import (
+    read_instances_jsonl,
+    write_instances_jsonl,
+    write_predictions_txt,
+    write_triples_csv,
+)
+from denrl_spark.sources.kb import KB
+
+KBD = KB.default()
+
+
+def test_pipeline_meets_north_rule(spark, tmp_path):
+    report = run_kg_pipeline(
+        spark,
+        n_convs=40,
+        seed=42,
+        bootstrap_rounds=1,
+        checkpoint_dir=str(tmp_path / "ck"),
+        output_dir=str(tmp_path / "out"),
+    )
+    assert report["precision"] >= 0.95 and report["recall"] >= 0.95
+    assert report["n_triples"] > 0 and report["n_edges"] > 0
+    trips = spark.read.parquet(str(tmp_path / "out" / "triples"))
+    assert trips.count() == report["n_triples"]
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    ins = build_instances(transcripts(spark, 20, seed=3), KBD)
+    p = str(tmp_path / "ins_jsonl")
+    write_instances_jsonl(ins, p)
+    back = read_instances_jsonl(spark, p)
+    a = sorted(r["instance_id"] for r in ins.select("instance_id").collect())
+    b = sorted(r["instance_id"] for r in back.select("instance_id").collect())
+    assert a == b
+    row = back.orderBy("instance_id").first()
+    assert isinstance(row["tokens"], list) and len(row["tokens"]) == len(row["ner_tags"])
+
+
+def test_sinks_write(spark, tmp_path):
+    ins = build_instances(transcripts(spark, 10, seed=4), KBD)
+    scored = ins.withColumn("pred_tags", F.col("ner_tags"))
+    write_predictions_txt(scored, str(tmp_path / "preds_txt"))
+    lines = spark.read.text(str(tmp_path / "preds_txt")).count()
+    assert lines == ins.count()
+    from denrl_spark.operators.spans import assemble_triples
+
+    trips = assemble_triples(ins)
+    write_triples_csv(trips, str(tmp_path / "trips_csv"))
+    back = spark.read.option("header", True).csv(str(tmp_path / "trips_csv"))
+    assert back.count() == trips.count()
+
+
+def test_length_partition_preserves_rows(spark):
+    ins = build_instances(transcripts(spark, 30, seed=5), KBD).cache()
+    lp = length_partition(ins, 6)
+    assert lp.count() == ins.count()
+    assert set(lp.columns) == set(ins.columns)

@@ -125,3 +125,34 @@ def test_with_target_att_spark_matches_py(spark):
         exp = target_att_py(list(r["tokens"]), list(r["ner_tags"]), r["instance_id"], bow)
         got = [round(float(x), 6) for x in r["target_att"]]
         assert got == [round(x, 6) for x in exp]
+
+
+def test_viterbi_mask_fastpath_equals_dense():
+    rng = np.random.default_rng(7)
+    labels = build_label_list(KBD)
+    trans = bio_transitions(labels)
+    v_ = len(labels)
+    em = rng.normal(size=(16, 12, v_)).astype(np.float32) * 3
+    lengths = rng.integers(1, 13, size=16)
+    got = viterbi_batch(em, trans, lengths)
+    # dense reference recursion (the pre-optimization formula)
+    b, t = em.shape[0], em.shape[1]
+    score = em[:, 0, :].copy()
+    back = np.zeros((b, t, v_), dtype=np.int64)
+    for step in range(1, t):
+        cand = score[:, :, None] + trans[None, :, :]
+        bp = cand.argmax(axis=1)
+        bs = np.take_along_axis(cand, bp[:, None, :], axis=1)[:, 0, :]
+        ns = bs + em[:, step, :]
+        act = (step < lengths)[:, None]
+        score = np.where(act, ns, score)
+        back[:, step, :] = np.where(act, bp, 0)
+    for i in range(b):
+        ln = int(lengths[i])
+        cur = int(score[i].argmax())
+        path = []
+        for step in range(ln - 1, -1, -1):
+            path.append(cur)
+            if step > 0:
+                cur = int(back[i, step, cur])
+        assert list(got[i, :ln]) == path[::-1]

@@ -1,0 +1,87 @@
+"""Structured Streaming ingestion + multimodal plumbing tests."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from denrl_spark.functions.multimodal import (
+    FEATURE_DIM,
+    decode_stub,
+    extract_features,
+    synth_attachments,
+)
+from denrl_spark.sources.corpus import transcripts
+from denrl_spark.streaming.ingest import (
+    stream_transcripts,
+    stream_triples,
+    windowed_turn_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def transcript_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    transcripts(spark, 40, seed=42).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_windowed_counts_memory_sink(spark, transcript_dir):
+    stream = stream_transcripts(spark, transcript_dir)
+    agg = windowed_turn_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("turn_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM turn_counts")
+        total = out.agg(F.sum("n_turns")).collect()[0][0]
+        batch_total = spark.read.parquet(transcript_dir).count()
+        assert total == batch_total
+        assert out.where("win_start >= win_end").count() == 0
+    finally:
+        q.stop()
+
+
+def test_stream_triples_matches_batch(spark, transcript_dir, tmp_path):
+    from denrl_spark.operators.spans import assemble_triples
+    from denrl_spark.operators.tagging import build_instances
+    from denrl_spark.sources.kb import KB
+
+    sink = str(tmp_path / "triples_out")
+    ck = str(tmp_path / "ck")
+    stream = stream_transcripts(spark, transcript_dir)
+    q = stream_triples(stream, sink, ck)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    batch = assemble_triples(build_instances(spark.read.parquet(transcript_dir), KB.default()))
+    a = sorted(map(tuple, got.select("sent_id", "ent1", "ent1_tag", "ent2", "ent2_tag").collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"xx", "image/png", fake=False)
+    v = decode_stub(b"xx", "image/png", fake=True)
+    assert v.shape == (FEATURE_DIM,) and np.isclose(np.linalg.norm(v), 1.0, atol=1e-5)
+    assert np.array_equal(v, decode_stub(b"xx", "image/png", fake=True))
+
+
+def test_extract_features_plumbing(spark, transcript_dir):
+    tr = spark.read.parquet(transcript_dir)
+    atts = synth_attachments(spark, tr)
+    n = atts.count()
+    assert n > 0
+    feats = extract_features(atts, fake=True)
+    rows = feats.collect()
+    assert len(rows) == n
+    assert all(len(r["feature"]) == FEATURE_DIM for r in rows)
+    # deterministic across partitionings
+    rows2 = extract_features(atts.repartition(7), fake=True).collect()
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["att_idx"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, rows2))

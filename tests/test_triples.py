@@ -63,3 +63,32 @@ def test_triples_deterministic_across_repartition(spark):
     a = sorted(map(tuple, assemble_triples(ins.repartition(3)).collect()))
     b = sorted(map(tuple, assemble_triples(ins.repartition(17)).collect()))
     assert a == b
+
+
+def test_assume_grouped_fast_path_matches_shuffled(spark):
+    """Co-partitioned assembly (no shuffle) == repartition+sort assembly."""
+    from denrl_spark.operators.scoring import score_instances
+
+    tr = transcripts(spark, 40, seed=11)
+    ins = build_instances(tr, KBD)
+    scored = score_instances(ins, KBD, {}, pre_partitioned=True, emit_attention=False)
+    fast = sorted(map(tuple, assemble_triples(scored, tags_col="pred_tags", assume_grouped=True).collect()))
+    slow = sorted(map(tuple, assemble_triples(scored, tags_col="pred_tags").collect()))
+    assert fast == slow and len(fast) > 0
+
+
+def test_fused_matches_modular_gold_and_pred(spark):
+    from denrl_spark.operators.fused import extract_triples_fused
+    from denrl_spark.operators.scoring import score_instances
+
+    tr = transcripts(spark, 40, seed=13).cache()
+    # gold
+    fused_g = sorted(map(tuple, extract_triples_fused(tr, KBD, mode="gold").collect()))
+    ins = build_instances(tr, KBD).cache()
+    mod_g = sorted(map(tuple, assemble_triples(ins).collect()))
+    assert fused_g == mod_g and len(fused_g) > 0
+    # pred
+    fused_p = sorted(map(tuple, extract_triples_fused(tr, KBD, mode="pred").collect()))
+    scored = score_instances(ins, KBD, {}, pre_partitioned=True, emit_attention=False)
+    mod_p = sorted(map(tuple, assemble_triples(scored, tags_col="pred_tags", assume_grouped=True).collect()))
+    assert fused_p == mod_p
