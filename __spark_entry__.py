@@ -18,14 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: gold-path triple extraction at sf0.001."""
-    from denrl_spark.operators.spans import assemble_triples
-    from denrl_spark.operators.tagging import build_instances
+    """Flagship: gold-path triple extraction at sf0.001 (fused operator:
+    text in, (sent_id, ent1, ent1_tag, ent2, ent2_tag) out, one Arrow
+    pass; equivalence with the modular chain is test-asserted)."""
+    from denrl_spark.operators.fused import extract_triples_fused
     from denrl_spark.plans.docs_kg import docs_kb, transcripts_from_documents
 
     tr = transcripts_from_documents(spark, "/root/testdata/sf0.001")
-    ins = build_instances(tr, docs_kb())
-    return assemble_triples(ins)
+    return extract_triples_fused(tr, docs_kb(), mode="gold")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -51,25 +51,29 @@ _q("kg_topk_patterns", docs_kg.topk_patterns_docs_sql())(docs_kg.topk_patterns_d
 
 @_q("kg_gold_triples")  # full DENRL label path — not SQL-expressible (rows-only)
 def kg_gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from denrl_spark.operators.fused import extract_triples_fused
+
+    tr = docs_kg.transcripts_from_documents(spark, sf_dir)
+    return extract_triples_fused(tr, docs_kg.docs_kb(), mode="gold")
+
+
+@_q("kg_pred_triples")  # scored prediction path, fused fast path (rows-only)
+def kg_pred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from denrl_spark.operators.fused import extract_triples_fused
+
+    tr = docs_kg.transcripts_from_documents(spark, sf_dir)
+    return extract_triples_fused(tr, docs_kg.docs_kb(), mode="pred")
+
+
+@_q("kg_gold_triples_modular")  # modular operator chain (rows-only; tests
+def kg_gold_triples_modular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # assert fused == modular, this keeps both exercised by the driver
     from denrl_spark.operators.spans import assemble_triples
     from denrl_spark.operators.tagging import build_instances
 
     tr = docs_kg.transcripts_from_documents(spark, sf_dir)
     ins = build_instances(tr, docs_kg.docs_kb())
     return assemble_triples(ins)
-
-
-@_q("kg_pred_triples")  # scored prediction path (rows-only)
-def kg_pred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from denrl_spark.operators.scoring import score_instances
-    from denrl_spark.operators.spans import assemble_triples
-    from denrl_spark.operators.tagging import build_instances
-
-    kb = docs_kg.docs_kb()
-    tr = docs_kg.transcripts_from_documents(spark, sf_dir)
-    ins = build_instances(tr, kb)
-    scored = score_instances(ins, kb, {})
-    return assemble_triples(scored, tags_col="pred_tags")
 
 
 @_q("kg_edges")  # canonicalized KG edge table (rows-only)
@@ -485,3 +489,164 @@ def sim_cosine_topk(spark, sf_dir):
 def sim_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.where("vec_id < 8"), k=3)
+
+
+# SimHash: 16-bit signature; bit j = sign of sum over tokens of
+# (+1/-1 from the parity of hex digit j of md5(token)). The md5-hex
+# digit parity is the shared Spark/DuckDB hash family (same trick as
+# MinHash above).
+_N_SIMHASH_BITS = 16
+
+
+@_q(
+    "dedup_simhash",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    w AS (SELECT doc_id, """
+    + ", ".join(
+        f"sum((ascii(substr(md5(tok), {j + 1}, 1)) % 2) * 2 - 1) AS w{j}"
+        for j in range(_N_SIMHASH_BITS)
+    )
+    + """
+      FROM t GROUP BY 1)
+    SELECT doc_id, CAST("""
+    + " + ".join(f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_N_SIMHASH_BITS))
+    + """ AS BIGINT) AS simhash
+    FROM w
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    sums = [
+        F.sum(
+            (F.ascii(F.substring(F.md5("tok"), j + 1, 1)) % 2) * 2 - 1
+        ).alias(f"w{j}")
+        for j in range(_N_SIMHASH_BITS)
+    ]
+    w = t.groupBy("doc_id").agg(*sums)
+    sig = None
+    for j in range(_N_SIMHASH_BITS):
+        term = F.when(F.col(f"w{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return w.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+@_q(
+    "rel_sample_deterministic",  # F3 random sample, hash-seeded (reproducible)
+    """
+    SELECT doc_id FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    """,
+)
+def rel_sample_deterministic(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("doc_id")
+    )
+
+
+@_q(
+    "text_vocab_top20",  # A5 vocab build
+    """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1)
+    SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) + 1 AS INT) AS token_id, cnt
+    FROM counts QUALIFY token_id <= 21
+    """,
+)
+def text_vocab_top20(spark, sf_dir):
+    return (
+        textops.build_vocab(_t(spark, sf_dir, "documents"))
+        .where(F.col("token_id") <= 21)
+    )
+
+
+@_q(
+    "text_encode_tokens",  # M6 word->id encode (broadcast vocab join)
+    """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    vocab AS (
+      SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) + 1 AS INT) AS token_id
+      FROM counts),
+    pos AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 20)
+    SELECT p.doc_id, p.pos, COALESCE(v.token_id, 1) AS token_id
+    FROM pos p LEFT JOIN vocab v ON p.tok = v.token
+    """,
+)
+def text_encode_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    vocab = textops.build_vocab(docs)
+    return textops.encode_tokens(docs.where("doc_id < 20"), vocab)
+
+
+@_q(
+    "rel_cube_agg",  # multi-dim rollup (cube) over documents metadata
+    """
+    SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def rel_cube_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+
+
+@_q(
+    "rel_lag_delta",  # lag window: inter-event gap sums per user
+    """
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+    d AS (SELECT user_id, t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS dt FROM e)
+    SELECT user_id, CAST(sum(dt) AS BIGINT) AS total_gap, count(*) AS n_gaps
+    FROM d WHERE dt IS NOT NULL GROUP BY 1
+    """,
+)
+def rel_lag_delta(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    d = e.withColumn("dt", F.col("t") - F.lag("t").over(w)).where(
+        F.col("dt").isNotNull()
+    )
+    return d.groupBy("user_id").agg(
+        F.sum("dt").cast("bigint").alias("total_gap"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+
+
+@_q(
+    "rel_tumbling_window",  # time-bucketed aggregation (batch twin of the
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rel_tumbling_window(spark, sf_dir):
+    # streaming windowed count in streaming/ingest.py
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -85,3 +85,45 @@ def test_extract_features_plumbing(spark, transcript_dir):
     rows2 = extract_features(atts.repartition(7), fake=True).collect()
     key = lambda r: (r["conv_id"], r["turn_idx"], r["att_idx"])  # noqa: E731
     assert sorted(map(key, rows)) == sorted(map(key, rows2))
+
+
+def test_stateful_running_stats(spark, transcript_dir):
+    from denrl_spark.operators.spans import assemble_triples
+    from denrl_spark.operators.tagging import build_instances
+    from denrl_spark.sources.kb import KB
+    from denrl_spark.streaming.stateful import running_conv_stats
+
+    stream = stream_transcripts(spark, transcript_dir)
+    stats = running_conv_stats(stream)
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_stats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # latest state per conv (update mode may emit one row per batch)
+        out = spark.sql(
+            """SELECT conv_id, max(n_turns) n_turns, max(n_triples) n_triples
+               FROM conv_stats GROUP BY conv_id"""
+        ).collect()
+        got = {r["conv_id"]: (r["n_turns"], r["n_triples"]) for r in out}
+        tr = spark.read.parquet(transcript_dir)
+        exp_turns = dict(
+            (r["conv_id"], r["count"]) for r in tr.groupBy("conv_id").count().collect()
+        )
+        ins = build_instances(tr, KB.default())
+        trips = assemble_triples(ins)
+        exp_trips = dict(
+            (r["conv_id"], r["count"])
+            for r in trips.join(
+                ins.select("sent_id", "conv_id").distinct(), "sent_id"
+            ).groupBy("conv_id").count().collect()
+        )
+        assert set(got) == set(exp_turns)
+        for c in got:
+            assert got[c][0] == exp_turns[c], c
+            assert got[c][1] == exp_trips.get(c, 0), c
+    finally:
+        q.stop()
