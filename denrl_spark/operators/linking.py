@@ -65,10 +65,16 @@ def mention_edges(mentions: DataFrame, salt_buckets: int = 8) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 10
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 12, strict: bool = True
 ) -> DataFrame:
     """(node_id) x (src, dst) -> (node_id, component) via min-label
-    propagation. Deterministic; component = min node_id in component."""
+    propagation. Deterministic; component = min node_id in component.
+
+    Converges in O(diameter) rounds — surface-form graphs are stars
+    (diameter <= 2 via the per-norm anchor in mention_edges), so
+    ``max_iter`` is generous headroom for alias-edge chains. If the
+    fixpoint is NOT reached within max_iter, ``strict`` raises rather
+    than silently returning partially-merged components."""
     spark = nodes.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     labels = nodes.select(
@@ -77,6 +83,7 @@ def connected_components(
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    changed = -1
     for _ in range(max_iter):
         msgs = (
             und.join(labels, und.src == labels.node_id)
@@ -99,6 +106,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if strict and changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — raise max_iter"
+        )
     return labels
 
 

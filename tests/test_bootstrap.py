@@ -60,3 +60,49 @@ def test_checkpoint_resume_skips_committed(spark, tmp_path):
     # lineage columns present in the checkpointed parquet
     dfr = spark.read.parquet(os.path.join(ck, "round=1", "train"))
     assert {"round", "src_partition"} <= set(dfr.columns)
+
+
+def test_kl_selection_filters_noisy_instances(spark):
+    """The DENRL core semantic: instances whose tags disagree with the
+    pattern evidence get low confidence and are NOT selected, while clean
+    instances are (run_jointmodel.py:1535-1547 selection behavior)."""
+    from pyspark.sql import functions as F
+
+    from denrl_spark.operators.attention import with_kl_confidence, with_target_att
+    from denrl_spark.operators.bootstrap import collect_bow
+    from denrl_spark.operators.patterns import extract_patterns, relation_bow, topk_patterns
+    from denrl_spark.operators.scoring import score_instances
+
+    ins = _instances(spark, n=60)
+    bow = collect_bow(relation_bow(topk_patterns(extract_patterns(ins))))
+
+    # corrupt relation instances: swap every relation tag for a WRONG
+    # relation so target_att points at tokens the scorer's position
+    # attention (from predicted tags) does not
+    wrong = "/people/person/nationality"
+    corrupted = ins.where(
+        F.exists("ner_tags", lambda t: t.contains("/"))
+        & ~F.exists("ner_tags", lambda t: t.contains(wrong))
+    ).withColumn(
+        "ner_tags",
+        F.transform(
+            "ner_tags",
+            lambda t: F.when(
+                t.contains("/"), F.concat(F.substring(t, 1, 2), F.lit(wrong))
+            ).otherwise(t),
+        ),
+    )
+
+    def selection_rate(df):
+        scored = score_instances(df, None, bow)
+        scored = with_target_att(scored, bow)
+        sel = with_kl_confidence(scored)
+        n = sel.count()
+        return sel.where("selected").count() / n if n else 0.0
+
+    clean_rate = selection_rate(
+        ins.where(F.exists("ner_tags", lambda t: t.contains("/")))
+    )
+    noisy_rate = selection_rate(corrupted)
+    assert clean_rate > 0.9
+    assert noisy_rate < clean_rate - 0.3, (clean_rate, noisy_rate)
