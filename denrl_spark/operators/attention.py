@@ -26,16 +26,30 @@ THRESHOLD = 0.5  # run_jointmodel.py:211-213
 
 
 def target_att_py(
-    tokens: list[str], tags: list[str], instance_id: int, bow: dict[str, set]
+    tokens: list[str],
+    tags: list[str],
+    instance_id: int,
+    bow: dict[str, set],
+    ent_bow: dict[str, set] | None = None,
+    query_id: int = 0,
 ) -> list[float]:
-    """Pure kernel shared with the pytest oracle."""
+    """Pure kernel shared with the pytest oracle. ``ent_bow`` activates
+    the reference's max_ent_range branch (run_jointmodel.py:739-746): a
+    relation-free instance attends to entity tokens PLUS the query
+    type's entity-pattern bag-of-words."""
     n = len(tokens)
     if instance_id < 0:
         return [0.0] * n
     relations = {tag[2:] for tag in tags if "B-/" in tag}
     ent = [1.0 if (tg != "O" and "/" not in tg) else 0.0 for tg in tags]
     if not relations:
-        freq = ent
+        if ent_bow is not None:
+            qb = ent_bow.get(tags[query_id][2:], ())
+            freq = [
+                1.0 if (e or tok in qb) else 0.0 for tok, e in zip(tokens, ent)
+            ]
+        else:
+            freq = ent
     else:
         freq = [0.0] * n
         for r in relations:
@@ -48,20 +62,28 @@ def target_att_py(
 
 
 def with_target_att(
-    instances: DataFrame, bow: dict[str, set], col_name: str = "target_att"
+    instances: DataFrame,
+    bow: dict[str, set],
+    col_name: str = "target_att",
+    ent_bow: dict[str, set] | None = None,
 ) -> DataFrame:
     bow = {k: set(v) for k, v in bow.items()}
+    ent_bow = {k: set(v) for k, v in ent_bow.items()} if ent_bow else None
 
     @F.pandas_udf("array<float>")
-    def gen(tokens: pd.Series, tags: pd.Series, iid: pd.Series) -> pd.Series:
+    def gen(
+        tokens: pd.Series, tags: pd.Series, iid: pd.Series, qid: pd.Series
+    ) -> pd.Series:
         return pd.Series(
             [
-                target_att_py(list(t), list(g), int(i), bow)
-                for t, g, i in zip(tokens, tags, iid)
+                target_att_py(list(t), list(g), int(i), bow, ent_bow, int(q))
+                for t, g, i, q in zip(tokens, tags, iid, qid)
             ]
         )
 
-    return instances.withColumn(col_name, gen("tokens", "ner_tags", "instance_id"))
+    return instances.withColumn(
+        col_name, gen("tokens", "ner_tags", "instance_id", "query_id")
+    )
 
 
 def kl_divergence(target_col: str, pa_col: str) -> Column:

@@ -156,3 +156,13 @@ def test_viterbi_mask_fastpath_equals_dense():
             if step > 0:
                 cur = int(back[i, step, cur])
         assert list(got[i, :ln]) == path[::-1]
+
+
+def test_target_att_ent_bow_branch():
+    toks = "near alice johnson today".split()
+    tags = ["O", "B-PERSON", "I-PERSON", "O"]
+    # without ent_bow: entity indicator only
+    assert target_att_py(toks, tags, 1, {}, None, 1) == [0.0, 0.5, 0.5, 0.0]
+    # with ent_bow for PERSON containing 'near': that token joins the mass
+    got = target_att_py(toks, tags, 1, {}, {"PERSON": {"near"}}, 1)
+    assert got == [1 / 3, 1 / 3, 1 / 3, 0.0]
