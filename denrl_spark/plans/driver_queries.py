@@ -534,6 +534,40 @@ def dedup_simhash(spark, sf_dir):
 
 
 @_q(
+    "dedup_embedding_pairs",  # embedding-cosine near-dup pairs
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(floor(1000 * list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) AS BIGINT) AS cos_e3
+      FROM e a, e b WHERE a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cos_e3 FROM pairs WHERE cos_e3 >= 300
+    """,
+)
+def dedup_embedding_pairs(spark, sf_dir):
+    """Near-duplicate embedding pairs (cos >= 0.30): brute-force exact at
+    test scale; the production path buckets with similarity.lsh_topk
+    first. JVM-side HOF math only."""
+    from denrl_spark.functions.similarity import _dot, _norm
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.floor(
+            1000 * _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        )
+        .cast("bigint")
+        .alias("cos_e3"),
+    )
+    return scored.where(F.col("cos_e3") >= 300)
+
+
+@_q(
     "rel_sample_deterministic",  # F3 random sample, hash-seeded (reproducible)
     """
     SELECT doc_id FROM documents
