@@ -66,7 +66,9 @@ class BootstrapState:
 def initial_round(
     instances: DataFrame, kb: KB, seed: int = 42, use_negative_sampling: bool = True
 ) -> BootstrapState:
-    raw = extract_patterns(instances)
+    # cache: raw patterns feed three subtrees (top-k, J1 semi-join,
+    # pattern2target) — uncached, the extraction UDF would run 3x
+    raw = extract_patterns(instances).cache()
     pset = topk_patterns(raw).cache()
     matched_ids = match_instances(instances, raw, pset).cache()
     matched = instances.join(matched_ids, "instance_id", "left_semi").select(*INSTANCE_COLS)
@@ -115,7 +117,7 @@ def bootstrap_round(
 
     # data_redistribute (non-initial, 1845-1886): re-match everything
     # against the grown set, promote tails, negative-sample.
-    raw_all = extract_patterns(all_instances)
+    raw_all = extract_patterns(all_instances).cache()
     matched_all = match_instances(all_instances, raw_all, pset)
     ultimate = trust.unionByName(matched_all).distinct()
     matched = all_instances.join(ultimate, "instance_id", "left_semi").select(*INSTANCE_COLS)

@@ -81,6 +81,9 @@ def negative_sampling(
     ).where(F.col("query_id") != -100)  # F5 usable-negative filter
 
     if exact:
+        # cache: the count() and the row_number job would otherwise both
+        # re-run the negative-twin UDF and its upstream join
+        neg = neg.cache()
         w = Window.orderBy(F.xxhash64("instance_id", F.lit(seed)))
         n = neg.count()
         take = int(sample_rate * n)

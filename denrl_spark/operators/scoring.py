@@ -74,6 +74,8 @@ def viterbi_batch(emissions: np.ndarray, transitions: np.ndarray, lengths: np.nd
     host; the structured step keeps the whole batch in cache.
     """
     b, t, v = emissions.shape
+    if t == 0:  # all-empty batch (e.g. external JSONL with tokens=[])
+        return np.zeros((b, 0), dtype=np.int32)
     is_mask = bool(np.all((transitions == 0) | (transitions <= IMPOSSIBLE / 2)))
     allowed = transitions > IMPOSSIBLE / 2  # (V, V) sources-allowed per dest
     full_dest = allowed.all(axis=0)  # destinations reachable from every tag
@@ -144,7 +146,12 @@ def forward_backward_batch(
     log_marg = alpha + beta
     m = log_marg.max(axis=2, keepdims=True)
     p = np.exp(log_marg - m)
-    return p / p.sum(axis=2, keepdims=True)
+    out = p / p.sum(axis=2, keepdims=True)
+    # padding positions: beta stays -inf there, which would yield NaN;
+    # pin them to the documented uniform distribution instead
+    pos = np.arange(t)[None, :]
+    out[pos >= lengths[:, None]] = 1.0 / v
+    return out
 
 
 def viterbi_restricted(
@@ -248,12 +255,19 @@ def score_instances(
                 else:
                     yield pdf.assign(pred_tags=None)
                 continue
+            sids = pdf["sent_id"].to_numpy()
             lengths = np.array([len(t) for t in toks_col])
             tmax = int(lengths.max())
             em = np.full((bsz, tmax, len(labels)), 0.0, dtype=np.float32)
-            for i, toks in enumerate(toks_col):
-                em[i, : len(toks), :] = emissions_for_instance(
-                    toks, int(qids[i]), kb, label_index, int(iids[i])
+            span_cache: dict[int, list] = {}  # spans once per SENTENCE,
+            for i, toks in enumerate(toks_col):  # not once per instance
+                sid = int(sids[i])
+                spans = span_cache.get(sid)
+                if spans is None and int(iids[i]) >= 0:
+                    spans = find_entity_spans(toks, kb)
+                    span_cache[sid] = spans
+                em[i, : len(toks), :] = emissions_from_spans(
+                    toks, spans, int(qids[i]), kb, label_index, int(iids[i])
                 )
             ids = viterbi_batch(em, trans, lengths)
             pred_tags = [

@@ -44,8 +44,17 @@ def group_spans(tokens: list[str], tags: list[str]) -> list[dict]:
     span extends while the next token is adjacent, has the same type, and
     is not B-prefixed.
     """
+    # type extraction: the reference uses tag.split("-")[-1]
+    # (run_jointmodel.py:1307), identical to tag[2:] on NYT-style labels
+    # (no hyphens inside names). The rebuild uses tag[2:] for B-/I- tags
+    # so hyphenated relation names (e.g. /x/co-founder) stay intact and
+    # consistent with patterns.py/attention.py, falling back to the
+    # reference rule for unprefixed tags.
+    def tag_type(tag: str) -> str:
+        return tag[2:] if tag[:2] in ("B-", "I-") else tag.split("-")[-1]
+
     ents = [
-        (i, tag, tag.split("-")[-1]) for i, tag in enumerate(tags) if tag != "O"
+        (i, tag, tag_type(tag)) for i, tag in enumerate(tags) if tag != "O"
     ]
     groups: list[dict] = []
     cur: list[tuple[int, str, str]] = []

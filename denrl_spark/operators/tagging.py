@@ -51,14 +51,21 @@ def stable_id(*parts) -> int:
     return int.from_bytes(h.digest(), "big") & ((1 << 62) - 1)
 
 
-_KB_INDEX_CACHE: dict[int, dict] = {}
+_KB_INDEX_CACHE: "weakref.WeakKeyDictionary[KB, dict]" = None  # type: ignore[assignment]
 
 
 def _kb_first_token_index(kb: KB) -> dict[str, list[tuple[tuple[str, ...], str, str]]]:
     """first-token -> [(token_tuple, surface, type)] sorted longest-first.
     Turns the per-position join-and-probe into a dict hit on the first
-    token (hot-path tagging runs this per token of every turn)."""
-    idx = _KB_INDEX_CACHE.get(id(kb))
+    token (hot-path tagging runs this per token of every turn). Cached
+    per live KB object (WeakKeyDictionary — entries die with the KB, so
+    a reallocated object can never be served a stale index)."""
+    global _KB_INDEX_CACHE
+    if _KB_INDEX_CACHE is None:
+        import weakref
+
+        _KB_INDEX_CACHE = weakref.WeakKeyDictionary()
+    idx = _KB_INDEX_CACHE.get(kb)
     if idx is None:
         idx = {}
         for surf, typ in kb.entity_type.items():
@@ -66,7 +73,7 @@ def _kb_first_token_index(kb: KB) -> dict[str, list[tuple[tuple[str, ...], str, 
             idx.setdefault(toks[0], []).append((toks, surf, typ))
         for cands in idx.values():
             cands.sort(key=lambda c: -len(c[0]))
-        _KB_INDEX_CACHE[id(kb)] = idx
+        _KB_INDEX_CACHE[kb] = idx
     return idx
 
 

@@ -95,11 +95,13 @@ def write_table(
             else:
                 w.append()
             return
-        except Exception:
+        except Exception as e:
             raise RuntimeError(
-                "Iceberg catalog not available in this environment; "
-                "pass a filesystem path for the parquet fallback"
-            )
+                f"catalog write to {path_or_table!r} failed (no Iceberg "
+                "catalog in this environment, or the write itself errored "
+                "— see the chained cause); pass a filesystem path for the "
+                "parquet fallback"
+            ) from e
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -112,10 +112,14 @@ TRIPLES: list[tuple[str, str, str]] = [
 ENTITY_TYPE: dict[str, str] = dict(ENTITIES)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class KB:
     """Broadcastable KB: surface->type plus the triple set and an index
-    keyed by subj for fast alignment inside the tagging UDF."""
+    keyed by subj for fast alignment inside the tagging UDF.
+
+    ``eq=False`` keeps identity hashing so the per-KB matcher index in
+    operators/tagging.py can key a WeakKeyDictionary on the live object
+    (an id()-keyed cache could serve a stale index after reallocation)."""
 
     entity_type: dict[str, str]
     triples: frozenset[tuple[str, str, str]]

@@ -78,8 +78,11 @@ def stream_triples(stream: DataFrame, sink_dir: str, checkpoint_dir: str, kb=Non
         if batch_df.isEmpty():
             return
         ins = build_instances(batch_df, kb)
-        trips = assemble_triples(ins).withColumn("batch_id", F.lit(batch_id))
-        trips.write.mode("append").parquet(sink_dir)
+        trips = assemble_triples(ins)
+        # idempotent per micro-batch: each batch overwrites its OWN
+        # partition directory, so a batch replayed after a crash between
+        # sink write and checkpoint commit replaces rather than duplicates
+        trips.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(process)
