@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from denrl_spark.operators.attention import THRESHOLD, with_kl_confidence, with_target_att
-from denrl_spark.operators.negatives import negative_sampling
+from denrl_spark.operators.negatives import SAMPLE_RATE, negative_sampling
 from denrl_spark.operators.patterns import (
     MAX_NEW_PATTERNS,
     extract_patterns,
@@ -64,7 +64,11 @@ class BootstrapState:
 
 
 def initial_round(
-    instances: DataFrame, kb: KB, seed: int = 42, use_negative_sampling: bool = True
+    instances: DataFrame,
+    kb: KB,
+    seed: int = 42,
+    use_negative_sampling: bool = True,
+    sample_rate: float | None = None,
 ) -> BootstrapState:
     # cache: raw patterns feed three subtrees (top-k, J1 semi-join,
     # pattern2target) — uncached, the extraction UDF would run 3x
@@ -72,7 +76,12 @@ def initial_round(
     pset = topk_patterns(raw).cache()
     matched_ids = match_instances(instances, raw, pset).cache()
     matched = instances.join(matched_ids, "instance_id", "left_semi").select(*INSTANCE_COLS)
-    train = negative_sampling(matched, seed=seed) if use_negative_sampling else matched
+    rate = SAMPLE_RATE if sample_rate is None else sample_rate
+    train = (
+        negative_sampling(matched, sample_rate=rate, seed=seed)
+        if use_negative_sampling
+        else matched
+    )
     return BootstrapState(
         pattern_set=pset, trust_ids=matched_ids, init_ids=matched_ids, train=train
     )
@@ -93,6 +102,7 @@ def bootstrap_round(
     max_new: int = MAX_NEW_PATTERNS,
     seed: int = 42,
     use_negative_sampling: bool = True,
+    sample_rate: float | None = None,
 ) -> BootstrapState:
     bow = collect_bow(relation_bow(state.pattern_set))
 
@@ -121,8 +131,11 @@ def bootstrap_round(
     matched_all = match_instances(all_instances, raw_all, pset)
     ultimate = trust.unionByName(matched_all).distinct()
     matched = all_instances.join(ultimate, "instance_id", "left_semi").select(*INSTANCE_COLS)
+    rate = SAMPLE_RATE if sample_rate is None else sample_rate
     train = (
-        negative_sampling(matched, seed=seed + rnd) if use_negative_sampling else matched
+        negative_sampling(matched, sample_rate=rate, seed=seed + rnd)
+        if use_negative_sampling
+        else matched
     ).localCheckpoint()
 
     stats = {
@@ -151,6 +164,9 @@ def run_bootstrap(
     rounds: int = 2,
     checkpoint_dir: str | None = None,
     seed: int = 42,
+    threshold: float = THRESHOLD,
+    sample_rate: float | None = None,
+    max_new: int = MAX_NEW_PATTERNS,
 ) -> BootstrapState:
     """Full loop with optional checkpoint/resume. ``rounds`` counts the
     post-initial bootstrap iterations (reference runs one per epoch after
@@ -169,7 +185,7 @@ def run_bootstrap(
             train=ckpt.read(spark, "train", 0).select(*INSTANCE_COLS),
         )
     else:
-        state = initial_round(instances, kb, seed=seed)
+        state = initial_round(instances, kb, seed=seed, sample_rate=sample_rate)
         state.train = state.train.localCheckpoint()
         state.trust_ids = state.trust_ids.localCheckpoint()
         if ckpt:
@@ -189,7 +205,10 @@ def run_bootstrap(
                 stats=state.stats + [ckpt.manifest("train", rnd)["stats"]],
             )
             continue
-        state = bootstrap_round(state, instances, kb, rnd, seed=seed)
+        state = bootstrap_round(
+            state, instances, kb, rnd, threshold=threshold, max_new=max_new,
+            seed=seed, sample_rate=sample_rate,
+        )
         if ckpt:
             ckpt.write(state.pattern_set, "pattern_set", rnd)
             ckpt.write(state.trust_ids, "trust_ids", rnd)

@@ -49,8 +49,16 @@ def run_kg_pipeline(
     bootstrap_rounds: int = 1,
     checkpoint_dir: str | None = None,
     output_dir: str | None = None,
+    threshold: float | None = None,
+    sample_rate: float | None = None,
+    max_new_patterns: int | None = None,
 ) -> dict:
-    """Runs the full job; returns the metrics/throughput report dict."""
+    """Runs the full job; returns the metrics/throughput report dict.
+
+    ``threshold`` / ``sample_rate`` / ``max_new_patterns`` mirror the
+    reference CLI knobs (README.md:30-31; run_jointmodel.py:211-232):
+    KL-confidence selection threshold (0.5), negative sampling rate
+    (0.1), per-round pattern growth cap (5)."""
     kb = kb or KB.default()
     t_start = time.time()
 
@@ -61,8 +69,19 @@ def run_kg_pipeline(
     instances = build_instances(tr, kb).cache()
     n_instances = instances.count()
 
+    from denrl_spark.operators.attention import THRESHOLD
+    from denrl_spark.operators.patterns import MAX_NEW_PATTERNS
+
     state = run_bootstrap(
-        spark, instances, kb, rounds=bootstrap_rounds, checkpoint_dir=checkpoint_dir, seed=seed
+        spark,
+        instances,
+        kb,
+        rounds=bootstrap_rounds,
+        checkpoint_dir=checkpoint_dir,
+        seed=seed,
+        threshold=THRESHOLD if threshold is None else threshold,
+        sample_rate=sample_rate,
+        max_new=MAX_NEW_PATTERNS if max_new_patterns is None else max_new_patterns,
     )
     bow = collect_bow(relation_bow(state.pattern_set))
 

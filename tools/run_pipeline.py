@@ -27,6 +27,13 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--output", default=None)
     ap.add_argument("--checkpoint", default=None)
+    # reference CLI knobs (README.md:30-31)
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="KL-confidence selection threshold (default 0.5)")
+    ap.add_argument("--sample-rate", type=float, default=None,
+                    help="negative sampling rate (default 0.1)")
+    ap.add_argument("--max-new-patterns", type=int, default=None,
+                    help="pattern growth cap per relation per round (default 5)")
     args = ap.parse_args()
 
     from denrl_spark.plans.pipeline import run_kg_pipeline
@@ -43,6 +50,9 @@ def main() -> None:
         bootstrap_rounds=args.rounds,
         checkpoint_dir=args.checkpoint,
         output_dir=args.output,
+        threshold=args.threshold,
+        sample_rate=args.sample_rate,
+        max_new_patterns=args.max_new_patterns,
     )
     print(json.dumps(report))
 
