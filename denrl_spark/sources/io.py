@@ -78,6 +78,24 @@ def write_metrics_json(metrics: dict, out_dir: str, name: str) -> str:
     return p
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: joins/aggregations on ``bucket_col``
+    between tables bucketed the same way need NO shuffle (Catalyst
+    reuses the bucket layout). This is the co-located-join strategy for
+    repeatedly-joined big tables (e.g. instance tables keyed by sent_id
+    across bootstrap rounds) at 100 TB."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
 def write_table(
     df: DataFrame,
     path_or_table: str,

@@ -62,3 +62,24 @@ def test_length_partition_preserves_rows(spark):
     lp = length_partition(ins, 6)
     assert lp.count() == ins.count()
     assert set(lp.columns) == set(ins.columns)
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    from denrl_spark.sources.io import write_bucketed
+
+    # warehouse dir is a static config; tables land in the session's
+    # default warehouse (spark-warehouse/ under cwd) and are dropped after
+    ins = build_instances(transcripts(spark, 20, seed=8), KBD)
+    a = ins.select("sent_id", "instance_id")
+    b = ins.select("sent_id", "query_id")
+    write_bucketed(a, "bt_a", "sent_id", 4)
+    write_bucketed(b, "bt_b", "sent_id", 4)
+    ta, tb = spark.table("bt_a"), spark.table("bt_b")
+    joined = ta.join(tb, "sent_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located: the sort-merge join reads bucketed scans with no
+    # Exchange (shuffle) on either side
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert joined.count() > 0
+    spark.sql("DROP TABLE IF EXISTS bt_a")
+    spark.sql("DROP TABLE IF EXISTS bt_b")
