@@ -667,6 +667,91 @@ def rel_lag_delta(spark, sf_dir):
 
 
 @_q(
+    "rel_asof_join",  # as-of join: latest prior 'click' for each 'error'
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events),
+    marked AS (
+      SELECT event_id, user_id, event_type, t,
+             last_value(CASE WHEN event_type = 'click' THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_t
+      FROM e)
+    SELECT event_id, user_id, last_click_t
+    FROM marked WHERE event_type = 'error' AND last_click_t IS NOT NULL
+    """,
+)
+def rel_asof_join(spark, sf_dir):
+    """As-of join expressed as an ignore-nulls running last_value — the
+    shuffle-once pattern that replaces a per-row range probe at scale
+    (Spark has no native ASOF; pd.merge_asof in applyInPandas is the
+    per-group alternative)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.withColumn(
+        "last_click_t",
+        F.last(F.when(F.col("event_type") == "click", F.col("t")), ignorenulls=True).over(w),
+    )
+    return marked.where(
+        (F.col("event_type") == "error") & F.col("last_click_t").isNotNull()
+    ).select("event_id", "user_id", "last_click_t")
+
+
+@_q(
+    "rel_pivot",  # pivot: event counts per user across types
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def rel_pivot(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "view"])
+        .count()
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).cast("bigint").alias("click"),
+            F.coalesce("error", F.lit(0)).cast("bigint").alias("error"),
+            F.coalesce("view", F.lit(0)).cast("bigint").alias("view"),
+        )
+    )
+
+
+@_q(
+    "rel_percentiles",  # exact percentiles (integer-scaled for hash parity)
+    """
+    SELECT o_orderpriority,
+           CAST(floor(1000 * quantile_cont(o_totalprice, 0.5)) AS BIGINT) AS p50_e3,
+           CAST(floor(1000 * quantile_cont(o_totalprice, 0.9)) AS BIGINT) AS p90_e3
+    FROM orders GROUP BY 1
+    """,
+)
+def rel_percentiles(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.floor(1000 * F.percentile("o_totalprice", F.lit(0.5))).cast("bigint").alias("p50_e3"),
+            F.floor(1000 * F.percentile("o_totalprice", F.lit(0.9))).cast("bigint").alias("p90_e3"),
+        )
+    )
+
+
+@_q(
     "rel_tumbling_window",  # time-bucketed aggregation (batch twin of the
     """
     SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
