@@ -125,15 +125,25 @@ def encode_tokens(docs: DataFrame, vocab: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle): token n-grams via window lead (n=3)."""
-    t = docs.select("doc_id", F.posexplode(_toks()).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    t = t.withColumn("t1", F.lead("tok", 1).over(w)).withColumn(
-        "t2", F.lead("tok", 2).over(w)
+    """(doc_id, shingle): token 3-grams built with array higher-order
+    functions (transform over an index sequence + element_at) — stays
+    inside the scan stage with NO shuffle, unlike the window-lead
+    formulation (the per-doc window sort was the dominant cost of every
+    MinHash/Jaccard query)."""
+    toks = _toks()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
     )
-    return t.where(F.col("t2").isNotNull()).select(
-        "doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("shingle")
-    )
+    # sequence(1, n) DESCENDS when n < 1, so short docs need an explicit
+    # empty-array guard rather than relying on the sequence bounds
+    grams = F.when(F.size(toks) >= 3, grams).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
