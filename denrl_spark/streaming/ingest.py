@@ -65,6 +65,26 @@ def windowed_turn_counts(
     )
 
 
+def session_turn_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation: one row per (conversation, activity
+    session), a session closing after ``gap`` of silence. The streaming
+    twin of the batch lag+cumsum sessionization (driver query
+    rel_sessionize)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "conv_id",
+            "n_turns",
+        )
+    )
+
+
 def stream_triples(stream: DataFrame, sink_dir: str, checkpoint_dir: str, kb=None):
     """Incremental triple extraction via foreachBatch: batch operators
     reused verbatim per micro-batch."""

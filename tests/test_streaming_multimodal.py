@@ -127,3 +127,34 @@ def test_stateful_running_stats(spark, transcript_dir):
             assert got[c][1] == exp_trips.get(c, 0), c
     finally:
         q.stop()
+
+
+def test_session_window_counts(spark, transcript_dir):
+    from denrl_spark.streaming.ingest import session_turn_counts
+
+    stream = stream_transcripts(spark, transcript_dir)
+    agg = session_turn_counts(stream, gap="30 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM sess_counts")
+        total = out.agg(F.sum("n_turns")).collect()[0][0]
+        assert total == spark.read.parquet(transcript_dir).count()
+        # sessions are well-formed and per-conv turn sums match batch
+        assert out.where("sess_start >= sess_end").count() == 0
+        per_conv = {
+            r["conv_id"]: r["s"]
+            for r in out.groupBy("conv_id").agg(F.sum("n_turns").alias("s")).collect()
+        }
+        exp = {
+            r["conv_id"]: r["count"]
+            for r in spark.read.parquet(transcript_dir).groupBy("conv_id").count().collect()
+        }
+        assert per_conv == exp
+    finally:
+        q.stop()
