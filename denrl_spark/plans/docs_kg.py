@@ -197,6 +197,203 @@ def topk_patterns_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sent_doc_map(tr: DataFrame) -> DataFrame:
+    """(sent_id, doc_id) mapping for the documents-derived corpus.
+
+    sent_id is the engine's content hash (tagging.stable_id, blake2b) —
+    not expressible in ANSI SQL — so oracle-checkable variants join the
+    triple table back to doc_id through this map. One row per turn; the
+    join is a plain equi-join on sent_id (AQE broadcasts it at test
+    scale; at cluster scale it shuffles like any fact-to-fact join).
+    The pandas_udf is one blake2b per TURN (not per token) — the same
+    per-turn cost the tagging UDF already pays."""
+    import pandas as pd
+    from denrl_spark.operators.tagging import stable_id
+
+    @F.pandas_udf("long")
+    def sid(conv, turn):  # (pd.Series, pd.Series) -> pd.Series; hints
+        # omitted: `from __future__ import annotations` stringifies them,
+        # which the pandas_udf type-hint inference rejects
+        return pd.Series([stable_id(c, int(t)) for c, t in zip(conv, turn)])
+
+    return tr.select(
+        sid("conv_id", "turn_idx").alias("sent_id"),
+        (F.substring("conv_id", 6, 8).cast("long") * 4 + F.col("turn_idx")).alias(
+            "doc_id"
+        ),
+    )
+
+
+def gold_triples_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship gold path, doc-keyed for hash-level oracle checking.
+
+    Runs the FULL fused extraction (tagging -> instance fold -> span
+    grouping -> triple assembly, reference run_jointmodel.py:845-933),
+    then re-keys sent_id -> doc_id so every column is ANSI-SQL-typed.
+    The DuckDB twin (gold_triples_by_doc_sql) re-derives the same
+    semantics relationally — valid because the documents KB is
+    single-token (span grouping degenerates to token equality)."""
+    from denrl_spark.operators.fused import extract_triples_fused
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    trips = extract_triples_fused(tr, docs_kb(), mode="gold")
+    m = _sent_doc_map(tr)
+    return trips.join(m, "sent_id").select(
+        "doc_id", "ent1", "ent1_tag", "ent2", "ent2_tag"
+    )
+
+
+def _ent_values_sql() -> str:
+    rows = ", ".join(f"('{s}','{t}')" for s, t in DOC_ENTITIES)
+    return f"(VALUES {rows}) AS ent(surf, typ)"
+
+
+def _gold_triples_cte(rel: str = "documents") -> str:
+    """Shared CTE body: the gold-triple semantics in ANSI SQL.
+
+    Per document (<=512 tokens, F1): entity positions are the KB-token
+    occurrences; every instance's query span keeps its entity type and
+    every other span gets the subj->obj KB predicate when one exists,
+    else its entity type (tagging.tag_instance); single-token spans
+    never merge (B- never merges, spans.group_spans), so the per-
+    sentence fold emits exactly one row per ordered position pair, and
+    singleton-entity docs emit ('', 'None') (spans.merge_ent_dict)."""
+    return f"""
+        ent AS (SELECT * FROM {_ent_values_sql()}),
+        kbt AS (SELECT * FROM {kb_values_sql()}),
+        pos AS (
+          SELECT doc_id, pos, tok FROM (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text,' '),1) AS pos,
+                   unnest(string_split(text,' ')) AS tok
+            FROM {rel}
+            WHERE len(string_split(text,' ')) <= 512)
+          WHERE tok IN (SELECT surf FROM ent)),
+        singletons AS (SELECT doc_id FROM pos GROUP BY 1 HAVING count(*) = 1),
+        gold AS (
+          SELECT p.doc_id, p.tok AS ent1, e1.typ AS ent1_tag, q.tok AS ent2,
+                 COALESCE(kbt.pred, e2.typ) AS ent2_tag
+          FROM pos p JOIN pos q ON p.doc_id = q.doc_id AND p.pos <> q.pos
+          JOIN ent e1 ON e1.surf = p.tok
+          JOIN ent e2 ON e2.surf = q.tok
+          LEFT JOIN kbt ON kbt.subj = p.tok AND kbt.obj = q.tok
+          UNION ALL
+          SELECT p.doc_id, p.tok, e1.typ, '', 'None'
+          FROM pos p
+          JOIN singletons s ON s.doc_id = p.doc_id
+          JOIN ent e1 ON e1.surf = p.tok)
+    """
+
+
+def gold_triples_by_doc_sql(rel: str = "documents") -> str:
+    return f"WITH {_gold_triples_cte(rel)} SELECT * FROM gold"
+
+
+def edges_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized KG edges over the doc-keyed gold triples (stage 6:
+    linking.canonicalize + graph.materialize_graph), surface-keyed so
+    the canonical ids (xxhash64) stay engine-internal."""
+    from denrl_spark.operators.graph import materialize_graph
+
+    trips = (
+        gold_triples_by_doc(spark, sf_dir)
+        .withColumnRenamed("doc_id", "sent_id")
+        .cache()
+    )
+    _, edges = materialize_graph(trips)
+    return edges.select(
+        "src_surface",
+        "pred",
+        "dst_surface",
+        "n_obs",
+        "n_sents",
+        F.col("first_sent_id").alias("first_doc_id"),
+    )
+
+
+def _canon_cte() -> str:
+    """linking.canonicalize in SQL: mentions grouped by normalized form
+    (lower, punctuation->space, collapse space), canonical surface = min
+    surface of the component. Components of the norm-equality graph are
+    exactly the norm groups (mention_edges builds a star per norm), so
+    the window-min reproduces min-label propagation's fixpoint."""
+    return """
+        mentions AS (
+          SELECT DISTINCT surface FROM (
+            SELECT ent1 AS surface FROM gold
+            UNION ALL SELECT ent2 FROM gold)
+          WHERE surface <> ''),
+        canon AS (
+          SELECT surface,
+                 min(surface) OVER (
+                   PARTITION BY trim(regexp_replace(regexp_replace(
+                     lower(surface), '[^\\p{L}\\p{N}]+', ' ', 'g'),
+                     '\\s+', ' ', 'g'))) AS canonical_surface
+          FROM mentions)
+    """
+
+
+def edges_by_doc_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()},
+        rel_rows AS (
+          SELECT g.doc_id, cs.canonical_surface AS src_surface,
+                 g.ent2_tag AS pred, cd.canonical_surface AS dst_surface,
+                 g.ent1_tag
+          FROM gold g
+          JOIN canon cs ON cs.surface = g.ent1
+          JOIN canon cd ON cd.surface = g.ent2
+          WHERE g.ent2_tag LIKE '%/%')
+        SELECT src_surface, pred, dst_surface,
+               count(*) AS n_obs,
+               count(DISTINCT doc_id) AS n_sents,
+               min(doc_id) AS first_doc_id
+        FROM rel_rows GROUP BY 1, 2, 3
+    """
+
+
+def vertices_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical vertex table, surface-keyed; the observed-type set is
+    emitted sorted+joined (a deterministic scalar) so the value hash is
+    stable under any partitioning."""
+    from denrl_spark.operators.graph import materialize_graph
+
+    trips = (
+        gold_triples_by_doc(spark, sf_dir)
+        .withColumnRenamed("doc_id", "sent_id")
+        .cache()
+    )
+    vertices, _ = materialize_graph(trips)
+    return vertices.select(
+        "canonical_surface",
+        F.concat_ws(",", F.array_sort("types")).alias("types_csv"),
+        "n_mentions",
+    )
+
+
+def vertices_by_doc_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()},
+        rel_rows AS (
+          SELECT g.doc_id, cs.canonical_surface AS src_surface,
+                 cd.canonical_surface AS dst_surface, g.ent1_tag
+          FROM gold g
+          JOIN canon cs ON cs.surface = g.ent1
+          JOIN canon cd ON cd.surface = g.ent2
+          WHERE g.ent2_tag LIKE '%/%'),
+        v AS (
+          SELECT src_surface AS canonical_surface, ent1_tag AS etype FROM rel_rows
+          UNION ALL
+          SELECT dst_surface, NULL FROM rel_rows)
+        SELECT canonical_surface,
+               array_to_string(list_sort(list(DISTINCT etype) FILTER (etype IS NOT NULL)), ',') AS types_csv,
+               count(*) AS n_mentions
+        FROM v GROUP BY 1
+    """
+
+
 def topk_patterns_docs_sql(rel: str = "documents") -> str:
     return f"""
         WITH counts AS ({patterns_between_sql(rel)}),

@@ -47,6 +47,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _q("kg_distant_pairs", docs_kg.distant_pairs_sql())(docs_kg.distant_pairs)
 _q("kg_patterns_between", docs_kg.patterns_between_sql())(docs_kg.patterns_between)
 _q("kg_topk_patterns", docs_kg.topk_patterns_docs_sql())(docs_kg.topk_patterns_docs)
+# Flagship extraction path, hash-verified: the full fused gold pipeline
+# re-keyed to doc_id, plus the canonicalized graph built from it. The
+# DuckDB twins re-derive the semantics relationally (single-token KB =>
+# span grouping degenerates to SQL; see docs_kg._gold_triples_cte).
+_q("kg_gold_triples_by_doc", docs_kg.gold_triples_by_doc_sql())(
+    docs_kg.gold_triples_by_doc
+)
+_q("kg_edges_by_doc", docs_kg.edges_by_doc_sql())(docs_kg.edges_by_doc)
+_q("kg_vertices_by_doc", docs_kg.vertices_by_doc_sql())(docs_kg.vertices_by_doc)
 
 
 @_q("kg_gold_triples")  # full DENRL label path — not SQL-expressible (rows-only)
