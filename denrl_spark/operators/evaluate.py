@@ -35,19 +35,34 @@ def triple_metrics(
     n_pred_sents: int | None = None,
     n_label_sents: int | None = None,
 ) -> dict:
-    """Compute the reference's eval dict from two triple DataFrames."""
-    preds = preds.select(*TRIPLE_COLS)
-    labels = labels.select(*TRIPLE_COLS)
+    """Compute the reference's eval dict from two triple DataFrames.
 
-    pos = preds.count()
-    neg = labels.count()
+    Exactly THREE Spark jobs regardless of how expensive the inputs are
+    to produce: one localCheckpoint per input (materializes the triples
+    once, truncating any upstream extraction DAG so callers need not
+    remember to cache), then ONE action over the cross-joined single-row
+    aggregates (counts, both TP semi-join counts, the error-taxonomy
+    sums, and the per-side sentence counts all collapse into one job)."""
+    preds = preds.select(*TRIPLE_COLS).localCheckpoint()
+    labels = labels.select(*TRIPLE_COLS).localCheckpoint()
 
-    tp_tag = preds.join(labels.distinct(), TRIPLE_COLS, "left_semi").count()
+    p_agg = preds.agg(
+        F.count(F.lit(1)).alias("pos"),
+        F.countDistinct("sent_id").alias("pred_sents"),
+    )
+    l_agg = labels.agg(
+        F.count(F.lit(1)).alias("neg"),
+        F.countDistinct("sent_id").alias("label_sents"),
+    )
     notag = [c for c in TRIPLE_COLS if c != "ent1_tag"]
-    tp_notag = (
+    tp_tag_agg = (
+        preds.join(labels.distinct(), TRIPLE_COLS, "left_semi")
+        .agg(F.count(F.lit(1)).alias("tp_tag"))
+    )
+    tp_notag_agg = (
         preds.select(*notag)
         .join(labels.select(*notag).distinct(), notag, "left_semi")
-        .count()
+        .agg(F.count(F.lit(1)).alias("tp_notag"))
     )
 
     p = preds.alias("p")
@@ -68,7 +83,7 @@ def triple_metrics(
     def cnt(cond):
         return F.sum(F.when(cond, 1).otherwise(0))
 
-    row = pairs.agg(
+    pair_agg = pairs.agg(
         F.count(F.lit(1)).alias("false_tag"),
         cnt(
             (F.col("p.ent1_tag") != F.col("l.ent1_tag"))
@@ -90,8 +105,17 @@ def triple_metrics(
             & (F.col("p.ent2_tag") != "None")
             & (F.col("l.ent2_tag") != "None")
         ).alias("re_tag_f"),
-    ).collect()[0]
+    )
 
+    row = (
+        p_agg.crossJoin(l_agg)
+        .crossJoin(tp_tag_agg)
+        .crossJoin(tp_notag_agg)
+        .crossJoin(pair_agg)
+        .collect()[0]
+    )
+    pos, neg = row["pos"], row["neg"]
+    tp_tag, tp_notag = row["tp_tag"], row["tp_notag"]
     pred_f = row["false_tag"] or 0
 
     def ratio(a, b):
@@ -103,8 +127,8 @@ def triple_metrics(
     def f1(p_, r_):
         return 2 * p_ * r_ / (p_ + r_) if (p_ or r_) else 0.0
 
-    n_pred_sents = n_pred_sents or preds.select("sent_id").distinct().count()
-    n_label_sents = n_label_sents or labels.select("sent_id").distinct().count()
+    n_pred_sents = n_pred_sents or row["pred_sents"]
+    n_label_sents = n_label_sents or row["label_sents"]
 
     return {
         "precision": pre_notag,

@@ -24,8 +24,13 @@ def materialize_graph(
     triples: DataFrame, mentions_map: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (vertices, edges) DataFrames from a triple table."""
+    # Plain equi-joins on surface: the mention map is one row per
+    # DISTINCT mention — 10^8-10^9 at corpus scale (SCALE.md), far past
+    # any broadcastable size, so no broadcast hint here. AQE promotes
+    # the join to broadcast at runtime when the map is genuinely small
+    # (test/bench scale) and splits skewed hot surfaces otherwise.
     mmap = mentions_map if mentions_map is not None else canonicalize(triples)
-    mmap = F.broadcast(mmap.select("surface", "canonical_id", "canonical_surface"))
+    mmap = mmap.select("surface", "canonical_id", "canonical_surface")
 
     t = triples.where(F.col("ent2_tag").contains("/"))
     src = mmap.withColumnRenamed("surface", "ent1").withColumnRenamed(

@@ -11,11 +11,15 @@ Rebuild differences (documented, SURVEY.md §7 "seeded randomness"):
 - ``random.choice`` -> the usable position at index
   ``stable_id(seed, instance_id) % n_usable`` of the sorted usable list,
   so the choice is reproducible across partitionings.
-- ``np.random.choice(n, int(rate*n))`` -> rank-by-hash: keep rows whose
-  ``row_number()`` over ``xxhash64(instance_id, seed)`` is ``<=
-  floor(rate * n)`` — exact sample size, deterministic, one extra
-  aggregate. (At extreme scale use ``hash % k < rate*k`` instead and
-  accept a binomial-sized sample; ``exact=False`` switches to that.)
+- ``np.random.choice(n, int(rate*n))`` -> rank-by-hash: keep the
+  globally-smallest ``floor(rate * n)`` rows ordered by
+  ``(xxhash64(instance_id, seed), instance_id)`` — exact sample size,
+  deterministic under any partitioning. Computed distributively (range
+  partition on the hash + per-partition offsets), never as a
+  single-partition global sort. (``exact=False`` switches to the
+  one-pass ``hash % k < rate*k`` threshold with a binomial-sized
+  sample — the cheapest shape when +-sqrt(n) sample-size jitter is
+  acceptable.)
 - global ``sort('sentID')`` -> the reference only needs sentence
   grouping, not total order (SURVEY.md §2.6 O1); downstream stages here
   group by sent_id themselves, so no global sort is issued.
@@ -25,7 +29,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from denrl_spark.operators.tagging import stable_id
 
@@ -81,19 +85,48 @@ def negative_sampling(
     ).where(F.col("query_id") != -100)  # F5 usable-negative filter
 
     if exact:
-        # cache: the count() and the row_number job would otherwise both
-        # re-run the negative-twin UDF and its upstream join
-        neg = neg.cache()
-        w = Window.orderBy(F.xxhash64("instance_id", F.lit(seed)))
-        n = neg.count()
-        take = int(sample_rate * n)
-        sampled = (
-            neg.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= take)
-            .drop("rn")
+        # Distributed exact sample: keep the globally-smallest
+        # floor(rate*n) rows by (xxhash64(instance_id, seed), instance_id)
+        # WITHOUT a single-partition global sort. Range-partition on the
+        # hash key (partitions are then ordered intervals), sort within
+        # partitions, localCheckpoint to pin the layout, and derive each
+        # row's global rank as per-partition offset + local row number —
+        # the local number comes free from monotonically_increasing_id
+        # (pid in the upper bits, partition-local counter in the lower
+        # 33). Everything stays JVM-side; the only driver traffic is one
+        # tiny per-partition count collect.
+        spark = instances.sparkSession
+        n_parts = spark.sparkContext.defaultParallelism * 2
+        ranged = (
+            neg.withColumn("hkey", F.xxhash64("instance_id", F.lit(seed)))
+            .repartitionByRange(n_parts, "hkey", "instance_id")
+            .sortWithinPartitions("hkey", "instance_id")
+            .withColumn("mid", F.monotonically_increasing_id())
+            .withColumn("pid", F.shiftright("mid", 33))
+            .withColumn("local_rn", F.col("mid").bitwiseAND((1 << 33) - 1))
+            .drop("mid")
+            .localCheckpoint()  # pin partition layout: the counts job and
+            # the filter job must see identical ranks
         )
+        pc = ranged.groupBy("pid").count().collect()
+        n = sum(r["count"] for r in pc)
+        take = int(sample_rate * n)
         if take == 0:  # reference: empty idx -> keep all usable negatives
-            sampled = neg
+            sampled = ranged.drop("hkey", "pid", "local_rn")
+        else:
+            acc, offsets = 0, {}
+            for pid, cnt in sorted((r["pid"], r["count"]) for r in pc):
+                offsets[pid] = acc
+                acc += cnt
+            limits = spark.createDataFrame(
+                [(int(pid), int(take - off)) for pid, off in offsets.items()],
+                "pid long, local_limit long",
+            )
+            sampled = (
+                ranged.join(F.broadcast(limits), "pid")
+                .where(F.col("local_rn") < F.col("local_limit"))
+                .drop("hkey", "pid", "local_rn", "local_limit")
+            )
     else:
         denom = 1_000_000
         sampled = neg.where(

@@ -68,3 +68,28 @@ def test_materialize_graph_end_to_end(spark):
     assert e.where(~F.col("pred").contains("/")).count() == 0
     # n_obs aggregates duplicates
     assert e.agg(F.max("n_obs")).collect()[0][0] >= 1
+
+
+def test_materialize_graph_no_unbounded_broadcast(spark):
+    """With broadcast joins disabled entirely, materialize_graph must
+    still plan and run (shuffle join): the mention map is 10^8+ rows at
+    corpus scale, so the operator may not REQUIRE a broadcast. The
+    explicit-hint-free join lets AQE choose broadcast when small."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        tr = transcripts(spark, 30, seed=7)
+        trips = assemble_triples(build_instances(tr, KBD)).cache()
+        _, edges = materialize_graph(trips)
+        assert edges.count() > 0
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)

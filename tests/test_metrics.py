@@ -61,6 +61,34 @@ def test_metrics_match_oracle(spark):
         assert math.isclose(got[k], v, abs_tol=1e-12), (k, got[k], v)
 
 
+def test_metrics_computes_upstream_exactly_once(spark):
+    """triple_metrics consumes preds/labels in ~7 aggregate branches; it
+    must materialize each input ONCE (localCheckpoint) instead of
+    re-running the upstream DAG per branch. Instrumented with an
+    accumulator inside an upstream mapInPandas: the final count equals
+    the row count exactly, not a multiple of it."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    schema = "sent_id long, ent1 string, ent1_tag string, ent2 string, ent2_tag string"
+    preds = to_df(spark, PREDS).mapInPandas(counting, schema)
+    m = triple_metrics(preds, to_df(spark, LABELS))
+    assert m["Pos"] == 6 and m["Neg"] == 5
+    assert acc.value == 6, f"upstream ran {acc.value / 6:.1f}x (expected once)"
+
+
+def test_metrics_sentence_counts_derived(spark):
+    # when the caller omits sentence counts they come from the same
+    # single aggregate (no extra distinct-count jobs)
+    got = triple_metrics(to_df(spark, PREDS), to_df(spark, LABELS))
+    assert math.isclose(got["avg_pred_len"], 6 / 3)
+    assert math.isclose(got["avg_true_len"], 5 / 3)
+
+
 def test_identical_sets_perfect():
     exp = metrics_oracle([LABELS[k] for k in sorted(LABELS)], [LABELS[k] for k in sorted(LABELS)])
     assert exp["precision"] == exp["recall"] == exp["f1"] == 1.0

@@ -135,3 +135,7 @@ def test_negative_sampling(spark):
     a = sorted(r["instance_id"] for r in out.select("instance_id").collect())
     b = sorted(r["instance_id"] for r in out2.select("instance_id").collect())
     assert a == b
+    # the exact sample must never funnel through one task: no
+    # single-partition exchange anywhere in the executed plan
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
