@@ -89,6 +89,40 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     ]
 
 
+def _bucket_col(vec, planes: list[list[float]]):
+    """Sign-bucket id of ``vec`` against the hyperplane family (JVM-side:
+    one zip_with/aggregate dot per plane, bits packed little-endian)."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(x) for x in pl])) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for pl in planes
+    ]
+    out = F.lit(0)
+    for i, b in enumerate(bits):
+        out = out + b * (2 ** i)
+    return out
+
+
+def _probe_col(n_planes: int, probe_bits: int):
+    """Multi-probe bucket list: the bucket itself plus every bucket at
+    Hamming distance <= probe_bits (bit flips). probe_bits=1 turns the
+    classic LSH recall cliff (a near pair split by ONE plane is lost)
+    into an n_planes+1-probe lookup — the standard recall/cost dial."""
+    probes = [F.col("bucket")]
+    if probe_bits >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    if probe_bits >= 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << p) | (1 << q)))
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
+    return F.explode(F.array(*probes)).alias("probe")
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -98,35 +132,38 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_bits: int = 2,
 ) -> DataFrame:
     """Approximate top-k: sign-bucket on random hyperplanes, candidate
-    join within bucket, exact cosine re-score. Returns the same schema
-    as cosine_topk (ranks within retrieved candidates)."""
+    join within bucket (query side multi-probes Hamming-<=probe_bits
+    neighbors), exact cosine re-score. Same schema as cosine_topk
+    (ranks within retrieved candidates). Measured recall@3 vs the exact
+    baseline is asserted in tests/test_similarity.py."""
     planes = _hyperplanes(dim, n_planes, seed)
 
-    def bucket(vec):
-        bits = [
-            F.when(_dot(vec, F.array(*[F.lit(x) for x in pl])) >= 0, F.lit(1)).otherwise(F.lit(0))
-            for pl in planes
-        ]
-        out = F.lit(0)
-        for i, b in enumerate(bits):
-            out = out + b * (2 ** i)
-        return out
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("bucket", bucket(F.col("qv")))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("bucket", _bucket_col(F.col("qv"), planes))
+        .select("query_id", "qv", _probe_col(n_planes, probe_bits))
+    )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bucket", bucket(F.col("cv")))
+    ).withColumn("bucket", _bucket_col(F.col("cv"), planes))
     scored = (
-        q.join(c, "bucket")
+        q.join(c, q.probe == c.bucket)
         .where(F.col("query_id") != F.col("neighbor_id"))
+        # a candidate can be reached through several probes: dedup before
+        # the (expensive) exact re-score
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
-            F.floor(1000 * _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+            F.floor(
+                1000
+                * _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            )
             .cast("long")
             .alias("cos_e3"),
         )
@@ -137,3 +174,160 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_e3")
     )
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    min_cos_e3: int = 300,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_bits: int = 2,
+) -> DataFrame:
+    """(vec_a, vec_b, cos_e3): embedding near-duplicate pairs with
+    cos >= min_cos_e3/1000, WITHOUT the all-pairs cross join.
+
+    Shape (the 100 TB path): sign-bucket every vector once; the probe
+    side expands to Hamming-<=probe_bits buckets; candidate pairs come
+    from the (probe = bucket) equi-join; ids are deduped BEFORE vectors
+    are re-joined for the exact cosine re-score, so each surviving pair
+    is scored exactly once and the wide array columns never ride the
+    candidate shuffle. Approximate by construction: pairs whose buckets
+    differ in more than probe_bits planes are not considered (recall is
+    measured against the brute-force oracle in tests/test_similarity.py).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    sig = e.withColumn("bucket", _bucket_col(F.col("v"), planes))
+    probes = sig.select("vec_id", _probe_col(n_planes, probe_bits))
+    cand = (
+        probes.alias("a")
+        .join(sig.alias("b"), F.col("a.probe") == F.col("b.bucket"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(
+                1000
+                * _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            )
+            .cast("long")
+            .alias("cos_e3"),
+        )
+    )
+    return scored.where(F.col("cos_e3") >= min_cos_e3)
+
+
+def _sql_dot(vec_expr: str, plane: list[float]) -> str:
+    lits = ", ".join(repr(x) for x in plane)
+    return f"list_dot_product({vec_expr}, [{lits}])"
+
+
+def lsh_topk_sql(
+    rel: str = "embeddings",
+    query_pred: str = "vec_id < 8",
+    k: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    probe_bits: int = 2,
+) -> str:
+    """DuckDB twin of lsh_topk (same literal-hyperplane trick)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN {_sql_dot('v', pl)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(planes)
+    )
+    probe_terms = ["bucket"]
+    if probe_bits >= 1:
+        probe_terms += [f"xor(bucket, {1 << p})" for p in range(n_planes)]
+    if probe_bits >= 2:
+        probe_terms += [
+            f"xor(bucket, {(1 << p) | (1 << q)})"
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
+    probes = ", ".join(probe_terms)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {rel}),
+        sig AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+        qp AS (
+          SELECT vec_id AS query_id, unnest([{probes}]) AS probe
+          FROM sig WHERE {query_pred}),
+        cand AS (
+          SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+          FROM qp q JOIN sig s ON q.probe = s.bucket
+          WHERE q.query_id <> s.vec_id),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 CAST(floor(1000 * list_dot_product(eq.v, en.v) /
+                      (sqrt(list_dot_product(eq.v, eq.v)) *
+                       sqrt(list_dot_product(en.v, en.v)))) AS BIGINT) AS cos_e3
+          FROM cand c
+          JOIN e eq ON eq.vec_id = c.query_id
+          JOIN e en ON en.vec_id = c.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_e3,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_e3 DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id, cos_e3 FROM ranked WHERE rank <= {k}
+    """
+
+
+def lsh_near_dup_pairs_sql(
+    rel: str = "embeddings",
+    min_cos_e3: int = 300,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    probe_bits: int = 2,
+) -> str:
+    """DuckDB twin of lsh_near_dup_pairs: the hyperplanes are closed-form
+    values computed ONCE in Python and embedded as float literals (repr
+    round-trips doubles exactly), so both engines bucket with identical
+    arithmetic."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN {_sql_dot('v', pl)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(planes)
+    )
+    probe_terms = ["bucket"]
+    if probe_bits >= 1:
+        probe_terms += [f"xor(bucket, {1 << p})" for p in range(n_planes)]
+    if probe_bits >= 2:
+        probe_terms += [
+            f"xor(bucket, {(1 << p) | (1 << q)})"
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
+    probes = ", ".join(probe_terms)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {rel}),
+        sig AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+        probes AS (SELECT vec_id, unnest([{probes}]) AS probe FROM sig),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM probes a JOIN sig b ON a.probe = b.bucket
+          WHERE a.vec_id < b.vec_id),
+        scored AS (
+          SELECT c.vec_a, c.vec_b,
+                 CAST(floor(1000 * list_dot_product(ea.v, eb.v) /
+                      (sqrt(list_dot_product(ea.v, ea.v)) *
+                       sqrt(list_dot_product(eb.v, eb.v)))) AS BIGINT) AS cos_e3
+          FROM cand c
+          JOIN e ea ON ea.vec_id = c.vec_a
+          JOIN e eb ON eb.vec_id = c.vec_b)
+        SELECT vec_a, vec_b, cos_e3 FROM scored WHERE cos_e3 >= {min_cos_e3}
+    """

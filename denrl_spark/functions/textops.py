@@ -149,13 +149,28 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """(doc_id, band, mh): per-band min-wise hash over shingles; the hash
     family is md5('band:shingle') compared lexicographically — identical
-    in Spark and DuckDB, so oracle-exact."""
+    in Spark and DuckDB, so oracle-exact.
+
+    Shape: ONE groupBy(doc_id) computing all band-mins as aggregate
+    columns, then ``stack`` to the long layout. The obvious alternative
+    (explode shingles x n_bands, then groupBy(doc_id, band)) multiplies
+    shuffle input n_bands-fold — at 100 TB that 8x is the difference
+    between a map-side-combined agg and a shuffle-bound one. Partial
+    aggregation still applies: each mapper emits one row per local
+    doc_id with 8 running mins."""
     sh = shingles(docs)
-    banded = sh.withColumn(
-        "band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(b)), F.col("shingle")))
+            ).alias(f"mh{b}")
+            for b in range(n_bands)
+        ]
     )
-    return banded.groupBy("doc_id", "band").agg(
-        F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("shingle")))).alias("mh")
+    stack = ", ".join(f"{b}, mh{b}" for b in range(n_bands))
+    return mins.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack}) AS (band, mh)"),
     )
 
 

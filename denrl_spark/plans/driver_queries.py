@@ -17,7 +17,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from denrl_spark.functions import textops
-from denrl_spark.functions.similarity import cosine_topk, lsh_topk
+from denrl_spark.functions import similarity
+from denrl_spark.functions.similarity import cosine_topk, lsh_near_dup_pairs, lsh_topk
 from denrl_spark.plans import docs_kg
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -494,10 +495,24 @@ def sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, emb.where("vec_id < 8"), k=3)
 
 
-@_q("sim_lsh_topk")  # approximate ANN path (rows-only)
+@_q("sim_lsh_topk", similarity.lsh_topk_sql())  # approximate ANN path
 def sim_lsh_topk(spark, sf_dir):
+    """Multi-probe (Hamming-1) hyperplane LSH top-k; hash-verified
+    against a DuckDB twin that buckets with the identical embedded
+    plane literals. Recall vs the exact baseline is measured in
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.where("vec_id < 8"), k=3)
+
+
+@_q("dedup_embedding_pairs_lsh", similarity.lsh_near_dup_pairs_sql())
+def dedup_embedding_pairs_lsh(spark, sf_dir):
+    """The 100 TB-shaped embedding near-dup path: LSH bucket join +
+    multi-probe + exact in-bucket re-score (similarity.lsh_near_dup_pairs)
+    — replaces the brute-force crossJoin of dedup_embedding_pairs, which
+    stays registered as the exact small-scale baseline the recall tests
+    compare against."""
+    return lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
 # SimHash: 16-bit signature; bit j = sign of sum over tokens of
@@ -555,9 +570,10 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def dedup_embedding_pairs(spark, sf_dir):
-    """Near-duplicate embedding pairs (cos >= 0.30): brute-force exact at
-    test scale; the production path buckets with similarity.lsh_topk
-    first. JVM-side HOF math only."""
+    """Near-duplicate embedding pairs (cos >= 0.30): brute-force exact —
+    the small-scale correctness baseline and the recall oracle for the
+    production path, dedup_embedding_pairs_lsh
+    (similarity.lsh_near_dup_pairs). JVM-side HOF math only."""
     from denrl_spark.functions.similarity import _dot, _norm
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
