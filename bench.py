@@ -68,7 +68,22 @@ def main() -> None:
         "turns_per_sec": round(n_turns / gold_sec, 1) if gold_sec else None,
         "triples_per_sec": round(triples / gold_sec, 1) if gold_sec else None,
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+    # Orderly teardown so the artifact stays pure JSON: the metrics line
+    # is out and flushed, so silence stderr (the Python worker daemons
+    # race the closing JVM sockets and spray BrokenPipeError tracebacks
+    # during stop()), stop the JVM, and exit without Py4J's atexit
+    # callbacks.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    devnull = os.open(os.devnull, os.O_WRONLY)
+    os.dup2(devnull, 2)
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    os._exit(0)
 
 
 if __name__ == "__main__":

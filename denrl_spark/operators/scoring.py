@@ -154,6 +154,91 @@ def forward_backward_batch(
     return out
 
 
+def crf_logz_batch(
+    emissions: np.ndarray, transitions: np.ndarray, lengths: np.ndarray
+) -> np.ndarray:
+    """K4 denominator (models/crf/crf.py:26-57 ``_denominator_score``):
+    log partition function per sequence via the log-space forward
+    recursion, without learned start/end scores (the rebuild convention,
+    same as viterbi_batch). Returns (B,)."""
+    b, t, v = emissions.shape
+    em = emissions.astype(np.float64)
+    alpha = em[:, 0, :].copy()
+    for step in range(1, t):
+        inner = alpha[:, :, None] + transitions[None, :, :] + em[:, step, None, :]
+        m = inner.max(axis=1)
+        new = m + np.log(np.exp(inner - m[:, None, :]).sum(axis=1))
+        active = (step < lengths)[:, None]
+        alpha = np.where(active, new, alpha)
+    m = alpha.max(axis=1)
+    return m + np.log(np.exp(alpha - m[:, None]).sum(axis=1))
+
+
+def crf_gold_score_batch(
+    emissions: np.ndarray,
+    transitions: np.ndarray,
+    lengths: np.ndarray,
+    tags: np.ndarray,
+) -> np.ndarray:
+    """K4 numerator (models/crf/crf.py:60-103 ``_numerator_score``):
+    path score of the observed tag sequence — all L emissions plus the
+    L-1 transitions, padding masked exactly as the reference does (the
+    loop adds emission[i]*mask[i] and transition*mask[i+1]; the final
+    emission lands either in the loop or in the explicit last-position
+    term). Returns (B,)."""
+    b, t, _ = emissions.shape
+    em = emissions.astype(np.float64)
+    idx = np.arange(b)
+    score = np.zeros(b)
+    for step in range(t):
+        active = step < lengths
+        score += np.where(active, em[idx, step, tags[:, step]], 0.0)
+        if step + 1 < t:
+            t_active = (step + 1) < lengths
+            score += np.where(
+                t_active, transitions[tags[:, step], tags[:, step + 1]], 0.0
+            )
+    return score
+
+
+def crf_nll_batch(
+    emissions: np.ndarray,
+    transitions: np.ndarray,
+    lengths: np.ndarray,
+    tags: np.ndarray,
+) -> np.ndarray:
+    """K4 (models/crf/crf.py:16-24 ``CRF.forward``): per-sequence
+    negative log-likelihood logZ - score(tags). The reference returns
+    the batch SUM; this returns (B,) so callers can aggregate
+    distributively (sum is an associative reduce over partitions)."""
+    return crf_logz_batch(emissions, transitions, lengths) - crf_gold_score_batch(
+        emissions, transitions, lengths, tags
+    )
+
+
+def partial_crf_nll_batch(
+    emissions: np.ndarray,
+    transitions: np.ndarray,
+    lengths: np.ndarray,
+    possible: np.ndarray,
+) -> np.ndarray:
+    """K5 (models/crf/partial_crf.py:22-126 ``PartialCRF``): NLL of a
+    PARTIALLY observed tagging — numerator marginalizes over every path
+    consistent with the (B, T, V) ``possible`` mask (reference
+    ``create_possible_tag_masks``: observed positions pin one tag,
+    unlabeled positions allow all). Implemented as the same forward
+    recursion over emissions masked to IMPOSSIBLE at disallowed tags —
+    equivalent to the reference's emission+transition masking (any path
+    through a disallowed tag scores <= IMPOSSIBLE and vanishes from the
+    logsumexp; the reference's end-transition zero-clobber quirk has no
+    analog here because the rebuild has no learned end scores).
+    Returns (B,)."""
+    masked = emissions + np.where(possible, 0.0, IMPOSSIBLE).astype(emissions.dtype)
+    return crf_logz_batch(emissions, transitions, lengths) - crf_logz_batch(
+        masked, transitions, lengths
+    )
+
+
 def viterbi_restricted(
     emissions: np.ndarray,
     transitions: np.ndarray,

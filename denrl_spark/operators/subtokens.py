@@ -8,13 +8,26 @@ the word's label id, continuation pieces carry -100 (or the I- twin when
 in the span of the latest true token when adjacent
 (handling_score, run_jointmodel.py:1217-1295).
 
-The rebuild's deterministic stand-in for the BPE vocabulary is a
-fixed-width chunker (pieces of <= PIECE chars) — no vocab download, same
-alignment semantics, exact round-trip (``''.join(pieces) == word``).
-Spark surface: one Arrow-batched mapInPandas adding piece-level columns.
+Subtokenization is REAL byte-pair encoding: ``bpe_encode`` runs the
+GPT-2 merge algorithm (greedy lowest-rank adjacent pair, all
+occurrences per round — matching GPT2Tokenizer.bpe) over a merge table
+that is either (a) learned deterministically from the corpus with the
+Sennrich procedure (``learn_bpe``; BPE training operates on the
+word-frequency table, which is vocab-sized, so the driver-side learn is
+scale-safe), or (b) loaded from a real GPT-2 ``merges.txt`` via
+``load_merges`` (the 50k-line public data file is not vendored to keep
+the repo self-contained; the loader accepts the stock HF format).
+Pieces stay character-level within the pre-split word, so the
+round-trip invariant ``''.join(pieces) == word`` holds and the label
+alignment semantics are unchanged. The fixed-width chunker remains the
+merges=None fallback. Spark surface: one Arrow-batched mapInPandas
+adding piece-level columns; the rank table rides the task closure
+(broadcast-equivalent, it is merge-count-sized).
 """
 
 from __future__ import annotations
+
+from collections import Counter
 
 import pandas as pd
 
@@ -22,10 +35,116 @@ from pyspark.sql import DataFrame
 
 PIECE = 4
 IGNORE = -100  # HF convention, run_jointmodel.py:668
+_NO_RANK = 1 << 60
 
 
-def subtokenize_word(word: str, piece: int = PIECE) -> list[str]:
-    """Deterministic BPE stand-in: fixed-width chunks; round-trip exact."""
+def learn_bpe(word_counts: dict[str, int], n_merges: int = 200) -> list[tuple[str, str]]:
+    """Sennrich BPE training over a word-frequency table: repeatedly
+    merge the most frequent adjacent symbol pair (ties broken by
+    lexicographically smallest pair, so the table is deterministic under
+    any input ordering)."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts.items():
+        if w:
+            syms = tuple(w)
+            vocab[syms] = vocab.get(syms, 0) + c
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Parse a stock GPT-2/HF ``merges.txt`` (optional ``#version``
+    header, one space-separated pair per line)."""
+    merges = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#version"):
+                continue
+            a, b = line.split(" ")
+            merges.append((a, b))
+    return merges
+
+
+def merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    return {p: i for i, p in enumerate(merges)}
+
+
+def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """GPT-2 merge loop (transformers GPT2Tokenizer.bpe, the tokenizer
+    the reference instantiates at run_jointmodel.py:652-661): start from
+    characters; each round merge ALL occurrences of the adjacent pair
+    with the lowest merge rank; stop when no adjacent pair has a rank.
+    Character-level within the word, so round-trip exact."""
+    if not word:
+        return [""]
+    parts = list(word)
+    while len(parts) > 1:
+        best_rank = _NO_RANK
+        best_pair = None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]), _NO_RANK)
+            if r < best_rank:
+                best_rank = r
+                best_pair = (parts[i], parts[i + 1])
+        if best_pair is None or best_rank == _NO_RANK:
+            break
+        joined = best_pair[0] + best_pair[1]
+        out: list[str] = []
+        i = 0
+        while i < len(parts):
+            if (
+                i < len(parts) - 1
+                and parts[i] == best_pair[0]
+                and parts[i + 1] == best_pair[1]
+            ):
+                out.append(joined)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    return parts
+
+
+def subtokenize_word(
+    word: str,
+    piece: int = PIECE,
+    ranks: dict[tuple[str, str], int] | None = None,
+) -> list[str]:
+    """Word -> subword pieces; real BPE when a rank table is given,
+    fixed-width chunks otherwise. Round-trip exact either way."""
+    if ranks is not None:
+        return bpe_encode(word, ranks)
     return [word[i : i + piece] for i in range(0, len(word), piece)] or [""]
 
 
@@ -34,17 +153,19 @@ def align_labels(
     label_ids: list[int],
     label_all_tokens: bool = False,
     b_to_i: dict[int, int] | None = None,
+    ranks: dict[tuple[str, str], int] | None = None,
 ) -> tuple[list[str], list[int], list[int]]:
     """M1: words + word-level label ids -> (pieces, word_ids, piece_labels).
 
     piece_labels: first piece of each word gets the word's label;
     continuations get -100, or (label_all_tokens) the same label with
-    B->I mapped through ``b_to_i`` (run_jointmodel.py:680-696)."""
+    B->I mapped through ``b_to_i`` (run_jointmodel.py:680-696).
+    ``ranks`` selects real BPE subtokenization (see module docstring)."""
     pieces: list[str] = []
     word_ids: list[int] = []
     labels: list[int] = []
     for w_idx, (word, lab) in enumerate(zip(words, label_ids)):
-        for p_idx, piece_str in enumerate(subtokenize_word(word)):
+        for p_idx, piece_str in enumerate(subtokenize_word(word, ranks=ranks)):
             pieces.append(piece_str)
             word_ids.append(w_idx)
             if p_idx == 0:
@@ -81,14 +202,36 @@ SUBTOKEN_SCHEMA = (
 )
 
 
+def learn_bpe_from_instances(
+    instances: DataFrame, n_merges: int = 200
+) -> list[tuple[str, str]]:
+    """Corpus-driven merge table: distributed word-frequency aggregation
+    (explode + groupBy, map-side combined), then the vocab-sized count
+    table is collected and merges are learned driver-side — the standard
+    BPE-training shape (training state is O(vocab), not O(corpus))."""
+    from pyspark.sql import functions as F
+
+    counts = (
+        instances.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    return learn_bpe({r["w"]: r["c"] for r in counts}, n_merges)
+
+
 def with_subtokens(
     instances: DataFrame,
     label_to_id: dict[str, int],
     label_all_tokens: bool = False,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Instance table -> piece-level table. ``piece_query_id`` is the
     piece index of the query word's first piece (query-id remap,
-    run_jointmodel.py:697-708; fallback 0)."""
+    run_jointmodel.py:697-708; fallback 0). ``merges`` (from
+    learn_bpe_from_instances or load_merges) selects real BPE; the rank
+    dict rides the closure, merge-table-sized."""
+    ranks = merge_ranks(merges) if merges is not None else None
     b_to_i = {
         i: label_to_id.get("I-" + lab[2:], i)
         for lab, i in label_to_id.items()
@@ -105,7 +248,7 @@ def with_subtokens(
                 words = list(r.tokens)
                 lab_ids = [label_to_id[t] for t in r.ner_tags]
                 pieces, word_ids, labels = align_labels(
-                    words, lab_ids, label_all_tokens, b_to_i
+                    words, lab_ids, label_all_tokens, b_to_i, ranks
                 )
                 try:
                     pq = word_ids.index(int(r.query_id))

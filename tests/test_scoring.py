@@ -166,3 +166,103 @@ def test_target_att_ent_bow_branch():
     # with ent_bow for PERSON containing 'near': that token joins the mass
     got = target_att_py(toks, tags, 1, {}, {"PERSON": {"near"}}, 1)
     assert got == [1 / 3, 1 / 3, 1 / 3, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# K4/K5 CRF NLL kernels vs brute-force path enumeration
+# (models/crf/crf.py:16-103, models/crf/partial_crf.py:22-126)
+# ---------------------------------------------------------------------------
+
+def _enum_logsumexp(em, trans, length, allowed=None):
+    """log sum over all tag paths of length ``length`` (optionally
+    restricted to ``allowed[t]`` tag sets) of emission+transition score."""
+    v = em.shape[1]
+    scores = []
+    for path in itertools.product(range(v), repeat=length):
+        if allowed is not None and any(p not in allowed[t] for t, p in enumerate(path)):
+            continue
+        s = sum(em[t, p] for t, p in enumerate(path))
+        s += sum(trans[path[t], path[t + 1]] for t in range(length - 1))
+        scores.append(s)
+    m = max(scores)
+    return m + math.log(sum(math.exp(s - m) for s in scores))
+
+
+def _path_score(em, trans, path):
+    s = sum(em[t, p] for t, p in enumerate(path))
+    return s + sum(trans[path[t], path[t + 1]] for t in range(len(path) - 1))
+
+
+def test_crf_nll_matches_enumeration():
+    from denrl_spark.operators.scoring import crf_nll_batch
+
+    rng = np.random.RandomState(3)
+    b, t, v = 4, 4, 3
+    em = rng.randn(b, t, v).astype(np.float32)
+    trans = (rng.randn(v, v) * 0.5).astype(np.float32)
+    lengths = np.array([4, 3, 2, 1])
+    tags = rng.randint(0, v, size=(b, t))
+    nll = crf_nll_batch(em, trans, lengths, tags)
+    for i in range(b):
+        ln = int(lengths[i])
+        logz = _enum_logsumexp(em[i].astype(np.float64), trans.astype(np.float64), ln)
+        gold = _path_score(
+            em[i].astype(np.float64), trans.astype(np.float64), list(tags[i, :ln])
+        )
+        assert math.isclose(nll[i], logz - gold, rel_tol=1e-5, abs_tol=1e-5)
+
+
+def test_partial_crf_nll_matches_enumeration():
+    from denrl_spark.operators.scoring import partial_crf_nll_batch
+
+    rng = np.random.RandomState(11)
+    b, t, v = 3, 4, 3
+    em = rng.randn(b, t, v).astype(np.float32)
+    trans = (rng.randn(v, v) * 0.5).astype(np.float32)
+    lengths = np.array([4, 3, 2])
+    # pin one tag at observed positions, allow all at unlabeled ones
+    possible = np.ones((b, t, v), dtype=bool)
+    possible[0, 1, :] = [True, False, False]
+    possible[0, 3, :] = [False, True, False]
+    possible[1, 0, :] = [False, False, True]
+    nll = partial_crf_nll_batch(em, trans, lengths, possible)
+    for i in range(b):
+        ln = int(lengths[i])
+        allowed = [
+            {j for j in range(v) if possible[i, step, j]} for step in range(ln)
+        ]
+        logz = _enum_logsumexp(em[i].astype(np.float64), trans.astype(np.float64), ln)
+        num = _enum_logsumexp(
+            em[i].astype(np.float64), trans.astype(np.float64), ln, allowed
+        )
+        assert math.isclose(nll[i], logz - num, rel_tol=1e-5, abs_tol=1e-5)
+
+
+def test_partial_crf_nll_fully_unlabeled_is_zero():
+    from denrl_spark.operators.scoring import partial_crf_nll_batch
+
+    rng = np.random.RandomState(5)
+    em = rng.randn(2, 3, 4).astype(np.float32)
+    trans = rng.randn(4, 4).astype(np.float32)
+    lengths = np.array([3, 2])
+    possible = np.ones((2, 3, 4), dtype=bool)
+    nll = partial_crf_nll_batch(em, trans, lengths, possible)
+    assert np.allclose(nll, 0.0, atol=1e-6)
+
+
+def test_crf_logz_consistent_with_forward_backward():
+    # the alpha recursion inside forward_backward_batch and crf_logz_batch
+    # must agree on the partition function
+    from denrl_spark.operators.scoring import crf_logz_batch
+
+    rng = np.random.RandomState(9)
+    b, t, v = 3, 5, 4
+    em = rng.randn(b, t, v).astype(np.float32)
+    lengths = np.array([5, 4, 2])
+    labels = ["O", "B-X", "I-X", "B-Y"]
+    trans = bio_transitions(labels)
+    logz = crf_logz_batch(em, trans, lengths)
+    for i in range(b):
+        ln = int(lengths[i])
+        ref = _enum_logsumexp(em[i].astype(np.float64), trans.astype(np.float64), ln)
+        assert math.isclose(logz[i], ref, rel_tol=1e-5, abs_tol=1e-5)

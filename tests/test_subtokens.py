@@ -56,3 +56,96 @@ def test_with_subtokens_spark(spark):
         # piece round-trip: join pieces of each word == word
         # (checked indirectly: piece count >= word count)
         assert len(r["pieces"]) >= max(r["word_ids"]) + 1
+
+
+# ---------------------------------------------------------------------------
+# Real BPE (GPT-2 merge algorithm + Sennrich training)
+# ---------------------------------------------------------------------------
+
+def test_learn_bpe_classic_example():
+    # Sennrich's worked example: {'low':5,'lower':2,'newest':6,'widest':3}
+    # most frequent pair is (e,s) with count 9, then (es,t) with 9, ...
+    from denrl_spark.operators.subtokens import learn_bpe
+
+    merges = learn_bpe({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 4)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    # 'lo' appears 7 times ('low','lower'); 'est' closes next at 9
+    assert ("es" + "t" == "est") and merges[2] in {("l", "o"), ("n", "e"), ("w", "i")}
+
+
+def test_learn_bpe_deterministic_under_ordering():
+    from denrl_spark.operators.subtokens import learn_bpe
+
+    wc = {"alpha": 3, "beta": 2, "gamma": 5, "delta": 1}
+    a = learn_bpe(dict(sorted(wc.items())), 10)
+    b = learn_bpe(dict(sorted(wc.items(), reverse=True)), 10)
+    assert a == b
+
+
+def test_bpe_encode_round_trip_and_merging():
+    from denrl_spark.operators.subtokens import bpe_encode, learn_bpe, merge_ranks
+
+    wc = {"lowest": 4, "lower": 3, "low": 7, "newest": 6}
+    ranks = merge_ranks(learn_bpe(wc, 8))
+    for w in ["lowest", "low", "newest", "slowest", "zzz", ""]:
+        pieces = bpe_encode(w, ranks)
+        assert "".join(pieces) == w
+    # trained merges actually apply: 'lowest' ends in the 'est' family
+    assert len(bpe_encode("lowest", ranks)) < len("lowest")
+
+
+def test_bpe_merges_all_occurrences_lowest_rank_first():
+    from denrl_spark.operators.subtokens import bpe_encode
+
+    # rank 0 pair merges everywhere before rank 1 is considered
+    ranks = {("a", "b"): 0, ("ab", "ab"): 1}
+    assert bpe_encode("abab", ranks) == ["abab"]
+    assert bpe_encode("aba", ranks) == ["ab", "a"]
+
+
+def test_align_labels_with_bpe_ranks():
+    from denrl_spark.operators.subtokens import learn_bpe, merge_ranks
+
+    ranks = merge_ranks(learn_bpe({"johnson": 10, "john": 5, "son": 5}, 20))
+    words = ["johnson", "met"]
+    pieces, word_ids, labels = align_labels(words, [5, 0], ranks=ranks)
+    assert "".join(pieces[: word_ids.index(1)]) == "johnson"
+    assert labels[0] == 5  # first piece carries the word label
+    assert all(l == IGNORE for l in labels[1 : word_ids.index(1)])
+
+
+def test_with_subtokens_bpe_spark(spark):
+    from denrl_spark.operators.subtokens import learn_bpe_from_instances
+
+    tr = transcripts(spark, 12, seed=3)
+    ins = build_instances(tr, KBD).cache()
+    merges = learn_bpe_from_instances(ins, n_merges=50)
+    assert merges  # corpus yields a non-empty merge table
+    labels = sorted({t for r in ins.select("ner_tags").collect() for t in r[0]})
+    label_to_id = {l: i for i, l in enumerate(labels)}
+    out = with_subtokens(ins, label_to_id, merges=merges)
+    rows = out.collect()
+    assert rows
+    got_ins = {r["instance_id"]: r for r in rows}
+    src = {r["instance_id"]: r for r in ins.collect()}
+    for iid, r in got_ins.items():
+        words = src[iid]["tokens"]
+        # word_ids reconstruct the word boundaries; pieces round-trip
+        joined = []
+        cur, buf = None, []
+        for p, w in zip(r["pieces"], r["word_ids"]):
+            if w != cur and buf:
+                joined.append("".join(buf))
+                buf = []
+            cur = w
+            buf.append(p)
+        joined.append("".join(buf))
+        assert joined == list(words)
+        # exactly one labeled piece per word (first-piece convention)
+        firsts = [i for i, w in enumerate(r["word_ids"]) if i == 0 or r["word_ids"][i - 1] != w]
+        for i, lab in enumerate(r["piece_labels"]):
+            if i in firsts:
+                assert lab != IGNORE
+            else:
+                assert lab == IGNORE
