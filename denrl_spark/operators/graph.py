@@ -29,8 +29,14 @@ def materialize_graph(
     # any broadcastable size, so no broadcast hint here. AQE promotes
     # the join to broadcast at runtime when the map is genuinely small
     # (test/bench scale) and splits skewed hot surfaces otherwise.
+    # Materialized eagerly (cache + count): the src and dst joins are
+    # two consumers inside one action — without this the whole
+    # mention-distinct subtree executes once per consumer, and the
+    # materialized InMemoryRelation hands the planner exact stats for
+    # the broadcast-vs-shuffle decision.
     mmap = mentions_map if mentions_map is not None else canonicalize(triples)
-    mmap = mmap.select("surface", "canonical_id", "canonical_surface")
+    mmap = mmap.select("surface", "canonical_id", "canonical_surface").cache()
+    mmap.count()
 
     t = triples.where(F.col("ent2_tag").contains("/"))
     src = mmap.withColumnRenamed("surface", "ent1").withColumnRenamed(

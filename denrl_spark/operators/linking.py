@@ -114,10 +114,39 @@ def connected_components(
     return labels
 
 
-def canonicalize(triples: DataFrame, salt_buckets: int = 8) -> DataFrame:
-    """Mentions -> (surface, norm, canonical_id, canonical_surface)."""
-    mentions = extract_mentions(triples).cache()
-    edges = mention_edges(mentions, salt_buckets=salt_buckets)
+def canonicalize(
+    triples: DataFrame,
+    salt_buckets: int = 8,
+    alias_edges: DataFrame | None = None,
+) -> DataFrame:
+    """Mentions -> (surface, norm, canonical_id, canonical_surface).
+
+    Without ``alias_edges`` the similarity graph is, BY CONSTRUCTION,
+    a disjoint union of per-norm stars (mention_edges links members to
+    the per-norm anchor), so its connected components are exactly the
+    norm groups — the iterative min-label propagation is a no-op and is
+    skipped: canonical surface = min(surface) per norm, ONE map-side-
+    combined aggregation + one join instead of 2+ CC rounds each with a
+    localCheckpoint barrier and a convergence count. With caller-
+    supplied alias edges (cross-norm links) the general fixpoint runs.
+    """
+    mentions = extract_mentions(triples)
+    if alias_edges is None:
+        # cache: the mention-distinct feeds both sides of the join below
+        mentions = mentions.cache()
+        canon = mentions.groupBy("norm").agg(
+            F.min("surface").alias("canonical_surface")
+        )
+        return (
+            mentions.join(canon, "norm")
+            .withColumn("canonical_id", F.xxhash64("canonical_surface"))
+            .select("surface", "norm", "canonical_id", "canonical_surface")
+        )
+
+    mentions = mentions.cache()
+    edges = mention_edges(mentions, salt_buckets=salt_buckets).unionByName(
+        alias_edges.select("src", "dst")
+    )
     comp = connected_components(
         mentions.select(F.col("mention_id").alias("node_id")), edges
     )

@@ -295,11 +295,15 @@ def edges_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical ids (xxhash64) stay engine-internal."""
     from denrl_spark.operators.graph import materialize_graph
 
+    # eagerly-materialized cache, not lazy cache (population race) and
+    # not localCheckpoint (bogus RDD stats flip the join sides): see
+    # kg_edges in driver_queries.py
     trips = (
         gold_triples_by_doc(spark, sf_dir)
         .withColumnRenamed("doc_id", "sent_id")
         .cache()
     )
+    trips.count()
     _, edges = materialize_graph(trips)
     return edges.select(
         "src_surface",
@@ -364,6 +368,7 @@ def vertices_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "sent_id")
         .cache()
     )
+    trips.count()
     vertices, _ = materialize_graph(trips)
     return vertices.select(
         "canonical_surface",

@@ -48,6 +48,42 @@ def test_canonicalize_merges_case_and_punct_variants(spark):
     assert len(all_ids) == 3
 
 
+def test_canonicalize_fast_path_matches_cc_fixpoint(spark):
+    """The no-alias star shortcut must equal the general CC path run on
+    the same (star-only) graph."""
+    trips = spark.createDataFrame(
+        [
+            (1, "Alice Johnson", "PERSON", "new york", "/p/lived"),
+            (2, "alice  johnson", "PERSON", "New-York", "/p/lived"),
+            (3, "alice johnson!", "PERSON", "paris", "/p/lived"),
+        ],
+        "sent_id long, ent1 string, ent1_tag string, ent2 string, ent2_tag string",
+    )
+    fast = canonicalize(trips)
+    empty_alias = spark.createDataFrame([], "src long, dst long")
+    general = canonicalize(trips, alias_edges=empty_alias)
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, general.collect()))
+    assert a == b
+
+
+def test_canonicalize_alias_edges_merge_across_norms(spark):
+    trips = spark.createDataFrame(
+        [
+            (1, "nyc", "LOCATION", "alice", "/p/lived"),
+            (2, "new york", "LOCATION", "bob", "/p/lived"),
+        ],
+        "sent_id long, ent1 string, ent1_tag string, ent2 string, ent2_tag string",
+    )
+    m = {r["surface"]: r["mention_id"] for r in extract_mentions(trips).collect()}
+    alias = spark.createDataFrame(
+        [(m["nyc"], m["new york"])], "src long, dst long"
+    )
+    cmap = {r["surface"]: r["canonical_surface"] for r in canonicalize(trips, alias_edges=alias).collect()}
+    assert cmap["nyc"] == cmap["new york"]
+    assert cmap["alice"] != cmap["nyc"]
+
+
 def test_materialize_graph_end_to_end(spark):
     tr = transcripts(spark, 40, seed=42)
     ins = build_instances(tr, KBD).cache()
