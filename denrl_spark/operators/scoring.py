@@ -239,6 +239,35 @@ def partial_crf_nll_batch(
     )
 
 
+def combined_loss_batch(
+    emissions: np.ndarray,
+    transitions: np.ndarray,
+    lengths: np.ndarray,
+    tags: np.ndarray,
+    att: np.ndarray,
+    target_att: np.ndarray,
+    beta: float = 1.0,
+) -> np.ndarray:
+    """K12 (run_lstm.py:510-519): combined training loss
+    ``crf_nll + beta * KLDivLoss(sum)(log(att), target_att)`` per
+    sequence. The KL term follows the torch convention
+    ``target * (log(target) - log(att))`` with ``0 * log 0 == 0``
+    (xlogy), summed over positions; ``beta == 0`` short-circuits to the
+    pure CRF NLL exactly as the reference branch does. ``att`` and
+    ``target_att`` are (B, T) position distributions (padding positions
+    carry target 0 and contribute nothing). Returns (B,); the reference
+    reduces with a batch sum — an associative reduce, so it distributes."""
+    nll = crf_nll_batch(emissions, transitions, lengths, tags)
+    if beta == 0:
+        return nll
+    t = att.shape[1]
+    valid = (np.arange(t)[None, :] < lengths[:, None]).astype(np.float64)
+    tgt = target_att.astype(np.float64) * valid
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = np.where(tgt > 0, tgt * (np.log(tgt) - np.log(att.astype(np.float64))), 0.0)
+    return nll + beta * x.sum(axis=1)
+
+
 def viterbi_restricted(
     emissions: np.ndarray,
     transitions: np.ndarray,

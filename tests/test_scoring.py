@@ -266,3 +266,37 @@ def test_crf_logz_consistent_with_forward_backward():
         ln = int(lengths[i])
         ref = _enum_logsumexp(em[i].astype(np.float64), trans.astype(np.float64), ln)
         assert math.isclose(logz[i], ref, rel_tol=1e-5, abs_tol=1e-5)
+
+
+def test_combined_loss_matches_manual():
+    # K12: crf_nll + beta * KL(sum)(log(att), target) with xlogy semantics
+    from denrl_spark.operators.scoring import combined_loss_batch, crf_nll_batch
+
+    rng = np.random.RandomState(21)
+    b, t, v = 3, 4, 3
+    em = rng.randn(b, t, v).astype(np.float32)
+    trans = (rng.randn(v, v) * 0.5).astype(np.float32)
+    lengths = np.array([4, 3, 2])
+    tags = rng.randint(0, v, size=(b, t))
+    att = rng.rand(b, t) + 0.1
+    att /= att.sum(axis=1, keepdims=True)
+    tgt = np.zeros((b, t))
+    for i in range(b):
+        ln = int(lengths[i])
+        w = rng.rand(ln)
+        tgt[i, :ln] = w / w.sum()
+    tgt[1, 0] = 0.0  # exercise the 0*log0 == 0 convention
+    if tgt[1].sum():
+        tgt[1] /= tgt[1].sum()
+
+    nll = crf_nll_batch(em, trans, lengths, tags)
+    got = combined_loss_batch(em, trans, lengths, tags, att, tgt, beta=0.7)
+    for i in range(b):
+        kl = sum(
+            tgt[i, j] * (math.log(tgt[i, j]) - math.log(att[i, j]))
+            for j in range(int(lengths[i]))
+            if tgt[i, j] > 0
+        )
+        assert math.isclose(got[i], nll[i] + 0.7 * kl, rel_tol=1e-9, abs_tol=1e-9)
+    # beta == 0 short-circuits to the pure NLL (reference branch)
+    assert np.allclose(combined_loss_batch(em, trans, lengths, tags, att, tgt, 0.0), nll)

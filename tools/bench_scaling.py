@@ -61,17 +61,38 @@ transcripts(spark, {n_convs}, seed=42).write.mode("overwrite").parquet({path!r})
 
 
 def run_at(cpus: int, inp: str) -> dict:
-    """Fresh JVM pinned to exactly ``cpus`` hardware cores via taskset:
-    in local mode, chained Arrow-UDF stages spawn multiple Python workers
-    per task, which would otherwise borrow the idle cores and silently
-    inflate the low-parallelism run (discovered: unpinned local[8] used
-    the whole 32-core box through its Python workers)."""
+    """One fresh-JVM run pinned to exactly ``cpus`` hardware cores via
+    taskset. Pinning: in local mode, chained Arrow-UDF stages spawn
+    multiple Python workers per task, which would otherwise borrow the
+    idle cores and silently inflate the low-parallelism run."""
     code = RUN_ONE.format(root=ROOT, cpus=cpus, inp=inp)
     cmd = [sys.executable, "-c", code]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(cmd, check=True, capture_output=True, text=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_pair(c_lo: int, c_hi: int, inp: str, reps: int = 3) -> dict:
+    """Median-of-``reps`` PER-REP efficiency with lo/hi runs interleaved
+    (lo,hi,lo,hi,...). This shared VM shows +/-30% wall-time spread at
+    full 32-core width and drifts on minute timescales, so (a) single
+    samples routinely fake +/-0.15 efficiency either way and (b)
+    running all lo reps then all hi reps lets a slow period land
+    entirely on one end. Interleaving pairs each lo with a
+    temporally-adjacent hi so drift cancels inside each rep."""
+    reps_out = []
+    for _ in range(reps):
+        lo = run_at(c_lo, inp)
+        hi = run_at(c_hi, inp)
+        eff = lo["sec"] / ((c_hi / c_lo) * hi["sec"])
+        reps_out.append({"lo": lo, "hi": hi, "efficiency": round(eff, 3)})
+    reps_out.sort(key=lambda r: r["efficiency"])
+    med = dict(reps_out[len(reps_out) // 2])
+    med["all_efficiencies"] = [r["efficiency"] for r in reps_out]
+    med["lo_secs"] = [r["lo"]["sec"] for r in reps_out]
+    med["hi_secs"] = [r["hi"]["sec"] for r in reps_out]
+    return med
 
 
 def main() -> None:
@@ -81,10 +102,7 @@ def main() -> None:
 
     pairs = []
     for c_lo, c_hi in ((4, 16), (8, 32)):
-        lo = run_at(c_lo, inp)
-        hi = run_at(c_hi, inp)
-        eff = lo["sec"] / ((c_hi / c_lo) * hi["sec"])
-        pairs.append({"lo": lo, "hi": hi, "efficiency": round(eff, 3)})
+        pairs.append(run_pair(c_lo, c_hi, inp))
     report = {"input_turns": pairs[0]["lo"]["turns"], "pairs": pairs, "target": 0.8}
     print(json.dumps(report, indent=2))
 
