@@ -78,6 +78,62 @@ def write_metrics_json(metrics: dict, out_dir: str, name: str) -> str:
     return p
 
 
+def read_glove_text(spark: SparkSession, path: str, dim: int = 300) -> DataFrame:
+    """S3: GloVe-format text -> (token, vector array<double>).
+
+    Reference run_lstm.py:388-413 parses each line as ``word v1..vdim``
+    where the word may itself CONTAIN SPACES (the 840B file quirk the
+    reference handles with ``line_split[:-vector_size]``) — so the last
+    ``dim`` fields are the vector and everything before is the token.
+    All JVM-side (text scan + split/slice/transform): the file streams
+    through executors, never the driver, so a multi-GB vector file is
+    fine."""
+    parts = F.split(F.col("value"), " ")
+    n = F.size(parts)
+    return spark.read.text(path).select(
+        F.concat_ws(" ", F.slice(parts, 1, n - dim)).alias("token"),
+        F.transform(
+            F.slice(parts, n - dim + 1, dim), lambda x: x.cast("double")
+        ).alias("vector"),
+    )
+
+
+def embedding_matrix(
+    vocab: DataFrame, embeddings: DataFrame, dim: int, seed: int = 42
+):
+    """S3: vocab-aligned (V, dim) numpy weight matrix, the broadcastable
+    analog of run_lstm.py:367-385 — known tokens take their pretrained
+    vector, OOV tokens take a normal(scale=0.2) draw. The reference uses
+    ambient np.random state; the rebuild derives each OOV vector from
+    blake2b(seed, token) so the matrix is identical under any
+    partitioning/ordering (SURVEY §7 seeded-randomness rule). The
+    collect is vocab-sized by construction (A5 caps the vocab) — the
+    same V x dim matrix the reference materializes and broadcasts."""
+    import numpy as np
+
+    from denrl_spark.operators.tagging import stable_id
+
+    rows = (
+        vocab.select("token", "token_id")
+        .join(embeddings, "token", "left")
+        .collect()
+    )
+    v = max(r["token_id"] for r in rows) + 1 if rows else 2
+    weight = np.zeros((v, dim), dtype=np.float64)
+    seen = np.zeros(v, dtype=bool)
+    for r in rows:
+        if r["vector"] is not None:
+            weight[r["token_id"]] = r["vector"]
+        else:
+            rng = np.random.RandomState(stable_id(seed, r["token"]) % (2**32))
+            weight[r["token_id"]] = rng.normal(scale=0.2, size=dim)
+        seen[r["token_id"]] = True
+    for tid in np.flatnonzero(~seen):  # specials (PAD=0, UNK=1)
+        rng = np.random.RandomState(stable_id(seed, int(tid)) % (2**32))
+        weight[tid] = rng.normal(scale=0.2, size=dim)
+    return weight
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -83,3 +83,39 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     assert joined.count() > 0
     spark.sql("DROP TABLE IF EXISTS bt_a")
     spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_glove_load_and_matrix(spark, tmp_path):
+    # S3: GloVe text (tokens may contain spaces) -> aligned matrix with
+    # deterministic OOV fill (run_lstm.py:367-413)
+    import numpy as np
+
+    from denrl_spark.functions.textops import build_vocab
+    from denrl_spark.sources.io import embedding_matrix, read_glove_text
+
+    dim = 4
+    glove = tmp_path / "glove.txt"
+    glove.write_text(
+        "alice 0.1 0.2 0.3 0.4\n"
+        "new york 1 2 3 4\n"      # multi-word token (840B quirk)
+        "met -1 -2 -3 -4\n"
+    )
+    emb = read_glove_text(spark, str(glove), dim=dim)
+    got = {r["token"]: r["vector"] for r in emb.collect()}
+    assert got["new york"] == [1.0, 2.0, 3.0, 4.0]
+    assert got["alice"] == [0.1, 0.2, 0.3, 0.4]
+
+    docs = spark.createDataFrame(
+        [(0, "alice met bob"), (1, "alice met alice")], "doc_id long, text string"
+    )
+    vocab = build_vocab(docs)
+    w = embedding_matrix(vocab, emb, dim=dim)
+    tid = {r["token"]: r["token_id"] for r in vocab.collect()}
+    assert np.allclose(w[tid["alice"]], [0.1, 0.2, 0.3, 0.4])
+    assert np.allclose(w[tid["met"]], [-1, -2, -3, -4])
+    # OOV ('bob') is a deterministic normal draw: same under re-run
+    w2 = embedding_matrix(vocab, emb, dim=dim)
+    assert np.allclose(w, w2)
+    assert not np.allclose(w[tid["bob"]], 0)
+    # specials (PAD=0/UNK=1) filled too
+    assert not np.allclose(w[0], 0) and not np.allclose(w[1], 0)
