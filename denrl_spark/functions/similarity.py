@@ -229,6 +229,125 @@ def lsh_near_dup_pairs(
     return scored.where(F.col("cos_e3") >= min_cos_e3)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize every vector to its
+    nearest centroid (inverted lists keyed by centroid id), probe the
+    query's ``nprobe`` nearest lists, re-score exactly within them.
+
+    Centroids are a deterministic hash-ordered sample of the corpus
+    vectors (ORDER BY md5(vec_id) LIMIT n_centroids) — the zero-training
+    IVF variant; production IVF refines them with k-means rounds, which
+    changes centroid VALUES but not this dataflow. Scale shape: the
+    centroid table is n_centroids rows (broadcast); assignment is one
+    broadcast nested-loop over it (k small by design); the probe join is
+    an equi-join on centroid id, so the corpus never self-joins.
+    """
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cents = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    cents = F.broadcast(cents)
+
+    def cos(a, b):
+        return _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cid")
+    )
+    assigned = (
+        e.crossJoin(cents)
+        .select("vec_id", "v", "cid", cos("v", "cv").alias("ccos"))
+        .withColumn("crank", F.row_number().over(w_assign))
+        .where(F.col("crank") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q_probe = (
+        q.crossJoin(cents)
+        .select("query_id", "qv", "cid", cos("qv", "cv").alias("ccos"))
+        .withColumn("crank", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
+        ))
+        .where(F.col("crank") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        q_probe.join(assigned, "cid")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.floor(1000 * _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))))
+            .cast("long")
+            .alias("cos_e3"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e3"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_e3")
+    )
+
+
+def ivf_topk_sql(
+    rel: str = "embeddings",
+    query_pred: str = "vec_id < 8",
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB twin of ivf_topk (hash-ordered centroid sample, argmin
+    assignment, nprobe probe lists, exact re-score)."""
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {rel}),
+        cents AS (
+          SELECT vec_id AS cid, v AS cv FROM e
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}),
+        assigned AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, c.cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                     c.cid ASC) AS crank
+            FROM e, cents c)
+          WHERE crank = 1),
+        q_probe AS (
+          SELECT query_id, qv, cid FROM (
+            SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, c.cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                     c.cid ASC) AS crank
+            FROM e, cents c WHERE e.{query_pred})
+          WHERE crank <= {nprobe}),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 CAST(floor(1000 * list_dot_product(p.qv, a.v) /
+                      (sqrt(list_dot_product(p.qv, p.qv)) *
+                       sqrt(list_dot_product(a.v, a.v)))) AS BIGINT) AS cos_e3
+          FROM q_probe p JOIN assigned a ON a.cid = p.cid
+          WHERE p.query_id <> a.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_e3,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_e3 DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id, cos_e3 FROM ranked WHERE rank <= {k}
+    """
+
+
 def _sql_dot(vec_expr: str, plane: list[float]) -> str:
     lits = ", ".join(repr(x) for x in plane)
     return f"list_dot_product({vec_expr}, [{lits}])"

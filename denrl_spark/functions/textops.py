@@ -189,6 +189,75 @@ def lsh_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
+def jaccard_verify_pairs(
+    docs: DataFrame, cand: DataFrame, min_j_e6: int = 200_000
+) -> DataFrame:
+    """Exact distinct-3-gram Jaccard re-score of CANDIDATE pairs
+    (doc_a, doc_b) — the verify stage that follows LSH candidate
+    generation. The shingle joins are candidate-pruned (each candidate
+    pair contributes only its own shingle rows), so cost scales with
+    |candidates| x shingles/doc, never with |docs|^2 and never with the
+    hot-shingle square that the unfiltered shared-shingle self-join
+    risks."""
+    sh = shingles(docs).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    shared = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = (
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"),
+            "doc_b",
+        )
+        .withColumn(
+            "j_e6",
+            F.floor(
+                1_000_000 * F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).cast("long"),
+        )
+    )
+    return j.where(F.col("j_e6") >= min_j_e6).select("doc_a", "doc_b", "j_e6")
+
+
+def near_dup_clusters(
+    docs: DataFrame, min_j_e6: int = 300_000, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, rep_doc_id, is_rep): near-duplicate clustering with
+    representative selection — the keep-list a dedup pipeline actually
+    applies. Composition: MinHash-LSH candidate pairs (bucketed
+    equi-join) -> exact Jaccard verify (candidate-pruned) -> connected
+    components over verified pairs (min-label propagation,
+    linking.connected_components) -> representative = min doc_id per
+    component; docs with no near-dup are their own representative.
+
+    100 TB shape: every stage is a bucketed join or a map-side-combined
+    aggregation; component propagation is O(diameter) rounds and near-dup
+    graphs are short chains/cliques in practice."""
+    from denrl_spark.operators.linking import connected_components
+
+    cand = lsh_candidate_pairs(docs, n_bands)
+    verified = jaccard_verify_pairs(docs, cand, min_j_e6)
+    nodes = docs.select(F.col("doc_id").alias("node_id"))
+    edges = verified.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("node_id").alias("doc_id"),
+        F.col("component").alias("rep_doc_id"),
+        (F.col("node_id") == F.col("component")).alias("is_rep"),
+    )
+
+
 def jaccard_pairs(docs: DataFrame, min_j_e6: int = 200_000) -> DataFrame:
     """(doc_a, doc_b, j_e6): distinct-3-gram Jaccard >= threshold, via
     shared-shingle counting (no cross join: the shingle equi-join prunes

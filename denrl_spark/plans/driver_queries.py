@@ -480,6 +480,56 @@ def dedup_jaccard_pairs(spark, sf_dir):
 
 
 @_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    shd AS (SELECT DISTINCT * FROM sh),
+    banded AS (
+      SELECT doc_id, unnest(range(0, 8)) AS band, shingle FROM sh),
+    sig AS (
+      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS mh
+      FROM banded GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.doc_a
+      JOIN shd b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sizes na ON na.doc_id = doc_a
+      JOIN sizes nb ON nb.doc_id = doc_b
+      WHERE floor(1000000 * shared / (na.n_sh + nb.n_sh - shared)) >= 300000),
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL SELECT doc_b, doc_a FROM verified),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.node)
+    SELECT node AS doc_id, min(r) AS rep_doc_id,
+           CAST(min(r) = node AS BIGINT) AS is_rep
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clustering + representative keep-list (textops.
+    near_dup_clusters: LSH candidates -> exact Jaccard verify -> CC ->
+    min-doc_id representative). Oracle: the same pipeline in SQL with a
+    recursive-CTE transitive closure for the components (fine at check
+    scale; the Spark side uses O(diameter) label propagation)."""
+    return textops.near_dup_clusters(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "rep_doc_id", F.col("is_rep").cast("bigint").alias("is_rep")
+    )
+
+
+@_q(
     "sim_cosine_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -512,6 +562,14 @@ def sim_lsh_topk(spark, sf_dir):
     tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.where("vec_id < 8"), k=3)
+
+
+@_q("sim_ivf_topk", similarity.ivf_topk_sql())
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN scale path (inverted centroid lists + nprobe):
+    similarity.ivf_topk, hash-verified against the DuckDB twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.where("vec_id < 8"), k=3)
 
 
 @_q("dedup_embedding_pairs_lsh", similarity.lsh_near_dup_pairs_sql())

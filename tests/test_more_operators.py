@@ -101,3 +101,27 @@ def test_viterbi_restricted_respects_mask():
     out = viterbi_restricted(em, trans, np.array([3]), possible)
     assert labels[out[0, 1]] == "O"
     assert labels[out[0, 0]] == "B-PERSON" and labels[out[0, 2]] == "B-PERSON"
+
+
+def test_near_dup_clusters(spark):
+    from denrl_spark.functions.textops import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),          # exact dup of 0
+            (2, near),          # near dup of 0/1
+            (3, "completely different text about spark shuffles and joins filters"),
+            (4, "another unrelated document mentioning tables rows and columns only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["rep_doc_id"], r["is_rep"]) for r in near_dup_clusters(docs, min_j_e6=300_000).collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)   # near-dup joins the cluster
+    assert out[3] == (3, True) and out[4] == (4, True)
+    # keep-list semantics: exactly the representatives survive
+    assert sorted(d for d, (_, rep) in out.items() if rep) == [0, 3, 4]

@@ -125,3 +125,33 @@ def test_lsh_paths_plan_no_cartesian(spark, clustered):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_recall_on_clustered_corpus(spark, clustered):
+    from denrl_spark.functions.similarity import ivf_topk
+
+    queries = clustered.where("vec_id % 3 = 0")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(clustered, queries, k=2).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(clustered, queries, k=2, n_centroids=8, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # in-cluster twins quantize to the same centroid almost surely;
+    # nprobe=3 of 8 lists covers boundary cases
+    assert recall >= 0.85, f"ivf recall {recall:.3f} < 0.85"
+
+
+def test_ivf_probe_join_is_equi_join(spark, clustered):
+    """The corpus may only cross-join the (broadcast, n_centroids-row)
+    centroid table; corpus-vs-corpus contact must be the cid equi-join."""
+    from denrl_spark.functions.similarity import ivf_topk
+
+    df = ivf_topk(clustered, clustered.where("vec_id < 5"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # any nested-loop joins present must build a broadcast side (the tiny
+    # centroid table); a CartesianProduct would mean corpus x corpus
+    assert "CartesianProduct" not in plan
