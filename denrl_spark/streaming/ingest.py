@@ -85,6 +85,23 @@ def session_turn_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame, watermark: str = "2 hours", key_cols: list[str] | None = None
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content hash wins,
+    duplicates arriving within the watermark horizon are dropped. The
+    streaming twin of textops.dedup_exact — state is one (hash, ts) row
+    per distinct document inside the horizon, evicted by the watermark
+    (dropDuplicatesWithinWatermark), so state size is bounded by the
+    horizon's distinct volume, not the stream's lifetime."""
+    keyed = stream.withColumn("text_hash", F.md5("text"))
+    cols = key_cols or ["text_hash"]
+    out = keyed.withWatermark("ts", watermark)
+    if hasattr(out, "dropDuplicatesWithinWatermark"):
+        return out.dropDuplicatesWithinWatermark(cols)
+    return out.dropDuplicates(cols + ["ts"])
+
+
 def stream_triples(stream: DataFrame, sink_dir: str, checkpoint_dir: str, kb=None):
     """Incremental triple extraction via foreachBatch: batch operators
     reused verbatim per micro-batch."""

@@ -158,3 +158,32 @@ def test_session_window_counts(spark, transcript_dir):
         assert per_conv == exp
     finally:
         q.stop()
+
+
+def test_dedup_stream_drops_duplicates(spark, transcript_dir, tmp_path):
+    """Streaming exact dedup: duplicated files in the source fold to one
+    row per distinct text (state bounded by the watermark horizon)."""
+    from denrl_spark.streaming.ingest import dedup_stream
+
+    # duplicate the corpus into the stream directory twice
+    d = str(tmp_path / "dup_in")
+    base = spark.read.parquet(transcript_dir)
+    base.write.mode("overwrite").parquet(d)
+    base.write.mode("append").parquet(d)
+
+    stream = stream_transcripts(spark, d)
+    deduped = dedup_stream(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM dedup_out")
+        n_distinct_batch = base.select(F.md5("text")).distinct().count()
+        assert out.count() == n_distinct_batch
+        assert out.select("text_hash").distinct().count() == n_distinct_batch
+    finally:
+        q.stop()
