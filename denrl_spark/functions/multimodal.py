@@ -85,3 +85,88 @@ def extract_features(attachments: DataFrame, fake: bool = True) -> DataFrame:
     return attachments.mapInPandas(
         gen, "conv_id string, turn_idx int, att_idx int, feature array<float>"
     )
+
+
+def resize_stub(
+    payload: bytes, width: int, height: int, target: int, fake: bool = False
+) -> tuple[bytes, int, int]:
+    """STUB: real resize needs PIL (absent). fake=True returns a
+    deterministic re-hash of (payload, target) with aspect-preserving
+    target dims — the metadata math is real, the pixels are not."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL, not present in this environment; "
+            "pass fake=True for the deterministic stand-in"
+        )
+    # exact integer math on the long side (float scale*w can land at
+    # 31.999... and truncate below target)
+    if width >= height:
+        nw, nh = target, max(1, round(height * target / max(width, 1)))
+    else:
+        nh, nw = target, max(1, round(width * target / max(height, 1)))
+    out = hashlib.blake2b(payload + f":{nw}x{nh}".encode(), digest_size=32).digest()
+    return out, nw, nh
+
+
+def resize_images(attachments: DataFrame, target: int = 64, fake: bool = True) -> DataFrame:
+    """Image resize over the attachments table: Arrow-batched iterator
+    UDF; output schema mirrors the input so resized tables pipeline into
+    the same consumers. Real plumbing, stubbed pixels (module docstring)."""
+
+    def gen(batches):
+        for pdf in batches:
+            outs = [
+                resize_stub(bytes(p), int(w), int(h), target, fake=fake)
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "att_idx": pdf["att_idx"],
+                    "mime": pdf["mime"],
+                    "width": [o[1] for o in outs],
+                    "height": [o[2] for o in outs],
+                    "payload": [o[0] for o in outs],
+                }
+            )
+
+    return attachments.mapInPandas(gen, ATTACHMENT_SCHEMA)
+
+
+def sample_frames(
+    attachments: DataFrame, n_frames: int = 4, fake: bool = True
+) -> DataFrame:
+    """Video frame sampling: one output row PER SAMPLED FRAME
+    (conv_id, turn_idx, att_idx, frame_idx, frame_payload) — the explode
+    shape a video pipeline needs (frames then flow into extract_features
+    / resize_images like any image attachment). Deterministic stand-in
+    frames (real demux needs ffmpeg); the row-explosion plumbing,
+    schema, and batch sizing are real."""
+    if not fake:
+        raise NotImplementedError(
+            "video demux requires ffmpeg, not present in this environment; "
+            "pass fake=True for the deterministic stand-in"
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for c, t, a, p in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["att_idx"], pdf["payload"]
+            ):
+                for f in range(n_frames):
+                    fp = hashlib.blake2b(
+                        bytes(p) + f":frame{f}".encode(), digest_size=32
+                    ).digest()
+                    rows.append((c, int(t), int(a), f, fp))
+            yield pd.DataFrame(
+                rows,
+                columns=["conv_id", "turn_idx", "att_idx", "frame_idx", "frame_payload"],
+            )
+
+    return attachments.mapInPandas(
+        gen,
+        "conv_id string, turn_idx int, att_idx int, frame_idx int, "
+        "frame_payload binary",
+    )

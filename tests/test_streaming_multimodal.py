@@ -187,3 +187,46 @@ def test_dedup_stream_drops_duplicates(spark, transcript_dir, tmp_path):
         assert out.select("text_hash").distinct().count() == n_distinct_batch
     finally:
         q.stop()
+
+
+def test_resize_and_frame_sample_plumbing(spark, transcript_dir):
+    from denrl_spark.functions.multimodal import resize_images, sample_frames
+
+    tr = spark.read.parquet(transcript_dir)
+    att = synth_attachments(spark, tr).cache()
+    n_att = att.count()
+    assert n_att > 0
+
+    resized = resize_images(att, target=32).cache()
+    assert resized.count() == n_att
+    r = resized.collect()
+    # aspect-preserving: max dim == target, schema round-trips
+    assert all(max(x["width"], x["height"]) == 32 for x in r)
+    assert set(resized.columns) == set(att.columns)
+    # deterministic: same input -> same bytes
+    r2 = {(x["conv_id"], x["turn_idx"]): bytes(x["payload"]) for x in resize_images(att, target=32).collect()}
+    assert all(r2[(x["conv_id"], x["turn_idx"])] == bytes(x["payload"]) for x in r)
+
+    frames = sample_frames(att, n_frames=3).cache()
+    assert frames.count() == 3 * n_att
+    assert frames.select("conv_id", "turn_idx", "att_idx", "frame_idx").distinct().count() == 3 * n_att
+    # frames pipeline into the feature extractor like any attachment
+    from denrl_spark.functions.multimodal import extract_features
+    as_att = frames.select(
+        "conv_id", "turn_idx",
+        (F.col("att_idx") * 100 + F.col("frame_idx")).alias("att_idx"),
+        F.lit("image/png").alias("mime"),
+        F.lit(32).alias("width"), F.lit(32).alias("height"),
+        F.col("frame_payload").alias("payload"),
+    )
+    feats = extract_features(as_att)
+    assert feats.count() == 3 * n_att
+
+
+def test_resize_unfaked_raises():
+    import pytest as _pytest
+
+    from denrl_spark.functions.multimodal import resize_stub, sample_frames
+
+    with _pytest.raises(NotImplementedError):
+        resize_stub(b"x", 4, 4, 2, fake=False)
