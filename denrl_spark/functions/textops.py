@@ -86,6 +86,35 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+PII_PATTERNS = {
+    # JVM-regex (RE2-compatible subset so the DuckDB oracle matches)
+    "emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phones": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssns": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "urls": r"https?://[^\s]+",
+}
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ssns, n_urls, has_pii): per-doc
+    PII/boilerplate indicator counts via JVM-side regexp_extract_all —
+    the filter stage a training-data pipeline runs before anything else.
+    Patterns are deliberately simple/shared with the DuckDB oracle;
+    production deployments swap in their vetted pattern pack."""
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = docs.select("doc_id", *counts)
+    flag = None
+    for name in PII_PATTERNS:
+        if name == "urls":  # urls are boilerplate signal, not PII
+            continue
+        c = F.col(f"n_{name}") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag.cast("int"))
+
+
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """(text_hash=md5, rep_doc_id, n_dups): exact dedup by content."""
     return (

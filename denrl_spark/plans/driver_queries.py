@@ -399,6 +399,24 @@ def text_fingerprint(spark, sf_dir):
 
 
 @_q(
+    "text_pii_scan",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT) AS n_ssns,
+           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT) AS n_urls,
+           CAST((len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) > 0
+              OR len(regexp_extract_all(text, '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) > 0
+              OR len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) > 0) AS INT) AS has_pii
+    FROM documents
+    """,
+)
+def text_pii_scan(spark, sf_dir):
+    return textops.pii_scan(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "dedup_exact",
     """
     SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,

@@ -125,3 +125,20 @@ def test_near_dup_clusters(spark):
     assert out[3] == (3, True) and out[4] == (4, True)
     # keep-list semantics: exactly the representatives survive
     assert sorted(d for d, (_, rep) in out.items() if rep) == [0, 3, 4]
+
+
+def test_pii_scan(spark):
+    from denrl_spark.functions.textops import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact me at alice@example.com or 555-123-4567 today"),
+            (1, "ssn 123-45-6789 leaked via https://evil.example/x"),
+            (2, "clean text about spark joins and filters"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 1 and out[0]["has_pii"] == 1
+    assert out[1]["n_ssns"] == 1 and out[1]["n_urls"] == 1 and out[1]["has_pii"] == 1
+    assert out[2]["has_pii"] == 0 and out[2]["n_urls"] == 0
