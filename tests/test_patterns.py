@@ -139,3 +139,27 @@ def test_negative_sampling(spark):
     # single-partition exchange anywhere in the executed plan
     plan = out2._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_negative_sampling_hash_threshold_variant(spark):
+    # exact=False: one-pass hash threshold — binomial size, deterministic,
+    # and a subset of the usable-negative pool
+    ins = _corpus_instances(spark)
+    out = negative_sampling(ins, sample_rate=0.3, seed=7, exact=False).cache()
+    neg = out.where(F.col("instance_id") < 0)
+    n_neg = neg.count()
+    assert n_neg > 0
+    out2 = negative_sampling(ins.repartition(5), sample_rate=0.3, seed=7, exact=False)
+    a = sorted(r["instance_id"] for r in out.select("instance_id").collect())
+    b = sorted(r["instance_id"] for r in out2.select("instance_id").collect())
+    assert a == b
+
+
+def test_negative_sampling_zero_take_keeps_all(spark):
+    # reference quirk: int(rate*n) == 0 -> keep ALL usable negatives
+    ins = _corpus_instances(spark)
+    out = negative_sampling(ins, sample_rate=1e-12, seed=42).cache()
+    all_usable = negative_sampling(ins, sample_rate=1.0, seed=42).where(
+        F.col("instance_id") < 0
+    ).count()
+    assert out.where(F.col("instance_id") < 0).count() == all_usable
