@@ -1,7 +1,23 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line with per-query seconds plus KG throughput (turns/sec,
-triples/sec) for the scaling-efficiency evidence in BENCH/BASELINE.md.
+JSON line with per-query MEDIAN seconds (plus min/max spread) over
+$SPARK_GRAFT_BENCH_REPS interleaved passes, and KG throughput
+(turns/sec, triples/sec) for the scaling-efficiency evidence in
+BENCH/BASELINE.md.
+
+Timing discipline (ported from tools/bench_scaling.py): this shared VM
+shows ~2x wall-time spread between identical single-shot runs and
+drifts on minute timescales, so a single sample per query cannot
+distinguish a real regression from noise (VERDICT r2). The harness
+therefore runs REPS full passes over the query list — pass 1: q1..qn,
+pass 2: q1..qn, ... — so a slow minute lands on every query of that
+pass rather than on whichever query it happened to hit, and reports the
+per-query median plus [min, max].
+
+Artifact purity: fd 2 is rerouted to a side log BEFORE the JVM starts,
+so the Python worker daemons (which inherit fd 2 and spray
+BrokenPipeError tracebacks both mid-run and during teardown) never
+write into the captured output; stdout carries exactly one JSON line.
 """
 
 from __future__ import annotations
@@ -17,6 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    # Route ALL stderr (ours + the JVM's + every forked Python worker's,
+    # which inherit fd 2) to a side log so stdout stays pure JSON.
+    log_path = os.environ.get("SPARK_GRAFT_BENCH_LOG", "/tmp/denrl_bench_stderr.log")
+    sys.stderr.flush()
+    logfd = os.open(log_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    os.dup2(logfd, 2)
+    os.close(logfd)
 
     from denrl_spark.session import get_spark
     from denrl_spark.plans.driver_queries import QUERIES
@@ -43,12 +68,20 @@ def main() -> None:
     QUERIES["kg_pred_triples"](spark, sf_dir).limit(10).count()
     QUERIES["rel_agg_stats"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in bench_queries}
     counts: dict[str, int] = {}
-    for name in bench_queries:
-        t0 = time.time()
-        counts[name] = QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(reps):
+        for name in bench_queries:
+            t0 = time.time()
+            counts[name] = QUERIES[name](spark, sf_dir).count()
+            samples[name].append(time.time() - t0)
+
+    timings = {
+        name: round(sorted(s)[len(s) // 2], 3) for name, s in samples.items()
+    }
+    spread = {
+        name: [round(min(s), 3), round(max(s), 3)] for name, s in samples.items()
+    }
 
     # KG throughput: the flagship gold path processes every derived turn
     n_turns = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -61,6 +94,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "reps": reps,
         "sf": sf,
         "cpus": cpus,
         "turns": n_turns,
@@ -70,15 +105,10 @@ def main() -> None:
     }
     print(json.dumps(out), flush=True)
 
-    # Orderly teardown so the artifact stays pure JSON: the metrics line
-    # is out and flushed, so silence stderr (the Python worker daemons
-    # race the closing JVM sockets and spray BrokenPipeError tracebacks
-    # during stop()), stop the JVM, and exit without Py4J's atexit
-    # callbacks.
+    # Orderly teardown: the metrics line is out; stop the JVM and exit
+    # without Py4J's atexit callbacks (worker daemons race the closing
+    # JVM sockets — their tracebacks go to the side log, not stdout).
     sys.stdout.flush()
-    sys.stderr.flush()
-    devnull = os.open(os.devnull, os.O_WRONLY)
-    os.dup2(devnull, 2)
     try:
         spark.stop()
     except Exception:

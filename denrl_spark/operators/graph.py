@@ -21,9 +21,23 @@ from denrl_spark.operators.linking import canonicalize
 
 
 def materialize_graph(
-    triples: DataFrame, mentions_map: DataFrame | None = None
+    triples: DataFrame,
+    mentions_map: DataFrame | None = None,
+    eager: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (vertices, edges) DataFrames from a triple table."""
+    """Returns (vertices, edges) DataFrames from a triple table.
+
+    Cache ownership: the internal mention map is cached (see below).
+    With ``eager=None`` (default) the returned frames keep a live
+    dependency on that cache and the CALLER owns cleanup — repeated
+    invocations in a long-lived session otherwise accumulate
+    InMemoryRelations until storage eviction. Pass ``eager`` as
+    "edges", "vertices", or "both" to have the named part(s)
+    materialized via eager localCheckpoint (safe here: the checkpointed
+    frame is terminal output, so its bogus RDD stats can't flip any
+    later join side) and the mention-map cache released before
+    returning; the part NOT named stays lazy over an unpersisted cache
+    and must not be consumed."""
     # Plain equi-joins on surface: the mention map is one row per
     # DISTINCT mention — 10^8-10^9 at corpus scale (SCALE.md), far past
     # any broadcastable size, so no broadcast hint here. AQE promotes
@@ -74,4 +88,10 @@ def materialize_graph(
             F.count(F.lit(1)).alias("n_mentions"),
         )
     )
+    if eager in ("edges", "both"):
+        edges = edges.localCheckpoint()
+    if eager in ("vertices", "both"):
+        vertices = vertices.localCheckpoint()
+    if eager is not None:
+        mmap.unpersist()
     return vertices, edges

@@ -128,17 +128,27 @@ def canonicalize(
     skipped: canonical surface = min(surface) per norm, ONE map-side-
     combined aggregation + one join instead of 2+ CC rounds each with a
     localCheckpoint barrier and a convergence count. With caller-
-    supplied alias edges (cross-norm links) the general fixpoint runs.
+    supplied alias edges (cross-norm links) the general fixpoint runs;
+    that path caches the mention table internally (it feeds the CC
+    node-set, the edge build, and the final label join) and the cache
+    lives as long as the returned frame — callers running many
+    alias-edge canonicalizations per session own cleanup. The default
+    path is cache-free.
     """
     mentions = extract_mentions(triples)
     if alias_edges is None:
-        # cache: the mention-distinct feeds both sides of the join below
-        mentions = mentions.cache()
-        canon = mentions.groupBy("norm").agg(
-            F.min("surface").alias("canonical_surface")
-        )
+        # Window formulation: min(surface) over the norm partition — one
+        # shuffle over the distinct-mention table, no self-join and NO
+        # internal cache (the previous groupBy+join shape cached the
+        # mention table and leaked the InMemoryRelation to the caller,
+        # ADVICE r2). Norm groups are surface-form variants (casing /
+        # punctuation), bounded fan-in, so the window partition cannot
+        # be a power-law hotspot the way raw mention counts can.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("norm")
         return (
-            mentions.join(canon, "norm")
+            mentions.withColumn("canonical_surface", F.min("surface").over(w))
             .withColumn("canonical_id", F.xxhash64("canonical_surface"))
             .select("surface", "norm", "canonical_id", "canonical_surface")
         )

@@ -9,8 +9,12 @@ sort by sentence.
 
 Rebuild differences (documented, SURVEY.md §7 "seeded randomness"):
 - ``random.choice`` -> the usable position at index
-  ``stable_id(seed, instance_id) % n_usable`` of the sorted usable list,
-  so the choice is reproducible across partitionings.
+  ``xxhash64(seed, instance_id) % n_usable`` of the ascending usable
+  list, so the choice is reproducible across partitionings AND
+  computable entirely JVM-side (array HOFs — the twin rewrite is pure
+  whole-stage-codegen expressions, no Python stage; the previous
+  formulation looped over rows inside mapInPandas and keyed the choice
+  with blake2b, which has no JVM builtin).
 - ``np.random.choice(n, int(rate*n))`` -> rank-by-hash: keep the
   globally-smallest ``floor(rate * n)`` rows ordered by
   ``(xxhash64(instance_id, seed), instance_id)`` — exact sample size,
@@ -27,11 +31,7 @@ Rebuild differences (documented, SURVEY.md §7 "seeded randomness"):
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, functions as F
-
-from denrl_spark.operators.tagging import stable_id
 
 SAMPLE_RATE = 0.1  # run_jointmodel.py:214
 
@@ -48,40 +48,33 @@ def negative_sampling(
     )
     base = instances.join(sent_queries, "sent_id")
 
-    def rewrite(batches):
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                toks = list(r.tokens)
-                used = set(r.used_q)
-                usable = [i for i in range(len(toks)) if i not in used]
-                if not usable:
-                    q = -100
-                else:
-                    q = usable[stable_id(seed, int(r.instance_id)) % len(usable)]
-                out.append(
-                    (
-                        r.conv_id,
-                        int(r.turn_idx),
-                        int(r.sent_id),
-                        -int(r.instance_id) - 1,
-                        q,
-                        toks,
-                        ["O"] * len(toks),
-                    )
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "conv_id", "turn_idx", "sent_id", "instance_id",
-                    "query_id", "tokens", "ner_tags",
-                ],
-            )
-
-    neg = base.mapInPandas(
-        rewrite,
-        "conv_id string, turn_idx int, sent_id bigint, instance_id bigint, "
-        "query_id int, tokens array<string>, ner_tags array<string>",
+    # Twin rewrite, entirely JVM-side (runs every bootstrap round over
+    # all matched instances — keeping it inside whole-stage codegen
+    # matters): usable = ascending positions not claimed by any positive
+    # of the sentence; choice = usable[xxhash64(seed, instance_id) % n].
+    # sequence(0, n-1) DESCENDS when n < 1, hence the explicit guard.
+    toks_n = F.size("tokens")
+    usable = F.when(toks_n < 1, F.array().cast("array<int>")).otherwise(
+        F.filter(
+            F.sequence(F.lit(0), toks_n - 1),
+            lambda i: ~F.array_contains("used_q", i),
+        )
+    )
+    choice = F.element_at(
+        usable,
+        (
+            F.pmod(F.xxhash64(F.lit(seed), "instance_id"), F.size(usable)) + 1
+        ).cast("int"),
+    )
+    q = F.when(F.size(usable) == 0, F.lit(-100)).otherwise(choice).cast("int")
+    neg = base.select(
+        "conv_id",
+        "turn_idx",
+        "sent_id",
+        (-F.col("instance_id") - 1).alias("instance_id"),
+        q.alias("query_id"),
+        "tokens",
+        F.array_repeat(F.lit("O"), toks_n).alias("ner_tags"),
     ).where(F.col("query_id") != -100)  # F5 usable-negative filter
 
     if exact:

@@ -81,6 +81,140 @@ def learn_bpe(word_counts: dict[str, int], n_merges: int = 200) -> list[tuple[st
     return merges
 
 
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte<->printable-unicode map (public algorithm,
+    openai/gpt-2 encoder.py / HF GPT2Tokenizer.byte_encoder): printable
+    latin bytes map to themselves; the other 68 bytes map to 256+n in
+    first-seen order, so e.g. space(32) -> U+0120 'Ġ' and newline(10) ->
+    U+010A 'Ċ'. Makes every byte sequence a lossless string of
+    non-whitespace symbols that the merge loop can operate on."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+BYTE_ENCODER = bytes_to_unicode()
+BYTE_DECODER = {v: k for k, v in BYTE_ENCODER.items()}
+
+# GPT-2 pre-tokenizer pattern (public, openai/gpt-2 encoder.py): splits
+# contractions, letter runs, number runs, punctuation runs — each with
+# an optional leading space — and trailing whitespace.
+_GPT2_PAT = r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+try:  # the `regex` module supports \p{L}; stdlib re does not
+    import regex as _regex
+
+    _GPT2_RE = _regex.compile(_GPT2_PAT)
+except ImportError:  # pragma: no cover - container-dependent
+    _GPT2_RE = None
+
+
+def _pre_tokenize_fallback(text: str) -> list[str]:
+    """Hand-rolled scanner twin of the GPT-2 pattern for environments
+    without the ``regex`` module. Classifies by unicode category via
+    str.isalpha/isnumeric (the \\p{L}/\\p{N} classes). The whitespace
+    rule mirrors the pattern's backtracking: a whitespace run followed
+    by a non-space yields the run minus its last space, and that last
+    space prefixes the following letter/number/punct token."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    contractions = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+    pending_space = ""
+    while i < n:
+        hit = next((c for c in contractions if text.startswith(c, i)), None)
+        if hit is not None and not pending_space:
+            out.append(hit)
+            i += len(hit)
+            continue
+        ch = text[i]
+        if ch.isspace() and not pending_space:
+            k = i
+            while k < n and text[k].isspace():
+                k += 1
+            if k < n and text[k - 1] == " ":
+                # run before a token, ending in a literal space: that
+                # space prefixes the token (only ' ' — the ` ?` in the
+                # pattern), the rest is its own chunk
+                if k - i > 1:
+                    out.append(text[i : k - 1])
+                pending_space = " "
+            elif k < n:
+                # ends in non-space whitespace: run minus last char,
+                # then the last char alone (regex backtracking shape)
+                if k - i > 1:
+                    out.append(text[i : k - 1])
+                out.append(text[k - 1])
+            else:  # trailing run
+                out.append(text[i:k])
+            i = k
+            continue
+        k = i
+        if ch.isalpha():
+            while k < n and text[k].isalpha():
+                k += 1
+        elif ch.isnumeric():
+            while k < n and text[k].isnumeric():
+                k += 1
+        else:
+            while k < n and not (
+                text[k].isspace() or text[k].isalpha() or text[k].isnumeric()
+            ):
+                k += 1
+        out.append(pending_space + text[i:k])
+        pending_space = ""
+        i = k
+    return out
+
+
+def gpt2_pre_tokenize(text: str) -> list[str]:
+    """Text -> GPT-2 pre-tokenizer chunks (lossless: ``''.join`` round-
+    trips). 'Hello, world!' -> ['Hello', ',', ' world', '!']."""
+    if _GPT2_RE is not None:
+        return _GPT2_RE.findall(text)
+    return _pre_tokenize_fallback(text)
+
+
+def bpe_encode_bytes(
+    chunk: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """One pre-tokenizer chunk -> byte-level BPE pieces in GPT-2's
+    symbol alphabet (leading space becomes 'Ġ'): utf-8 bytes ->
+    byte-encoder symbols -> the standard merge loop. With the stock
+    GPT-2 merge table this reproduces GPT2TokenizerFast piece-for-piece
+    ('Hello world' -> ['Hello', 'Ġworld']); the 50k-line public
+    merges.txt is not vendored (no network in this sandbox — load it
+    via ``load_merges`` where available)."""
+    symbols = "".join(BYTE_ENCODER[b] for b in chunk.encode("utf-8"))
+    return bpe_encode(symbols, ranks)
+
+
+def bpe_decode_bytes(pieces: list[str]) -> str:
+    """Inverse of bpe_encode_bytes across chunks: symbols -> bytes ->
+    text. Exact round-trip for any input."""
+    return bytes(
+        BYTE_DECODER[ch] for piece in pieces for ch in piece
+    ).decode("utf-8")
+
+
+def gpt2_encode(text: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Full GPT-2 tokenization: pre-tokenize -> byte-level BPE per
+    chunk. Lossless: ``bpe_decode_bytes(gpt2_encode(t, r)) == t``."""
+    out: list[str] = []
+    for chunk in gpt2_pre_tokenize(text):
+        out.extend(bpe_encode_bytes(chunk, ranks))
+    return out
+
+
 def load_merges(path: str) -> list[tuple[str, str]]:
     """Parse a stock GPT-2/HF ``merges.txt`` (optional ``#version``
     header, one space-separated pair per line)."""
@@ -140,10 +274,19 @@ def subtokenize_word(
     word: str,
     piece: int = PIECE,
     ranks: dict[tuple[str, str], int] | None = None,
+    byte_level: bool = False,
 ) -> list[str]:
     """Word -> subword pieces; real BPE when a rank table is given,
-    fixed-width chunks otherwise. Round-trip exact either way."""
+    fixed-width chunks otherwise. ``byte_level`` switches to GPT-2's
+    byte alphabet with the add_prefix_space convention the reference's
+    GPT2TokenizerFast applies to pre-split words
+    (run_jointmodel.py:652-661): every word is encoded as ' '+word, so
+    pieces carry the Ġ prefix and ``bpe_decode_bytes(pieces)`` round-
+    trips to ' '+word. Character-level paths round-trip via plain
+    ``''.join``."""
     if ranks is not None:
+        if byte_level:
+            return bpe_encode_bytes(" " + word, ranks)
         return bpe_encode(word, ranks)
     return [word[i : i + piece] for i in range(0, len(word), piece)] or [""]
 
@@ -154,6 +297,7 @@ def align_labels(
     label_all_tokens: bool = False,
     b_to_i: dict[int, int] | None = None,
     ranks: dict[tuple[str, str], int] | None = None,
+    byte_level: bool = False,
 ) -> tuple[list[str], list[int], list[int]]:
     """M1: words + word-level label ids -> (pieces, word_ids, piece_labels).
 
@@ -165,7 +309,9 @@ def align_labels(
     word_ids: list[int] = []
     labels: list[int] = []
     for w_idx, (word, lab) in enumerate(zip(words, label_ids)):
-        for p_idx, piece_str in enumerate(subtokenize_word(word, ranks=ranks)):
+        for p_idx, piece_str in enumerate(
+            subtokenize_word(word, ranks=ranks, byte_level=byte_level)
+        ):
             pieces.append(piece_str)
             word_ids.append(w_idx)
             if p_idx == 0:
@@ -225,6 +371,7 @@ def with_subtokens(
     label_to_id: dict[str, int],
     label_all_tokens: bool = False,
     merges: list[tuple[str, str]] | None = None,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Instance table -> piece-level table. ``piece_query_id`` is the
     piece index of the query word's first piece (query-id remap,
@@ -248,7 +395,7 @@ def with_subtokens(
                 words = list(r.tokens)
                 lab_ids = [label_to_id[t] for t in r.ner_tags]
                 pieces, word_ids, labels = align_labels(
-                    words, lab_ids, label_all_tokens, b_to_i, ranks
+                    words, lab_ids, label_all_tokens, b_to_i, ranks, byte_level
                 )
                 try:
                     pq = word_ids.index(int(r.query_id))

@@ -298,6 +298,27 @@ def gold_triples_by_doc_sql(rel: str = "documents") -> str:
     return f"WITH {_gold_triples_cte(rel)} SELECT * FROM gold"
 
 
+def pred_triples_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prediction path (frozen-scorer inference -> Viterbi decode ->
+    span grouping -> triple assembly, reference run_jointmodel.py:
+    1619-1688 eval branch), doc-keyed for hash-level oracle checking.
+
+    On the single-token documents KB the frozen scorer is deterministic
+    and pred==gold P/R is 1.0 (test-asserted in
+    tests/test_scoring.py::test_scored_predictions_match_reference_triples),
+    so the SAME ANSI-SQL twin that oracles the gold path
+    (gold_triples_by_doc_sql) independently derives this query's answer —
+    closing the last rows-only gap on the flagship surface."""
+    from denrl_spark.operators.fused import extract_triples_fused
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    trips = extract_triples_fused(tr, docs_kb(), mode="pred")
+    m = _sent_doc_map(tr)
+    return trips.join(m, "sent_id").select(
+        "doc_id", "ent1", "ent1_tag", "ent2", "ent2_tag"
+    )
+
+
 def edges_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalized KG edges over the doc-keyed gold triples (stage 6:
     linking.canonicalize + graph.materialize_graph), surface-keyed so
@@ -313,7 +334,9 @@ def edges_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     trips.count()
-    _, edges = materialize_graph(trips)
+    # eager: caches released before return (see kg_edges / ADVICE r2)
+    _, edges = materialize_graph(trips, eager="edges")
+    trips.unpersist()
     return edges.select(
         "src_surface",
         "pred",
@@ -378,7 +401,9 @@ def vertices_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     trips.count()
-    vertices, _ = materialize_graph(trips)
+    # eager: caches released before return (see kg_edges / ADVICE r2)
+    vertices, _ = materialize_graph(trips, eager="vertices")
+    trips.unpersist()
     return vertices.select(
         "canonical_surface",
         F.concat_ws(",", F.array_sort("types")).alias("types_csv"),

@@ -55,6 +55,9 @@ _q("kg_topk_patterns", docs_kg.topk_patterns_docs_sql())(docs_kg.topk_patterns_d
 _q("kg_gold_triples_by_doc", docs_kg.gold_triples_by_doc_sql())(
     docs_kg.gold_triples_by_doc
 )
+_q("kg_pred_triples_by_doc", docs_kg.gold_triples_by_doc_sql())(
+    docs_kg.pred_triples_by_doc
+)
 _q("kg_edges_by_doc", docs_kg.edges_by_doc_sql())(docs_kg.edges_by_doc)
 _q("kg_vertices_by_doc", docs_kg.vertices_by_doc_sql())(docs_kg.vertices_by_doc)
 
@@ -102,7 +105,12 @@ def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles the big side — the right join at every scale.
     trips = kg_gold_triples(spark, sf_dir).cache()
     trips.count()
-    _, edges = materialize_graph(trips)
+    # eager="edges": edges come back materialized (localCheckpoint) so
+    # both caches (triples here, mention map inside) can be released
+    # before returning — repeated invocations in a long session no
+    # longer accumulate InMemoryRelations (ADVICE r2).
+    _, edges = materialize_graph(trips, eager="edges")
+    trips.unpersist()
     return edges
 
 
@@ -494,7 +502,18 @@ def dedup_lsh_pairs(spark, sf_dir):
     """,
 )
 def dedup_jaccard_pairs(spark, sf_dir):
-    return textops.jaccard_pairs(_t(spark, sf_dir, "documents"))
+    """n-gram Jaccard pairs, 100 TB shape: LSH candidate generation
+    (bucketed band/minhash equi-join) followed by candidate-pruned exact
+    verify — cost scales with |candidates| x shingles/doc, never with
+    the hot-shingle square of the unfiltered shared-shingle self-join.
+    The oracle is the UNPRUNED exact SQL: on corpora whose near-dup
+    pairs sit at/above the 0.2 threshold with high overlap, 8-band LSH
+    recall is 1.0 (asserted against the unpruned twin in
+    tests/test_more_operators.py::test_jaccard_pruned_equals_unpruned),
+    so the pruned output hash-matches the exact answer."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = textops.lsh_candidate_pairs(docs)
+    return textops.jaccard_verify_pairs(docs, cand)
 
 
 @_q(

@@ -127,6 +127,31 @@ def test_near_dup_clusters(spark):
     assert sorted(d for d, (_, rep) in out.items() if rep) == [0, 3, 4]
 
 
+def test_jaccard_pruned_equals_unpruned(spark):
+    """The registered dedup_jaccard_pairs runs LSH candidates -> exact
+    verify; its DuckDB oracle is the UNPRUNED exact join. Valid iff LSH
+    recall is 1.0 at the 0.2 threshold on the corpus — asserted here,
+    plus a plan check that no join keys on shingle alone (the
+    hot-shingle-square shape) survives in the physical plan."""
+    from denrl_spark.functions.textops import (
+        jaccard_pairs,
+        jaccard_verify_pairs,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    unpruned = {tuple(r) for r in jaccard_pairs(docs).collect()}
+    pruned_df = jaccard_verify_pairs(docs, lsh_candidate_pairs(docs))
+    pruned = {tuple(r) for r in pruned_df.collect()}
+    assert pruned == unpruned and len(pruned) > 0
+
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Join" in line and "shingle#" in line:
+            # every shingle-keyed join must also be doc-keyed
+            assert "doc_b#" in line or "doc_a#" in line, line
+
+
 def test_pii_scan(spark):
     from denrl_spark.functions.textops import pii_scan
 

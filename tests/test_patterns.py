@@ -141,6 +141,56 @@ def test_negative_sampling(spark):
     assert "SinglePartition" not in plan
 
 
+def test_negative_sampling_twin_choice_oracle(spark):
+    """Cross-check of the JVM twin rewrite: recompute the query choice in
+    plain Python — usable = ascending positions not used by any positive
+    of the sentence, choice = usable[xxhash64(seed, instance_id) % n] —
+    and compare per negative. Only the raw hash value is taken from the
+    JVM (xxhash64 has no portable Python twin); the usable-set and
+    indexing logic are derived independently. Also asserts the rewrite
+    has NO Python stage in its physical plan (the point of the
+    rewrite, VERDICT r2 #6)."""
+    # checkpoint the input so the upstream instance-building Python
+    # stages drop out of the plan — the no-Python assert below must see
+    # only the twin rewrite itself
+    ins = _corpus_instances(spark).localCheckpoint()
+    seed = 42
+    all_neg = negative_sampling(ins, sample_rate=1.0, seed=seed).where(
+        F.col("instance_id") < 0
+    )
+    got = {
+        int(r["instance_id"]): (int(r["query_id"]), len(r["tokens"]))
+        for r in all_neg.select("instance_id", "query_id", "tokens").collect()
+    }
+    used = {
+        int(r["sent_id"]): set(r["uq"])
+        for r in ins.groupBy("sent_id")
+        .agg(F.collect_set("query_id").alias("uq"))
+        .collect()
+    }
+    hashes = {
+        int(r["instance_id"]): int(r["h"])
+        for r in ins.select(
+            "instance_id", F.xxhash64(F.lit(seed), "instance_id").alias("h")
+        ).collect()
+    }
+    n_checked = 0
+    for r in ins.select("instance_id", "sent_id", F.size("tokens").alias("n")).collect():
+        usable = [i for i in range(r["n"]) if i not in used[int(r["sent_id"])]]
+        neg_id = -int(r["instance_id"]) - 1
+        if not usable:
+            assert neg_id not in got  # filtered as unusable
+            continue
+        expect_q = usable[hashes[int(r["instance_id"])] % len(usable)]
+        assert got[neg_id][0] == expect_q
+        n_checked += 1
+    assert n_checked > 0
+
+    plan = all_neg._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert marker not in plan, marker
+
+
 def test_negative_sampling_hash_threshold_variant(spark):
     # exact=False: one-pass hash threshold — binomial size, deterministic,
     # and a subset of the usable-negative pool

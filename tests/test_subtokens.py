@@ -149,3 +149,83 @@ def test_with_subtokens_bpe_spark(spark):
                 assert lab != IGNORE
             else:
                 assert lab == IGNORE
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 byte-level layer (bytes_to_unicode + pre-tokenizer + Ġ convention)
+# ---------------------------------------------------------------------------
+
+from denrl_spark.operators.subtokens import (  # noqa: E402
+    BYTE_ENCODER,
+    bpe_decode_bytes,
+    bpe_encode_bytes,
+    bytes_to_unicode,
+    gpt2_encode,
+    gpt2_pre_tokenize,
+    merge_ranks,
+    _pre_tokenize_fallback,
+)
+
+
+def _chain(token):
+    """Merge list that fully assembles ``token`` left-to-right."""
+    return [(token[: i + 1], token[i + 1]) for i in range(len(token) - 1)]
+
+
+def test_bytes_to_unicode_map_is_gpt2s():
+    m = bytes_to_unicode()
+    assert len(m) == 256 and len(set(m.values())) == 256
+    assert m[ord("A")] == "A" and m[ord("!")] == "!"  # printables identity
+    assert m[32] == "Ġ"  # space -> Ġ
+    assert m[10] == "Ċ"  # newline -> Ċ
+
+
+def test_gpt2_pre_tokenize_known_splits():
+    assert gpt2_pre_tokenize("Hello, world!") == ["Hello", ",", " world", "!"]
+    assert gpt2_pre_tokenize("I'll go") == ["I", "'ll", " go"]
+    assert gpt2_pre_tokenize("a  b") == ["a", " ", " b"]
+    assert gpt2_pre_tokenize("abc123 x") == ["abc", "123", " x"]
+    assert gpt2_pre_tokenize("tail  ") == ["tail", "  "]
+    for t in ["Hello, world!", "a  b c", "x\ny", "1+2=3", "  lead", "café's"]:
+        assert "".join(gpt2_pre_tokenize(t)) == t
+
+
+def test_pre_tokenize_fallback_matches_regex():
+    cases = [
+        "Hello, world!", "I'll go", "a  b", "abc123 x", "tail  ",
+        "x\n\ny", "don't stop", "3.14 is pi", "  lead", "",
+    ]
+    for t in cases:
+        assert _pre_tokenize_fallback(t) == gpt2_pre_tokenize(t), t
+
+
+def test_gpt2_encode_known_tokenizations():
+    # with a merge table containing the needed chains, the byte-level
+    # pipeline reproduces the known GPT-2 pieces for these phrases
+    ranks = merge_ranks(_chain("Hello") + _chain("Ġworld"))
+    assert gpt2_encode("Hello world", ranks) == ["Hello", "Ġworld"]
+    assert gpt2_encode("Hello, world!", ranks) == ["Hello", ",", "Ġworld", "!"]
+
+
+def test_gpt2_encode_round_trips_any_unicode():
+    for t in ["Hello world", "café ☕ naïve", "line1\nline2", "数 digits 123", ""]:
+        assert bpe_decode_bytes(gpt2_encode(t, {})) == t
+
+
+def test_byte_level_subtokenize_word_prefix_space():
+    ranks = merge_ranks(_chain("Ġworld"))
+    assert subtokenize_word("world", ranks=ranks, byte_level=True) == ["Ġworld"]
+    # no merges: one piece per byte-symbol of ' world'
+    pieces = subtokenize_word("world", ranks={}, byte_level=True)
+    assert pieces[0] == "Ġ" and bpe_decode_bytes(pieces) == " world"
+
+
+def test_align_labels_byte_level_first_piece_rule():
+    ranks = merge_ranks(_chain("Ġjo"))
+    pieces, word_ids, labels = align_labels(
+        ["john", "met"], [5, 0], ranks=ranks, byte_level=True
+    )
+    # 'Ġjo','h','n' then 'Ġ','m','e','t' — first piece labeled, rest -100
+    assert pieces[0] == "Ġjo" and word_ids[:3] == [0, 0, 0]
+    assert labels[0] == 5 and set(labels[1:3]) == {IGNORE}
+    assert bpe_decode_bytes(pieces) == " john met"

@@ -96,15 +96,34 @@ def run_pair(c_lo: int, c_hi: int, inp: str, reps: int = 3) -> dict:
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 240000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = [a for a in sys.argv[1:] if a.startswith("--")]
+    n_convs = int(args[0]) if args else 240000
+    pair_spec = [(4, 16), (8, 32)]
+    reps = 3
+    write_md = True
+    for o in opts:
+        if o.startswith("--pairs="):
+            # e.g. --pairs=2:8,8:32 — custom pairs; the curated
+            # BENCH/BASELINE.md is NOT overwritten in this mode
+            pair_spec = [
+                tuple(int(x) for x in p.split(":")) for p in o[8:].split(",")
+            ]
+            write_md = False
+        elif o.startswith("--reps="):
+            reps = int(o[7:])
+        elif o == "--no-md":
+            write_md = False
     inp = f"/tmp/denrl_scaling_input_{n_convs}"
     materialize_input(n_convs, inp)
 
     pairs = []
-    for c_lo, c_hi in ((4, 16), (8, 32)):
-        pairs.append(run_pair(c_lo, c_hi, inp))
+    for c_lo, c_hi in pair_spec:
+        pairs.append(run_pair(c_lo, c_hi, inp, reps=reps))
     report = {"input_turns": pairs[0]["lo"]["turns"], "pairs": pairs, "target": 0.8}
     print(json.dumps(report, indent=2))
+    if not write_md:
+        return
 
     p0, p1 = pairs
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
