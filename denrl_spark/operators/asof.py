@@ -16,6 +16,16 @@ test-asserted against each other:
 Both implement BACKWARD as-of with STRICTLY-earlier matches
 (allow_exact_matches=False): each left row picks the latest right row
 with ``right.t < left.t`` within the same ``by`` key.
+
+Determinism: duplicate right rows at the same (by, t) are tie-broken to
+the MAX value in BOTH variants (the right side is sorted by (t, value)
+so the positionally/temporally last row wins), so the two formulations
+agree even on non-unique right keys.
+
+The value column's dtype is derived from the right frame, so any
+orderable type works; the nullable-Int64 corruption guard (merge_asof
+upcasts plain int64 to float64 on unmatched rows, silently corrupting
+values past 2^53) is applied exactly when the value type is integral.
 """
 
 from __future__ import annotations
@@ -23,6 +33,8 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
 def asof_join_window(
@@ -38,8 +50,9 @@ def asof_join_window(
     right side ordered first at equal t excluded via strict ordering on
     (t), then filter back to left rows. One shuffle total.
     """
+    rv_type = dict(right.dtypes)[value_col]
     l_tag = left.withColumn("_is_left", F.lit(1)).withColumn(
-        "_rv", F.lit(None).cast("long")
+        "_rv", F.lit(None).cast(rv_type)
     )
     r_tag = (
         right.select(by, on, F.col(value_col).alias("_rv"))
@@ -51,10 +64,12 @@ def asof_join_window(
         r_tag.select(*cols, *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in extra])
     )
     # strictly earlier: order by (t, _is_left) so right rows at time t
-    # sort AFTER left rows at the same t and are excluded by the -1 bound
+    # sort AFTER left rows at the same t and are excluded by the -1
+    # bound; _rv asc last so ties at the same right (by, t) resolve to
+    # the max value deterministically
     w = (
         Window.partitionBy(by)
-        .orderBy(on, F.desc("_is_left"))
+        .orderBy(on, F.desc("_is_left"), F.asc_nulls_first("_rv"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = unioned.withColumn(
@@ -74,34 +89,43 @@ def asof_join_cogroup(
     value_col: str = "rv",
 ) -> DataFrame:
     """Same semantics via cogrouped applyInPandas + pd.merge_asof."""
-    extra = [c for c in left.columns if c not in (by, on)]
+    rv_type = dict(right.dtypes)[value_col]
+    int_like = rv_type in _INT_TYPES
     schema = (
         ", ".join(
             f"{name} {dtype}"
             for name, dtype in left.dtypes
         )
-        + f", {value_col} long"
+        + f", {value_col} {rv_type}"
     )
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         l_pdf = l_pdf.sort_values(on).reset_index(drop=True)
         if r_pdf.empty:
-            l_pdf[value_col] = pd.array([None] * len(l_pdf), dtype="Int64")
+            l_pdf[value_col] = (
+                pd.array([None] * len(l_pdf), dtype="Int64")
+                if int_like
+                else pd.Series([None] * len(l_pdf), dtype="object")
+            )
             return l_pdf
         r = (
             r_pdf[[on, value_col]]
             .rename(columns={value_col: "_rv"})
-            .sort_values(on)
+            # (t, value) sort: merge_asof keeps the positionally-last
+            # row per t, so duplicate right (by, t) rows deterministically
+            # resolve to the max value — matching the window variant
+            .sort_values([on, "_rv"])
             .reset_index(drop=True)
         )
-        # nullable Int64 BEFORE the merge: merge_asof upcasts plain int64
-        # to float64 when any left row is unmatched, silently corrupting
-        # values past 2^53 (hash-sized longs)
-        r["_rv"] = r["_rv"].astype("Int64")
+        if int_like:
+            # nullable Int64 BEFORE the merge: merge_asof upcasts plain
+            # int64 to float64 when any left row is unmatched, silently
+            # corrupting values past 2^53 (hash-sized longs)
+            r["_rv"] = r["_rv"].astype("Int64")
         m = pd.merge_asof(
             l_pdf, r, on=on, direction="backward", allow_exact_matches=False
         )
-        m[value_col] = m.pop("_rv").astype("Int64")
+        m[value_col] = m.pop("_rv").astype("Int64") if int_like else m.pop("_rv")
         return m
 
     return (

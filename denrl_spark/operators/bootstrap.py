@@ -23,6 +23,7 @@ scoring UDF.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -205,10 +206,14 @@ def run_bootstrap(
                 stats=state.stats + [ckpt.manifest("train", rnd)["stats"]],
             )
             continue
+        t0 = time.time()
         state = bootstrap_round(
             state, instances, kb, rnd, threshold=threshold, max_new=max_new,
             seed=seed, sample_rate=sample_rate,
         )
+        # per-round wall time rides the stats record (and the checkpoint
+        # manifest) so large-corpus runs document round cost
+        state.stats[-1]["round_sec"] = round(time.time() - t0, 3)
         if ckpt:
             ckpt.write(state.pattern_set, "pattern_set", rnd)
             ckpt.write(state.trust_ids, "trust_ids", rnd)

@@ -593,7 +593,8 @@ def sim_cosine_topk(spark, sf_dir):
 
 @_q("sim_lsh_topk", similarity.lsh_topk_sql())  # approximate ANN path
 def sim_lsh_topk(spark, sf_dir):
-    """Multi-probe (Hamming-1) hyperplane LSH top-k; hash-verified
+    """Multi-probe (Hamming<=2: probe_bits defaults to 2, i.e. 22
+    buckets at n_planes=6) hyperplane LSH top-k; hash-verified
     against a DuckDB twin that buckets with the identical embedded
     plane literals. Recall vs the exact baseline is measured in
     tests/test_similarity.py."""

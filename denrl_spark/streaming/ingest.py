@@ -93,13 +93,23 @@ def dedup_stream(
     streaming twin of textops.dedup_exact — state is one (hash, ts) row
     per distinct document inside the horizon, evicted by the watermark
     (dropDuplicatesWithinWatermark), so state size is bounded by the
-    horizon's distinct volume, not the stream's lifetime."""
+    horizon's distinct volume, not the stream's lifetime.
+
+    Requires Spark >= 3.5 (dropDuplicatesWithinWatermark). There is
+    deliberately NO dropDuplicates fallback: keying dropDuplicates by
+    (hash, ts) would only drop duplicates carrying an identical
+    timestamp — silently different semantics from the content-dedup
+    contract above — so an older runtime raises instead (ADVICE r2)."""
     keyed = stream.withColumn("text_hash", F.md5("text"))
     cols = key_cols or ["text_hash"]
     out = keyed.withWatermark("ts", watermark)
-    if hasattr(out, "dropDuplicatesWithinWatermark"):
-        return out.dropDuplicatesWithinWatermark(cols)
-    return out.dropDuplicates(cols + ["ts"])
+    if not hasattr(out, "dropDuplicatesWithinWatermark"):
+        raise NotImplementedError(
+            "dedup_stream requires Spark >= 3.5 (dropDuplicatesWithinWatermark); "
+            "a dropDuplicates fallback would silently weaken content dedup to "
+            "(hash, ts) dedup"
+        )
+    return out.dropDuplicatesWithinWatermark(cols)
 
 
 def stream_triples(stream: DataFrame, sink_dir: str, checkpoint_dir: str, kb=None):

@@ -50,6 +50,31 @@ def test_asof_twins_match_oracle(spark):
     assert exp["e4"] == 400 and exp["e6"] is None
 
 
+def test_asof_duplicate_right_ties_and_dtypes(spark):
+    """Duplicate right rows at the same (by, t) resolve deterministically
+    to the MAX value in both variants (ADVICE r2), and the value dtype
+    is derived from the right frame rather than hard-coded long."""
+    left = spark.createDataFrame(
+        [("u1", 10, "e1"), ("u1", 3, "e2")], "user_id string, t long, event_id string"
+    )
+    right_dup = spark.createDataFrame(
+        [("u1", 5, 7), ("u1", 5, 9), ("u1", 5, 8)],
+        "user_id string, t long, rv int",  # int, not long: dtype derived
+    )
+    for fn in (asof_join_window, asof_join_cogroup):
+        got = fn(left, right_dup).collect()
+        vals = {r["event_id"]: r["rv"] for r in got}
+        assert vals == {"e1": 9, "e2": None}, fn.__name__
+        assert dict(fn(left, right_dup).dtypes)["rv"] == "int", fn.__name__
+    # non-integral value column (double) round-trips both variants
+    right_d = spark.createDataFrame(
+        [("u1", 5, 2.5), ("u1", 6, 1.25)], "user_id string, t long, rv double"
+    )
+    for fn in (asof_join_window, asof_join_cogroup):
+        vals = {r["event_id"]: r["rv"] for r in fn(left, right_d).collect()}
+        assert vals == {"e1": 1.25, "e2": None}, fn.__name__
+
+
 def test_asof_twins_match_on_events_table(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
         "user_id",
