@@ -38,7 +38,23 @@ def _q(name: str, sql: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table scan; the text/vector tables are lifted to cluster
+    parallelism when they arrive as fewer splits than cores. The driver
+    testdata is ONE parquet file per table, which pins the scan stage to
+    a single task — fatal where per-row compute dominates (measured:
+    the shingle stage of dedup_lsh_pairs ran 3.5s on one task at
+    sf0.1/32c; with the lift the full query is ~1.8s vs 6.8s). The
+    relational tables are deliberately NOT lifted: their scans are
+    bandwidth-bound simple expressions where the repartition shuffle
+    costs more than the single task (measured rel_agg_stats 0.4s ->
+    0.7s). Same rationale as docs_kg.load_documents; a no-op at
+    production scale where every table has >= cores splits."""
+    d = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        p = spark.sparkContext.defaultParallelism
+        if d.rdd.getNumPartitions() < p:
+            d = d.repartition(p)
+    return d
 
 
 # --------------------------------------------------------------------------
@@ -510,10 +526,10 @@ def dedup_jaccard_pairs(spark, sf_dir):
     pairs sit at/above the 0.2 threshold with high overlap, 8-band LSH
     recall is 1.0 (asserted against the unpruned twin in
     tests/test_more_operators.py::test_jaccard_pruned_equals_unpruned),
-    so the pruned output hash-matches the exact answer."""
-    docs = _t(spark, sf_dir, "documents")
-    cand = textops.lsh_candidate_pairs(docs)
-    return textops.jaccard_verify_pairs(docs, cand)
+    so the pruned output hash-matches the exact answer. The shingle
+    table is computed once and shared between the candidate and verify
+    stages (textops.jaccard_pairs_pruned)."""
+    return textops.jaccard_pairs_pruned(_t(spark, sf_dir, "documents"))
 
 
 @_q(

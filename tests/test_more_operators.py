@@ -133,15 +133,11 @@ def test_jaccard_pruned_equals_unpruned(spark):
     recall is 1.0 at the 0.2 threshold on the corpus — asserted here,
     plus a plan check that no join keys on shingle alone (the
     hot-shingle-square shape) survives in the physical plan."""
-    from denrl_spark.functions.textops import (
-        jaccard_pairs,
-        jaccard_verify_pairs,
-        lsh_candidate_pairs,
-    )
+    from denrl_spark.functions.textops import jaccard_pairs, jaccard_pairs_pruned
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     unpruned = {tuple(r) for r in jaccard_pairs(docs).collect()}
-    pruned_df = jaccard_verify_pairs(docs, lsh_candidate_pairs(docs))
+    pruned_df = jaccard_pairs_pruned(docs)
     pruned = {tuple(r) for r in pruned_df.collect()}
     assert pruned == unpruned and len(pruned) > 0
 
