@@ -153,6 +153,55 @@ def encode_tokens(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, rank, token, tfidf_e6): per-document top-k terms by
+    tf·idf — the term-salience primitive behind keyword-based curation
+    and topic balancing in training-data pipelines. idf = ln(N/df),
+    integer-scaled floor(1e6·tf·idf) for oracle-exact hashing (ties
+    broken token-asc). Shape: one explode + two map-side-combined
+    aggregations + a broadcast-joinable df table (vocab-sized) + one
+    window per doc — no self-joins."""
+    t = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    tf = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select("doc_id").distinct().count()
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        F.floor(1_000_000 * F.col("tf") * F.log(F.lit(float(n)) / F.col("df")))
+        .cast("long")
+        .alias("tfidf_e6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_e6"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tfidf_e6")
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, lp_e4): corpus-unigram-LM score per document —
+    the KenLM-style perplexity filter of a curation pipeline, with the
+    corpus itself as the LM. Each token contributes
+    floor(1e4·ln(cnt/T)); terms are integer-scaled BEFORE the sum so
+    the aggregate is an associative integer sum — immune to the
+    float-summation-order divergence that would break cross-engine
+    hash equality. Counts ride a broadcast join (vocab-sized)."""
+    t = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    counts = t.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = t.count()
+    term = F.floor(10_000 * F.log(F.col("cnt") / F.lit(float(total)))).cast("long")
+    return (
+        t.join(F.broadcast(counts), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(term).alias("lp_e4"),
+        )
+    )
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle): token 3-grams built with array higher-order
     functions (transform over an index sequence + element_at) — stays

@@ -441,6 +441,78 @@ def text_pii_scan(spark, sf_dir):
 
 
 @_q(
+    "text_tfidf_top_terms",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(floor(1000000 * tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)) AS BIGINT) AS tfidf_e6
+      FROM tf JOIN df USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tfidf_e6,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf_e6 DESC, token ASC) AS INT) AS rank
+      FROM scored)
+    SELECT doc_id, rank, token, tfidf_e6 FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@_q(
+    "text_unigram_lm",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM t)
+    SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+           CAST(sum(CAST(floor(10000 * ln(CAST(c.cnt AS DOUBLE) / tot.total)) AS BIGINT)) AS BIGINT) AS lp_e4
+    FROM t JOIN counts c USING (token) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def text_unigram_lm(spark, sf_dir):
+    """Corpus-unigram-LM document scoring (KenLM-style quality filter):
+    per-token floor-scaled log-probs summed as exact integers, so the
+    aggregate is order-invariant and hash-oracle-able."""
+    return textops.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "rel_stratified_sample",
+    """
+    SELECT o_orderpriority, o_orderkey FROM (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n_grp
+      FROM orders)
+    WHERE rn <= CAST(floor(0.1 * n_grp) AS BIGINT)
+    """,
+)
+def rel_stratified_sample(spark, sf_dir):
+    """Deterministic exact stratified sample: 10% per group, chosen by
+    hash rank — the balanced-sampling primitive of dataset curation
+    (per-domain/per-language quotas). One window shuffle per group key;
+    reproducible under any partitioning (hash order, not row order)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_grp", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") <= F.floor(0.1 * F.col("n_grp")))
+        .select("o_orderpriority", "o_orderkey")
+    )
+
+
+@_q(
     "dedup_exact",
     """
     SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,

@@ -163,3 +163,60 @@ def test_pii_scan(spark):
     assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 1 and out[0]["has_pii"] == 1
     assert out[1]["n_ssns"] == 1 and out[1]["n_urls"] == 1 and out[1]["has_pii"] == 1
     assert out[2]["has_pii"] == 0 and out[2]["n_urls"] == 0
+
+
+def test_tfidf_top_terms_semantics(spark):
+    import math
+
+    from denrl_spark.functions.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "common rare1 common"), (1, "common rare2"), (2, "common x y")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["tfidf_e6"]))
+    # 'common' appears in every doc -> idf = ln(3/3) = 0 -> score 0;
+    # each doc's rank-1 term is its rare token with tf=1, idf=ln(3)
+    expect = math.floor(1_000_000 * math.log(3.0))
+    assert by_doc[0][0][1] == "rare1" and by_doc[0][0][2] == expect
+    assert by_doc[1][0][1] == "rare2" and by_doc[1][0][2] == expect
+    # ranks contiguous from 1, k respected
+    for rows in by_doc.values():
+        assert [r[0] for r in sorted(rows)] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 2
+
+
+def test_unigram_lm_scores(spark):
+    import math
+
+    from denrl_spark.functions.textops import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a a a")], "doc_id long, text string"
+    )
+    # corpus: a x5, b x1, total 6
+    got = {r["doc_id"]: (r["n_tokens"], r["lp_e4"]) for r in unigram_logprob(docs).collect()}
+    lp = lambda c: math.floor(10_000 * math.log(c / 6.0))
+    assert got[0] == (3, 2 * lp(5) + lp(1))
+    assert got[1] == (3, 3 * lp(5))
+    # the all-common doc scores higher (less surprising) than the one
+    # containing the rare token
+    assert got[1][1] > got[0][1]
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    from denrl_spark.plans.driver_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["rel_stratified_sample"](spark, sf).cache()
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    sizes = {r["o_orderpriority"]: r["count"] for r in orders.groupBy("o_orderpriority").count().collect()}
+    got = {r["o_orderpriority"]: r["count"] for r in out.groupBy("o_orderpriority").count().collect()}
+    for grp, n in sizes.items():
+        assert got.get(grp, 0) == int(0.1 * n) // 1, grp
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, QUERIES["rel_stratified_sample"](spark, sf).collect()))
+    assert a == b
