@@ -224,6 +224,41 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", F.explode(grams).alias("shingle"))
 
 
+def minhash_signature_cols(
+    df: DataFrame, text_col: str = "text", n_bands: int = N_BANDS
+) -> DataFrame:
+    """Adds per-ROW minhash signature columns mh0..mh{n-1}: band b =
+    min over the row's shingles of md5('b:shingle'), computed entirely
+    with array higher-order functions — NO aggregation, so the operator
+    is legal in Structured Streaming (stateless projection) and equals
+    the groupBy band-min of ``minhash_signatures`` row-for-row (min
+    over a multiset == min over its set; test-asserted). Rows with < 3
+    tokens have no shingles; their bands fall back to md5(text) (an
+    exact-content signature) so null never matches null."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    grams = F.when(F.size(toks) >= 3, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    out = df
+    for b in range(n_bands):
+        mh = F.array_min(
+            F.transform(
+                grams, lambda g: F.md5(F.concat_ws(":", F.lit(str(b)), g))
+            )
+        )
+        out = out.withColumn(f"mh{b}", F.coalesce(mh, F.md5(F.col(text_col))))
+    return out
+
+
 def minhash_from_shingles(sh: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """(doc_id, band, mh) from a prebuilt (doc_id, shingle) frame — see
     minhash_signatures for the band-min shape rationale. Min over a

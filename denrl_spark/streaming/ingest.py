@@ -112,6 +112,31 @@ def dedup_stream(
     return out.dropDuplicatesWithinWatermark(cols)
 
 
+def dedup_stream_near(
+    stream: DataFrame, watermark: str = "2 hours", n_bands: int = 8
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression at ingest: each row gets a
+    per-row MinHash signature (mh0..mh{n-1}, array HOFs — stateless, so
+    legal in streaming; textops.minhash_signature_cols) and the first
+    row per FULL signature within the watermark horizon wins. Matching
+    all n bands is the high-precision regime (near-exact duplicates —
+    boilerplate re-sends, trivially-edited reposts); single-band
+    matching would be the batch LSH candidate rule and over-drops as a
+    filter. State is one signature row per distinct surviving doc in
+    the horizon, watermark-evicted. Requires Spark >= 3.5 (same
+    contract as dedup_stream)."""
+    from denrl_spark.functions.textops import minhash_signature_cols
+
+    sig = minhash_signature_cols(stream, "text", n_bands)
+    cols = [f"mh{b}" for b in range(n_bands)]
+    out = sig.withWatermark("ts", watermark)
+    if not hasattr(out, "dropDuplicatesWithinWatermark"):
+        raise NotImplementedError(
+            "dedup_stream_near requires Spark >= 3.5 (dropDuplicatesWithinWatermark)"
+        )
+    return out.dropDuplicatesWithinWatermark(cols)
+
+
 def stream_triples(stream: DataFrame, sink_dir: str, checkpoint_dir: str, kb=None):
     """Incremental triple extraction via foreachBatch: batch operators
     reused verbatim per micro-batch."""

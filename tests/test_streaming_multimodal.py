@@ -189,6 +189,62 @@ def test_dedup_stream_drops_duplicates(spark, transcript_dir, tmp_path):
         q.stop()
 
 
+def test_minhash_signature_cols_match_aggregated(spark, transcript_dir):
+    """The per-row (streaming-legal) signature equals the groupBy
+    band-min signature row-for-row on real corpus text."""
+    from denrl_spark.functions.textops import (
+        minhash_signature_cols,
+        minhash_signatures,
+    )
+
+    docs = (
+        spark.read.parquet(transcript_dir)
+        .select(F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text")
+        .where(F.size(F.split("text", " ")) >= 3)
+        .limit(200)
+    )
+    per_row = {
+        r["doc_id"]: tuple(r[f"mh{b}"] for b in range(8))
+        for r in minhash_signature_cols(docs).collect()
+    }
+    agg = {}
+    for r in minhash_signatures(docs).collect():
+        agg.setdefault(r["doc_id"], {})[r["band"]] = r["mh"]
+    assert len(per_row) == len(agg) > 0
+    for doc_id, sig in per_row.items():
+        assert sig == tuple(agg[doc_id][b] for b in range(8)), doc_id
+
+
+def test_dedup_stream_near_drops_signature_duplicates(spark, transcript_dir, tmp_path):
+    from denrl_spark.streaming.ingest import dedup_stream_near
+
+    d = str(tmp_path / "near_in")
+    base = spark.read.parquet(transcript_dir)
+    base.write.mode("overwrite").parquet(d)
+    base.write.mode("append").parquet(d)  # every signature duplicated
+
+    stream = stream_transcripts(spark, d)
+    q = (
+        dedup_stream_near(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM near_out")
+        # one survivor per distinct full signature in the batch twin
+        from denrl_spark.functions.textops import minhash_signature_cols
+
+        sig_cols = [f"mh{b}" for b in range(8)]
+        n_sigs = minhash_signature_cols(base).select(*sig_cols).distinct().count()
+        assert out.count() == n_sigs
+        assert out.select(*sig_cols).distinct().count() == n_sigs
+    finally:
+        q.stop()
+
+
 def test_resize_and_frame_sample_plumbing(spark, transcript_dir):
     from denrl_spark.functions.multimodal import resize_images, sample_frames
 
