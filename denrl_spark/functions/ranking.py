@@ -1,0 +1,59 @@
+"""Distributed exact global ranking — no single-partition exchange.
+
+A global ``row_number() OVER (ORDER BY ...)`` funnels the whole table
+through ONE task (Spark plans it as Exchange SinglePartition + sort) —
+the classic scale-killer for dense global ids. This module computes the
+same dense 0-based rank distributively:
+
+1. ``repartitionByRange`` on the order columns — partitions become
+   ordered, non-overlapping intervals (range boundaries come from
+   sampling, but rank correctness is independent of WHERE the
+   boundaries land, only that partitions are ordered);
+2. sort within partitions;
+3. ``monotonically_increasing_id`` exposes (partition id, local row
+   number) in its bit layout;
+4. one tiny per-partition-count collect turns local numbers into
+   global offsets.
+
+Same construction as the distributed exact sampler in
+operators/negatives.py; factored here for reuse by vocab building (and
+any other dense-id assignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def with_global_row_number(
+    df: DataFrame, order_exprs: list[Column], out_col: str = "global_rn"
+) -> DataFrame:
+    """Returns ``df`` + ``out_col`` = dense 0-based rank by
+    ``order_exprs`` (must be a total order for deterministic ids). The
+    result is localCheckpoint-ed: the layout must be pinned so the
+    count job and the consumer see identical ranks."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    ranged = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33))
+        .withColumn("_local_rn", F.col("_mid").bitwiseAND((1 << 33) - 1))
+        .drop("_mid")
+        .localCheckpoint()
+    )
+    pc = ranged.groupBy("_pid").count().collect()
+    acc, offsets = 0, {}
+    for pid, cnt in sorted((r["_pid"], r["count"]) for r in pc):
+        offsets[pid] = acc
+        acc += cnt
+    limits = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        "_pid long, _offset long",
+    )
+    return (
+        ranged.join(F.broadcast(limits), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_local_rn"))
+        .drop("_pid", "_local_rn", "_offset")
+    )

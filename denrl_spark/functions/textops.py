@@ -126,15 +126,25 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 def build_vocab(docs: DataFrame, max_size: int = 1_000_000) -> DataFrame:
     """A5 vocab build (run_lstm.py:332-344): token frequency top-N with
     special ids 0=[PAD], 1=[UNK]; real tokens get ids from 2, ordered
-    (count desc, token asc) for partition-invariant determinism."""
+    (count desc, token asc) for partition-invariant determinism.
+
+    The dense global id is assigned DISTRIBUTIVELY (range partition +
+    per-partition offsets, functions/ranking.py) — a global
+    ``row_number() OVER (ORDER BY ...)`` window would funnel the whole
+    token-count table through one task (Exchange SinglePartition), the
+    one scale smell the registry-wide plan-hygiene test forbids."""
+    from denrl_spark.functions.ranking import with_global_row_number
+
     counts = (
         docs.select(F.explode(_toks()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = with_global_row_number(
+        counts, [F.desc("cnt"), F.asc("token")], out_col="_rn"
+    )
     return (
-        counts.withColumn("token_id", (F.row_number().over(w) + 1).cast("int"))
+        ranked.withColumn("token_id", (F.col("_rn") + 2).cast("int"))
         .where(F.col("token_id") < max_size + 2)
         .select("token", "token_id", "cnt")
     )
