@@ -229,6 +229,57 @@ def lsh_near_dup_pairs(
     return scored.where(F.col("cos_e3") >= min_cos_e3)
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined IVF centroids, fully deterministic: init = the
+    hash-ordered corpus sample (the zero-training pick ivf_topk uses by
+    default); each round assigns every vector to its max-cosine
+    centroid (broadcast nested-loop over n_centroids rows — the small
+    side by design) and recomputes each centroid as the per-dimension
+    mean of its members (``dim`` avg aggregates, map-side combined; a
+    cluster that loses all members keeps its previous centroid).
+    Cost per round: ONE pass over the corpus + a k x dim collect — the
+    textbook distributed k-means shape; training state is O(k·dim),
+    never O(corpus). Returns (cid, cv) with cid = 0..k-1."""
+    spark = embeddings.sparkSession
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    init = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in init]
+    dim = len(cents[0])
+    schema = "cid long, cv array<double>"
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(list(enumerate(cents)), schema)
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+        assigned = (
+            e.crossJoin(cdf)
+            .select(
+                "vec_id",
+                "v",
+                "cid",
+                (_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("ccos"),
+            )
+            .withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") == 1)
+        )
+        means = assigned.groupBy("cid").agg(
+            *[F.avg(F.col("v")[i].cast("double")).alias(f"d{i}") for i in range(dim)]
+        )
+        for r in means.collect():
+            cents[int(r["cid"])] = [float(r[f"d{i}"]) for i in range(dim)]
+    return spark.createDataFrame(list(enumerate(cents)), schema)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -237,6 +288,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize every vector to its
     nearest centroid (inverted lists keyed by centroid id), probe the
@@ -244,18 +296,24 @@ def ivf_topk(
 
     Centroids are a deterministic hash-ordered sample of the corpus
     vectors (ORDER BY md5(vec_id) LIMIT n_centroids) — the zero-training
-    IVF variant; production IVF refines them with k-means rounds, which
+    IVF variant that the SQL oracle mirrors; ``refine_iters > 0``
+    switches to Lloyd-refined centroids (``kmeans_centroids``), which
     changes centroid VALUES but not this dataflow. Scale shape: the
     centroid table is n_centroids rows (broadcast); assignment is one
     broadcast nested-loop over it (k small by design); the probe join is
     an equi-join on centroid id, so the corpus never self-joins.
     """
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    cents = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
+    if refine_iters > 0:
+        cents = kmeans_centroids(
+            embeddings, n_centroids, refine_iters, id_col, vec_col
+        )
+    else:
+        cents = (
+            e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(n_centroids)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        )
     cents = F.broadcast(cents)
 
     def cos(a, b):

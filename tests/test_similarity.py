@@ -155,3 +155,40 @@ def test_ivf_probe_join_is_equi_join(spark, clustered):
     # any nested-loop joins present must build a broadcast side (the tiny
     # centroid table); a CartesianProduct would mean corpus x corpus
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_kmeans_refinement_improves_tight_budget_recall(spark, clustered):
+    """Lloyd refinement must not hurt — and at the tightest probe
+    budget (nprobe=1) it should sharpen the inverted lists vs the
+    zero-training hash-sample centroids (measured baseline ~0.79 on
+    this fixture). Also pins determinism: two runs produce identical
+    results."""
+    from denrl_spark.functions.similarity import ivf_topk
+
+    queries = clustered.where("vec_id % 3 = 0")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(clustered, queries, k=2).collect()
+    }
+
+    def recall(refine_iters):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                clustered, queries, k=2, n_centroids=8, nprobe=1,
+                refine_iters=refine_iters,
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    base, refined = recall(0), recall(3)
+    assert refined >= base, (base, refined)
+    assert refined >= 0.85, refined
+
+    a = sorted(
+        map(tuple, ivf_topk(clustered, queries, k=2, refine_iters=2).collect())
+    )
+    b = sorted(
+        map(tuple, ivf_topk(clustered, queries, k=2, refine_iters=2).collect())
+    )
+    assert a == b
