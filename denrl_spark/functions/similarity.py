@@ -229,6 +229,31 @@ def lsh_near_dup_pairs(
     return scored.where(F.col("cos_e3") >= min_cos_e3)
 
 
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving
+    compression a 100 TB embedding table runs before indexing (4x
+    smaller than float32, 8x than float64): scale = max|v| / 127,
+    q_i = round(v_i/scale) in [-127, 127]. Returns
+    (vec_id, scale_e9, qvec array<int>); zero vectors quantize to all
+    zeros with scale 0. JVM-side array HOFs only. Dequantized cosine
+    error is bounded by ~1/127 per axis (round-trip asserted in
+    tests)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    q = F.when(amax == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(127 * x / amax).cast("int"))
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.floor(1_000_000_000 * amax / 127).cast("long").alias("scale_e9"),
+        q.alias("qvec"),
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_centroids: int = 8,

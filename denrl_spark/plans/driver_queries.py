@@ -786,6 +786,31 @@ def dedup_embedding_pairs(spark, sf_dir):
 
 
 @_q(
+    "sim_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS amax, v FROM e),
+    q AS (SELECT vec_id,
+                 CAST(floor(1000000000 * amax / 127) AS BIGINT) AS scale_e9,
+                 generate_subscripts(v, 1) - 1 AS dim,
+                 CASE WHEN amax = 0 THEN 0
+                      ELSE CAST(round(127 * unnest(v) / amax) AS BIGINT) END AS qval
+          FROM m)
+    SELECT vec_id, scale_e9, CAST(dim AS INT) AS dim, qval FROM q
+    """,
+)
+def sim_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (similarity.quantize_int8),
+    emitted exploded to (vec_id, scale_e9, dim, qval) integer rows so
+    the value hash is array-layout-independent. Both engines round
+    half-away-from-zero, so the quantized values match bit-exactly."""
+    q = similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale_e9", F.posexplode("qvec").alias("dim", "qval")
+    ).select("vec_id", "scale_e9", "dim", F.col("qval").cast("bigint").alias("qval"))
+
+
+@_q(
     "rel_sample_deterministic",  # F3 random sample, hash-seeded (reproducible)
     """
     SELECT doc_id FROM documents

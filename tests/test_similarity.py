@@ -192,3 +192,25 @@ def test_ivf_kmeans_refinement_improves_tight_budget_recall(spark, clustered):
         map(tuple, ivf_topk(clustered, queries, k=2, refine_iters=2).collect())
     )
     assert a == b
+
+
+def test_quantize_int8_round_trip_and_edge_cases(spark):
+    import numpy as np
+
+    from denrl_spark.functions.similarity import quantize_int8
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(20)]
+    rows.append((99, [0.0] * 16))  # zero vector
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_int8(e).collect()}
+    # zero vector: all-zero qvec, scale 0
+    assert out[99]["scale_e9"] == 0 and all(q == 0 for q in out[99]["qvec"])
+    for i, v in rows[:-1]:
+        q = np.array(out[i]["qvec"], dtype=np.float64)
+        assert np.abs(q).max() == 127  # the max-|v| axis saturates exactly
+        scale = out[i]["scale_e9"] / 1e9
+        deq = q * scale
+        orig = np.array(v, dtype=np.float64)
+        cos = deq @ orig / (np.linalg.norm(deq) * np.linalg.norm(orig))
+        assert cos > 0.999, (i, cos)  # quantization barely moves direction
