@@ -19,6 +19,58 @@ from pyspark.sql import DataFrame, functions as F
 
 from denrl_spark.operators.linking import canonicalize
 
+R_TOOL_TOUCHES = "/agent/tool/touches"
+
+
+def tool_edges(transcripts: DataFrame, kb) -> DataFrame:
+    """Agent-transcript tool-usage edges: (tool, pred=/agent/tool/touches,
+    entity_surface, etype, n_obs, n_convs) — which tools handle which KB
+    entities, the transcript-specific modality of the input contract
+    (``tool`` column, BASELINE.json input_hint) that pure document KGs
+    don't have. Occurrence = exact 1/2-gram surface presence in a
+    tool-turn's text (KB surfaces are 1-2 tokens by construction).
+
+    Shape: explode unigrams+bigrams of TOOL turns only (the tool-turn
+    fraction bounds the explode), broadcast equi-join against the
+    vocabulary-sized entity table, one map-side-combined aggregation —
+    no nested-loop scans, no self-joins."""
+    spark = transcripts.sparkSession
+    toks = F.split("text", " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    t = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select("conv_id", "tool", F.explode(F.concat(toks, bigrams)).alias("surface"))
+    )
+    ents = F.broadcast(
+        spark.createDataFrame(
+            sorted(kb.entity_type.items()), "surface string, etype string"
+        )
+    )
+    return (
+        t.join(ents, "surface")
+        .groupBy("tool", "surface", "etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .select(
+            "tool",
+            F.lit(R_TOOL_TOUCHES).alias("pred"),
+            "surface",
+            "etype",
+            "n_obs",
+            "n_convs",
+        )
+    )
+
 
 def materialize_graph(
     triples: DataFrame,

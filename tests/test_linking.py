@@ -129,3 +129,31 @@ def test_materialize_graph_no_unbounded_broadcast(spark):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+def test_tool_edges(spark):
+    """Tool turns' entity touches aggregate into (tool, pred, surface)
+    edges; Python-recomputed oracle over the same corpus."""
+    from denrl_spark.operators.graph import R_TOOL_TOUCHES, tool_edges
+
+    tr = transcripts(spark, 40, seed=42).cache()
+    got = {
+        (r["tool"], r["surface"]): (r["n_obs"], r["n_convs"], r["pred"], r["etype"])
+        for r in tool_edges(tr, KBD).collect()
+    }
+    # independent recomputation
+    expect = {}
+    convs = {}
+    for row in tr.where("tool is not null").collect():
+        toks = row["text"].split(" ")
+        grams = toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        for g in grams:
+            if g in KBD.entity_type:
+                k = (row["tool"], g)
+                expect[k] = expect.get(k, 0) + 1
+                convs.setdefault(k, set()).add(row["conv_id"])
+    assert len(got) == len(expect) > 0
+    for k, n in expect.items():
+        n_obs, n_convs, pred, etype = got[k]
+        assert (n_obs, n_convs) == (n, len(convs[k])), k
+        assert pred == R_TOOL_TOUCHES and etype == KBD.entity_type[k[1]]
