@@ -869,6 +869,63 @@ def text_encode_tokens(spark, sf_dir):
 
 
 @_q(
+    "rel_hot_keys",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM events)
+    SELECT user_id, n, CAST(floor(1000000 * n / tot.total) AS BIGINT) AS share_e6
+    FROM c CROSS JOIN tot
+    ORDER BY n DESC, user_id ASC LIMIT 10
+    """,
+)
+def rel_hot_keys(spark, sf_dir):
+    """Skew diagnostics: the top-10 hottest join/agg keys with their
+    traffic share — the profiling step that decides salting/AQE-skew
+    settings before a 100 TB run. TakeOrdered top-k (no global sort, no
+    single-partition exchange); total via a 1-row cross join."""
+    e = _t(spark, sf_dir, "events")
+    total = e.count()
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "share_e6", F.floor(1_000_000 * F.col("n") / F.lit(total)).cast("bigint")
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@_q(
+    "text_clean_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x1F]', ' ', 'g'),
+                '\\s+', ' ', 'g')) AS clean_text,
+           CAST(length(text) - length(trim(regexp_replace(regexp_replace(lower(text),
+                '[\\x00-\\x1F]', ' ', 'g'), '\\s+', ' ', 'g'))) AS INT) AS n_removed
+    FROM documents
+    """,
+)
+def text_clean_normalize(spark, sf_dir):
+    """Text normalization pass (curation pre-step): lowercase, strip
+    control characters, collapse whitespace — all JVM regexp, one scan,
+    with a removed-char count so a pipeline can monitor cleanup volume."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[\x00-\x1F]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (F.length("text") - F.length(cleaned)).cast("int").alias("n_removed"),
+    )
+
+
+@_q(
     "rel_cube_agg",  # multi-dim rollup (cube) over documents metadata
     """
     SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
