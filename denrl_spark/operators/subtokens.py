@@ -125,7 +125,18 @@ def _pre_tokenize_fallback(text: str) -> list[str]:
     str.isalpha/isnumeric (the \\p{L}/\\p{N} classes). The whitespace
     rule mirrors the pattern's backtracking: a whitespace run followed
     by a non-space yields the run minus its last space, and that last
-    space prefixes the following letter/number/punct token."""
+    space prefixes the following letter/number/punct token. Whitespace
+    is the Unicode White_Space property (what regex ``\\s`` matches) —
+    NOT ``str.isspace()``, which additionally counts the separator
+    controls \\x1c-\\x1f. Known limit: the ``regex`` module may carry a
+    newer Unicode table than the stdlib, so codepoints assigned as
+    letters/numbers only in the newer standard (supplementary-plane
+    additions) can classify differently between the two paths; the
+    property test pins equality over the BMP."""
+
+    def is_ws(c: str) -> bool:
+        return c.isspace() and c not in "\x1c\x1d\x1e\x1f"
+
     out: list[str] = []
     i, n = 0, len(text)
     contractions = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
@@ -137,9 +148,9 @@ def _pre_tokenize_fallback(text: str) -> list[str]:
             i += len(hit)
             continue
         ch = text[i]
-        if ch.isspace() and not pending_space:
+        if is_ws(ch) and not pending_space:
             k = i
-            while k < n and text[k].isspace():
+            while k < n and is_ws(text[k]):
                 k += 1
             if k < n and text[k - 1] == " ":
                 # run before a token, ending in a literal space: that
@@ -167,7 +178,7 @@ def _pre_tokenize_fallback(text: str) -> list[str]:
                 k += 1
         else:
             while k < n and not (
-                text[k].isspace() or text[k].isalpha() or text[k].isnumeric()
+                is_ws(text[k]) or text[k].isalpha() or text[k].isnumeric()
             ):
                 k += 1
         out.append(pending_space + text[i:k])

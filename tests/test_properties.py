@@ -105,3 +105,43 @@ def test_pattern_extraction_padding_invariant(sent):
     tags2 = tags + ["O", "O"]
     pats2 = extract_patterns_py(tokens2, tags2, 0)
     assert pats == pats2
+
+
+# --------------------------------------------------------------------------
+# GPT-2 byte-level layer (subtokens): lossless round-trips + scanner twin
+# --------------------------------------------------------------------------
+
+from denrl_spark.operators.subtokens import (  # noqa: E402
+    _pre_tokenize_fallback,
+    bpe_decode_bytes,
+    gpt2_encode,
+    gpt2_pre_tokenize,
+    learn_bpe,
+    merge_ranks,
+)
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_pre_tokenize_round_trips_any_text(t):
+    assert "".join(gpt2_pre_tokenize(t)) == t
+
+
+@given(st.text(alphabet=st.characters(max_codepoint=0xFFFF), max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_pre_tokenize_fallback_matches_regex_any_text(t):
+    # BMP-scoped: the regex module can carry a newer Unicode table than
+    # the stdlib, so supplementary-plane codepoints assigned only in the
+    # newer standard legitimately classify differently (documented in
+    # _pre_tokenize_fallback)
+    assert _pre_tokenize_fallback(t) == gpt2_pre_tokenize(t)
+
+
+@given(st.text(max_size=60), st.integers(min_value=0, max_value=40))
+@settings(max_examples=100, deadline=None)
+def test_gpt2_encode_lossless_with_learned_merges(t, n_merges):
+    # merges learned from the text's own chunks; encode must stay
+    # lossless regardless of merge table contents
+    chunks = gpt2_pre_tokenize(t)
+    ranks = merge_ranks(learn_bpe({c: 1 for c in chunks if c}, n_merges))
+    assert bpe_decode_bytes(gpt2_encode(t, ranks)) == t
