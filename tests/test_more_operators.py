@@ -220,3 +220,33 @@ def test_stratified_sample_exact_and_deterministic(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, QUERIES["rel_stratified_sample"](spark, sf).collect()))
     assert a == b
+
+
+def test_global_row_number_matches_window_and_is_partition_invariant(spark):
+    """functions/ranking.py: the distributed dense rank equals the
+    single-partition window row_number on the same total order, under
+    multiple input partitionings, and plans no SinglePartition
+    exchange."""
+    from pyspark.sql import Window
+
+    from denrl_spark.functions.ranking import with_global_row_number
+
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(97)).alias("key"),
+    )
+    w = Window.orderBy(F.desc("key"), F.asc("id"))
+    expect = {
+        (r["id"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w) - 1).collect()
+    }
+    for parts in (1, 7):
+        ranked = with_global_row_number(
+            df.repartition(parts), [F.desc("key"), F.asc("id")], out_col="grn"
+        )
+        got = {r["id"]: r["grn"] for r in ranked.collect()}
+        assert got == expect, parts
+    plan = with_global_row_number(
+        df, [F.desc("key"), F.asc("id")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
