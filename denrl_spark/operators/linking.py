@@ -121,6 +121,31 @@ def connected_components(
     return labels
 
 
+def canonicalize_surfaces(mentions: DataFrame) -> DataFrame:
+    """Surface-level canonical map (the no-alias-edges star path):
+    canonical surface = min(surface) over the normalized-form group.
+
+    Window formulation: one shuffle over the distinct-mention table, no
+    self-join and NO internal cache (the previous groupBy+join shape
+    cached the mention table and leaked the InMemoryRelation to the
+    caller, ADVICE r2). Norm groups are surface-form variants (casing /
+    punctuation), bounded fan-in, so the window partition cannot be a
+    power-law hotspot the way raw mention counts can. Input: any frame
+    with a ``surface`` column (``norm`` derived if absent) — callers
+    include batch canonicalize() and the streaming graph-delta
+    compaction view (streaming/ingest.py:graph_edges_view)."""
+    from pyspark.sql import Window
+
+    if "norm" not in mentions.columns:
+        mentions = mentions.withColumn("norm", normalize_surface(F.col("surface")))
+    w = Window.partitionBy("norm")
+    return (
+        mentions.withColumn("canonical_surface", F.min("surface").over(w))
+        .withColumn("canonical_id", F.xxhash64("canonical_surface"))
+        .select("surface", "norm", "canonical_id", "canonical_surface")
+    )
+
+
 def canonicalize(
     triples: DataFrame,
     salt_buckets: int = 8,
@@ -144,21 +169,7 @@ def canonicalize(
     """
     mentions = extract_mentions(triples)
     if alias_edges is None:
-        # Window formulation: min(surface) over the norm partition — one
-        # shuffle over the distinct-mention table, no self-join and NO
-        # internal cache (the previous groupBy+join shape cached the
-        # mention table and leaked the InMemoryRelation to the caller,
-        # ADVICE r2). Norm groups are surface-form variants (casing /
-        # punctuation), bounded fan-in, so the window partition cannot
-        # be a power-law hotspot the way raw mention counts can.
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("norm")
-        return (
-            mentions.withColumn("canonical_surface", F.min("surface").over(w))
-            .withColumn("canonical_id", F.xxhash64("canonical_surface"))
-            .select("surface", "norm", "canonical_id", "canonical_surface")
-        )
+        return canonicalize_surfaces(mentions)
 
     mentions = mentions.cache()
     edges = mention_edges(mentions, salt_buckets=salt_buckets).unionByName(

@@ -137,6 +137,104 @@ def dedup_stream_near(
     return out.dropDuplicatesWithinWatermark(cols)
 
 
+def stream_graph_deltas(
+    stream: DataFrame, sink_dir: str, checkpoint_dir: str, kb=None
+):
+    """Incremental KG EDGE maintenance, log-structured: each micro-batch
+    extracts triples and writes two per-batch delta tables, each with
+    idempotent overwrite by batch id (a replayed batch rewrites its own
+    directory — exactly-once effect; the parquet-sandbox analog of an
+    Iceberg MERGE INTO):
+
+    - ``edges/batch_id=N``: per-(ent1, pred, ent2, sent_id) observation
+      counts — SENTENCE grain, so the compaction view can compute exact
+      distinct-sentence counts even when canonicalization later merges
+      surfaces across raw pairs (a canonical-group sum of pre-counted
+      distincts would double-count such sentences);
+    - ``mentions/batch_id=N``: distinct surfaces seen in ALL triples
+      (entity-tag co-mentions included) — the canonical map depends on
+      every mention, not just relation rows.
+
+    ``graph_edges_view`` compacts the log into the current edge table
+    and equals the batch ``materialize_graph`` edges exactly
+    (test-asserted)."""
+    from denrl_spark.operators.spans import assemble_triples
+    from denrl_spark.operators.tagging import build_instances
+    from denrl_spark.sources.kb import KB
+
+    kb = kb or KB.default()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        trips = assemble_triples(build_instances(batch_df, kb))
+        rel = trips.where(F.col("ent2_tag").contains("/"))
+        edges = rel.groupBy(
+            "ent1", F.col("ent2_tag").alias("pred"), "ent2", "sent_id"
+        ).agg(F.count(F.lit(1)).alias("n_obs"))
+        mentions = (
+            trips.select(F.explode(F.array("ent1", "ent2")).alias("surface"))
+            .where(F.col("surface") != "")
+            .distinct()
+        )
+        edges.write.mode("overwrite").parquet(
+            f"{sink_dir}/edges/batch_id={batch_id}"
+        )
+        mentions.write.mode("overwrite").parquet(
+            f"{sink_dir}/mentions/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def graph_edges_view(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Compaction view over the delta log written by
+    ``stream_graph_deltas``: canonicalize the union of all mention
+    deltas (same star-path map the batch graph uses), join the
+    sentence-grain edge deltas through it, aggregate to canonical
+    edges. Output schema and values match ``materialize_graph``'s edge
+    table exactly. Returned eagerly materialized (localCheckpoint) so
+    the internal canonical-map cache is released before returning."""
+    from denrl_spark.operators.linking import canonicalize_surfaces
+
+    edges = spark.read.parquet(f"{sink_dir}/edges")
+    mentions = spark.read.parquet(f"{sink_dir}/mentions").select("surface").distinct()
+    cmap = (
+        canonicalize_surfaces(mentions)
+        .select("surface", "canonical_id", "canonical_surface")
+        .cache()
+    )
+    cmap.count()
+    src = (
+        cmap.withColumnRenamed("surface", "ent1")
+        .withColumnRenamed("canonical_id", "src_id")
+        .withColumnRenamed("canonical_surface", "src_surface")
+    )
+    dst = (
+        cmap.withColumnRenamed("surface", "ent2")
+        .withColumnRenamed("canonical_id", "dst_id")
+        .withColumnRenamed("canonical_surface", "dst_surface")
+    )
+    out = (
+        edges.join(src, "ent1")
+        .join(dst, "ent2")
+        .groupBy("src_id", "src_surface", "pred", "dst_id", "dst_surface")
+        .agg(
+            F.sum("n_obs").alias("n_obs"),
+            F.countDistinct("sent_id").alias("n_sents"),
+            F.min("sent_id").alias("first_sent_id"),
+        )
+        .localCheckpoint()
+    )
+    cmap.unpersist()
+    return out
+
+
 def stream_triples(stream: DataFrame, sink_dir: str, checkpoint_dir: str, kb=None):
     """Incremental triple extraction via foreachBatch: batch operators
     reused verbatim per micro-batch."""

@@ -286,3 +286,43 @@ def test_resize_unfaked_raises():
 
     with _pytest.raises(NotImplementedError):
         resize_stub(b"x", 4, 4, 2, fake=False)
+
+
+def test_stream_graph_deltas_view_equals_batch_graph(spark, transcript_dir, tmp_path):
+    """The streamed delta log, compacted, equals the batch graph's edge
+    table exactly — incremental KG maintenance is semantics-preserving.
+    maxFilesPerTrigger=4 over the multi-file corpus forces multiple
+    micro-batches, so cross-batch aggregation is genuinely exercised."""
+    from denrl_spark.operators.graph import materialize_graph
+    from denrl_spark.operators.spans import assemble_triples
+    from denrl_spark.operators.tagging import build_instances
+    from denrl_spark.sources.kb import KB
+    from denrl_spark.streaming.ingest import graph_edges_view, stream_graph_deltas
+
+    kb = KB.default()
+    sink = str(tmp_path / "graph_deltas")
+    ck = str(tmp_path / "graph_ck")
+    q = stream_graph_deltas(stream_transcripts(spark, transcript_dir), sink, ck, kb)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        tuple(r)
+        for r in graph_edges_view(spark, sink)
+        .select("src_id", "src_surface", "pred", "dst_id", "dst_surface",
+                "n_obs", "n_sents", "first_sent_id")
+        .collect()
+    }
+    batch = spark.read.parquet(transcript_dir)
+    trips = assemble_triples(build_instances(batch, kb)).cache()
+    trips.count()
+    _, edges = materialize_graph(trips, eager="edges")
+    trips.unpersist()
+    expect = {
+        tuple(r)
+        for r in edges.select("src_id", "src_surface", "pred", "dst_id",
+                              "dst_surface", "n_obs", "n_sents", "first_sent_id").collect()
+    }
+    assert len(got) > 0 and got == expect
