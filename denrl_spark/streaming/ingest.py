@@ -177,8 +177,25 @@ def stream_graph_deltas(
             .where(F.col("surface") != "")
             .distinct()
         )
+        # vertex grain: relation-triple endpoints with their observed
+        # type (src carries ent1_tag, dst contributes type-less rows —
+        # the same convention materialize_graph aggregates)
+        verts = (
+            rel.select(F.col("ent1").alias("surface"), F.col("ent1_tag").alias("etype"))
+            .unionByName(
+                rel.select(
+                    F.col("ent2").alias("surface"),
+                    F.lit(None).cast("string").alias("etype"),
+                )
+            )
+            .groupBy("surface", "etype")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
         edges.write.mode("overwrite").parquet(
             f"{sink_dir}/edges/batch_id={batch_id}"
+        )
+        verts.write.mode("overwrite").parquet(
+            f"{sink_dir}/vertices/batch_id={batch_id}"
         )
         mentions.write.mode("overwrite").parquet(
             f"{sink_dir}/mentions/batch_id={batch_id}"
@@ -228,6 +245,34 @@ def graph_edges_view(spark: SparkSession, sink_dir: str) -> DataFrame:
             F.sum("n_obs").alias("n_obs"),
             F.countDistinct("sent_id").alias("n_sents"),
             F.min("sent_id").alias("first_sent_id"),
+        )
+        .localCheckpoint()
+    )
+    cmap.unpersist()
+    return out
+
+
+def graph_vertices_view(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Vertices twin of ``graph_edges_view``: canonical vertex table
+    compacted from the delta log, exactly equal to the batch
+    ``materialize_graph`` vertices (types compared as sets —
+    collect_set order is nondeterministic in both paths)."""
+    from denrl_spark.operators.linking import canonicalize_surfaces
+
+    verts = spark.read.parquet(f"{sink_dir}/vertices")
+    mentions = spark.read.parquet(f"{sink_dir}/mentions").select("surface").distinct()
+    cmap = (
+        canonicalize_surfaces(mentions)
+        .select("surface", "canonical_id", "canonical_surface")
+        .cache()
+    )
+    cmap.count()
+    out = (
+        verts.join(cmap, "surface")
+        .groupBy("canonical_id", "canonical_surface")
+        .agg(
+            F.collect_set("etype").alias("types"),
+            F.sum("cnt").alias("n_mentions"),
         )
         .localCheckpoint()
     )

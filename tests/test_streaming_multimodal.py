@@ -326,3 +326,17 @@ def test_stream_graph_deltas_view_equals_batch_graph(spark, transcript_dir, tmp_
                               "dst_surface", "n_obs", "n_sents", "first_sent_id").collect()
     }
     assert len(got) > 0 and got == expect
+
+    # vertices twin: same delta log, same batch equality (types as sets)
+    from denrl_spark.streaming.ingest import graph_vertices_view
+
+    trips.cache().count()
+    vertices, _ = materialize_graph(trips, eager="vertices")
+    trips.unpersist()
+    norm_v = lambda rows: {  # noqa: E731
+        (r["canonical_id"], r["canonical_surface"], frozenset(r["types"]), r["n_mentions"])
+        for r in rows
+    }
+    got_v = norm_v(graph_vertices_view(spark, sink).collect())
+    exp_v = norm_v(vertices.collect())
+    assert len(got_v) > 0 and got_v == exp_v
