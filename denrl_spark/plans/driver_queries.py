@@ -555,6 +555,36 @@ def dedup_minhash_sig(spark, sf_dir):
 
 
 @_q(
+    "dedup_minhash_per_row",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    banded AS (
+      SELECT doc_id, unnest(range(0, 8)) AS band, shingle FROM sh)
+    SELECT doc_id, CAST(band AS INT) AS band,
+           min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS mh
+    FROM banded GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_per_row(spark, sf_dir):
+    """The per-ROW minhash signature (textops.minhash_signature_cols —
+    the stateless projection the STREAMING near-dup dedup keys on),
+    unpivoted to (doc_id, band, mh) and hash-verified against the same
+    DuckDB twin as the aggregated batch signature: a cross-engine proof
+    that the streaming and batch signatures are the same function.
+    Short docs (<3 tokens, no shingles) are excluded here because the
+    batch groupBy emits no row for them (the streaming op gives them an
+    exact-content fallback signature instead)."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 3
+    )
+    sig = textops.minhash_signature_cols(docs)
+    stack = ", ".join(f"{b}, mh{b}" for b in range(8))
+    return sig.select(
+        "doc_id", F.expr(f"stack(8, {stack}) AS (band, mh)")
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "mh")
+
+
+@_q(
     "dedup_lsh_pairs",
     f"""
     WITH sh AS ({_SHINGLE_SQL}),
