@@ -280,6 +280,69 @@ def graph_vertices_view(spark: SparkSession, sink_dir: str) -> DataFrame:
     return out
 
 
+def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
+    """Log maintenance for the graph delta log: folds all existing
+    per-batch delta directories into a single equivalent base delta and
+    removes the originals, bounding read amplification (the views read
+    O(1) directories after compaction instead of O(#batches)).
+
+    Semantics-preserving because every view aggregate distributes over
+    the log: edge rows stay SENTENCE grain (summing n_obs per
+    (ent1, pred, ent2, sent_id) loses nothing), vertex rows sum their
+    counts, mention sets union.
+
+    Write-then-commit: the folded table lands in a SIDE directory
+    outside the partition root (so the views' partition discovery never
+    sees it half-written), old batch dirs are removed only after the
+    fold is fully written, then the side dir is renamed into the root
+    as ``batch_id=0``. A crash after the removal but before the rename
+    leaves the side dir as the commit record — the next
+    compact_graph_deltas call detects it (empty root + side dir) and
+    completes the rename. Streaming writers must be stopped while
+    compacting (same contract as any file-log compactor). Returns the
+    number of folded batch directories."""
+    import os
+    import shutil
+
+    folded = 0
+    for part, keys, aggs in (
+        (
+            "edges",
+            ["ent1", "pred", "ent2", "sent_id"],
+            [F.sum("n_obs").alias("n_obs")],
+        ),
+        ("vertices", ["surface", "etype"], [F.sum("cnt").alias("cnt")]),
+        ("mentions", ["surface"], None),
+    ):
+        root = f"{sink_dir}/{part}"
+        side = f"{sink_dir}/.compact_{part}"
+        if not os.path.isdir(root):
+            continue
+        batches = [d for d in os.listdir(root) if d.startswith("batch_id=")]
+        if not batches and os.path.isdir(side):
+            # resume an interrupted compaction: fold was committed to
+            # the side dir and old batches removed, but the final
+            # rename did not happen
+            os.rename(side, f"{root}/batch_id=0")
+            continue
+        if len(batches) <= 1:
+            continue
+        df = spark.read.parquet(*[f"{root}/{b}" for b in batches])
+        out = (
+            df.groupBy(*keys).agg(*aggs)
+            if aggs is not None
+            else df.select(*keys).distinct()
+        )
+        if os.path.isdir(side):  # stale side dir from an aborted fold
+            shutil.rmtree(side)
+        out.write.mode("overwrite").parquet(side)
+        for b in batches:
+            shutil.rmtree(f"{root}/{b}")
+        os.rename(side, f"{root}/batch_id=0")
+        folded += len(batches)
+    return folded
+
+
 def stream_triples(stream: DataFrame, sink_dir: str, checkpoint_dir: str, kb=None):
     """Incremental triple extraction via foreachBatch: batch operators
     reused verbatim per micro-batch."""

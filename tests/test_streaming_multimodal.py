@@ -340,3 +340,30 @@ def test_stream_graph_deltas_view_equals_batch_graph(spark, transcript_dir, tmp_
     got_v = norm_v(graph_vertices_view(spark, sink).collect())
     exp_v = norm_v(vertices.collect())
     assert len(got_v) > 0 and got_v == exp_v
+
+    # compaction: fold the multi-batch log to one base delta; views
+    # unchanged, read amplification bounded
+    import os
+
+    from denrl_spark.streaming.ingest import compact_graph_deltas
+
+    n_batches = len(
+        [d for d in os.listdir(f"{sink}/edges") if d.startswith("batch_id=")]
+    )
+    assert n_batches >= 2  # the multi-micro-batch premise of this test
+    folded = compact_graph_deltas(spark, sink)
+    assert folded == 3 * n_batches  # edges + vertices + mentions
+    for part in ("edges", "vertices", "mentions"):
+        dirs = [d for d in os.listdir(f"{sink}/{part}") if d.startswith("batch_id=")]
+        assert dirs == ["batch_id=0"], part
+    got2 = {
+        tuple(r)
+        for r in graph_edges_view(spark, sink)
+        .select("src_id", "src_surface", "pred", "dst_id", "dst_surface",
+                "n_obs", "n_sents", "first_sent_id")
+        .collect()
+    }
+    assert got2 == expect
+    assert norm_v(graph_vertices_view(spark, sink).collect()) == exp_v
+    # idempotent: nothing left to fold
+    assert compact_graph_deltas(spark, sink) == 0
