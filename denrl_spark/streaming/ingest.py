@@ -12,6 +12,14 @@ table (Iceberg/Kafka/files) and maintains the KG incrementally.
   micro-batch runs the SAME batch operators (build_instances ->
   assemble_triples) and appends to a parquet/Iceberg sink; exactly-once
   per micro-batch comes from the sink's idempotent overwrite by batch id.
+- ``session_turn_counts``: session-window aggregation (streaming twin of
+  the batch lag+cumsum sessionization).
+- ``dedup_stream`` / ``dedup_stream_near``: exact and MinHash-signature
+  near-duplicate suppression with watermark-bounded state.
+- ``stream_graph_deltas`` + ``graph_edges_view`` / ``graph_vertices_view``
+  + ``compact_graph_deltas``: incremental KG EDGE/VERTEX maintenance as
+  an exactly-once per-batch delta log with compaction views proven equal
+  to the batch graph, plus a write-then-commit log compactor.
 
 Tests drive these with the memory sink + processAllAvailable (synchronous
 micro-batch draining), per the Structured Streaming testing idiom.

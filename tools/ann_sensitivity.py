@@ -82,6 +82,22 @@ def main() -> None:
             recall = len(exact & approx) / len(exact)
             print(f"| {n_centroids} | {nprobe} | {recall:.3f} |")
 
+    print()
+    print("### IVF with Lloyd refinement (n_centroids=8)")
+    print()
+    print("| n_centroids | nprobe | refine_iters | recall |")
+    print("|---|---|---|---|")
+    for nprobe in (1, 2, 4):
+        for it in (0, 3):
+            approx = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(
+                    e, queries, k=2, n_centroids=8, nprobe=nprobe, refine_iters=it
+                ).collect()
+            }
+            recall = len(exact & approx) / len(exact)
+            print(f"| 8 | {nprobe} | {it} | {recall:.3f} |")
+
     spark.stop()
 
 
