@@ -303,7 +303,7 @@ def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
     outside the partition root (so the views' partition discovery never
     sees it half-written), old batch dirs are removed only after the
     fold is fully written, then the side dir is renamed into the root
-    as ``batch_id=0``. A crash after the removal but before the rename
+    as ``batch_id=-1`` (no real micro-batch id is negative, so a later stream restart — even one with a fresh checkpoint whose batch ids restart at 0 — can never overwrite the folded base). A crash after the removal but before the rename
     leaves the side dir as the commit record — the next
     compact_graph_deltas call detects it (empty root + side dir) and
     completes the rename. Streaming writers must be stopped while
@@ -331,7 +331,7 @@ def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
             # resume an interrupted compaction: fold was committed to
             # the side dir and old batches removed, but the final
             # rename did not happen
-            os.rename(side, f"{root}/batch_id=0")
+            os.rename(side, f"{root}/batch_id=-1")
             continue
         if len(batches) <= 1:
             continue
@@ -346,7 +346,7 @@ def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
         out.write.mode("overwrite").parquet(side)
         for b in batches:
             shutil.rmtree(f"{root}/{b}")
-        os.rename(side, f"{root}/batch_id=0")
+        os.rename(side, f"{root}/batch_id=-1")
         folded += len(batches)
     return folded
 

@@ -355,7 +355,7 @@ def test_stream_graph_deltas_view_equals_batch_graph(spark, transcript_dir, tmp_
     assert folded == 3 * n_batches  # edges + vertices + mentions
     for part in ("edges", "vertices", "mentions"):
         dirs = [d for d in os.listdir(f"{sink}/{part}") if d.startswith("batch_id=")]
-        assert dirs == ["batch_id=0"], part
+        assert dirs == ["batch_id=-1"], part
     got2 = {
         tuple(r)
         for r in graph_edges_view(spark, sink)
