@@ -76,8 +76,10 @@ def main() -> None:
             counts[name] = QUERIES[name](spark, sf_dir).count()
             samples[name].append(time.time() - t0)
 
+    import statistics
+
     timings = {
-        name: round(sorted(s)[len(s) // 2], 3) for name, s in samples.items()
+        name: round(statistics.median(s), 3) for name, s in samples.items()
     }
     spread = {
         name: [round(min(s), 3), round(max(s), 3)] for name, s in samples.items()

@@ -279,8 +279,10 @@ def kmeans_centroids(
         .collect()
     )
     cents = [[float(x) for x in r["v"]] for r in init]
-    dim = len(cents[0])
     schema = "cid long, cv array<double>"
+    if not cents:  # empty corpus: empty centroid table, like refine=0
+        return spark.createDataFrame([], schema)
+    dim = len(cents[0])
     for _ in range(iters):
         cdf = F.broadcast(
             spark.createDataFrame(list(enumerate(cents)), schema)

@@ -199,8 +199,14 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     float-summation-order divergence that would break cross-engine
     hash equality. Counts ride a broadcast join (vocab-sized)."""
     t = docs.select("doc_id", F.explode(_toks()).alias("token"))
-    counts = t.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = t.count()
+    # counts computed ONCE (eager checkpoint): it feeds both the total
+    # (sum over the vocab-sized frame — no extra corpus scan) and the
+    # broadcast join below; a plain t.count() for the total would be a
+    # third full explode pass over the corpus
+    counts = (
+        t.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    )
+    total = counts.agg(F.sum("cnt")).collect()[0][0]
     term = F.floor(10_000 * F.log(F.col("cnt") / F.lit(float(total)))).cast("long")
     return (
         t.join(F.broadcast(counts), "token")

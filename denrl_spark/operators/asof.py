@@ -20,7 +20,11 @@ with ``right.t < left.t`` within the same ``by`` key.
 Determinism: duplicate right rows at the same (by, t) are tie-broken to
 the MAX value in BOTH variants (the right side is sorted by (t, value)
 so the positionally/temporally last row wins), so the two formulations
-agree even on non-unique right keys.
+agree even on non-unique right keys. Null right VALUES are ignored in
+both variants (the window's ignore-nulls last skips them; the cogroup
+drops them before the merge): a null can never be the as-of result —
+it would be indistinguishable from "no earlier row" — so the match is
+the latest strictly-earlier NON-NULL value.
 
 The value column's dtype is derived from the right frame, so any
 orderable type works; the nullable-Int64 corruption guard (merge_asof
@@ -101,22 +105,26 @@ def asof_join_cogroup(
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         l_pdf = l_pdf.sort_values(on).reset_index(drop=True)
-        if r_pdf.empty:
-            l_pdf[value_col] = (
-                pd.array([None] * len(l_pdf), dtype="Int64")
-                if int_like
-                else pd.Series([None] * len(l_pdf), dtype="object")
-            )
-            return l_pdf
         r = (
             r_pdf[[on, value_col]]
             .rename(columns={value_col: "_rv"})
+            # null values are ignored (module docstring): the window
+            # twin's ignore-nulls last skips them, so drop before the
+            # merge or a null positionally-last row would win here
+            .dropna(subset=["_rv"])
             # (t, value) sort: merge_asof keeps the positionally-last
             # row per t, so duplicate right (by, t) rows deterministically
             # resolve to the max value — matching the window variant
             .sort_values([on, "_rv"])
             .reset_index(drop=True)
         )
+        if r.empty:  # no right rows, or only null-valued ones
+            l_pdf[value_col] = (
+                pd.array([None] * len(l_pdf), dtype="Int64")
+                if int_like
+                else pd.Series([None] * len(l_pdf), dtype="object")
+            )
+            return l_pdf
         if int_like:
             # nullable Int64 BEFORE the merge: merge_asof upcasts plain
             # int64 to float64 when any left row is unmatched, silently

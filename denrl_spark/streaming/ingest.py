@@ -175,7 +175,12 @@ def stream_graph_deltas(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        trips = assemble_triples(build_instances(batch_df, kb))
+        # eager cache: the three delta writes below are three actions
+        # over the same extraction — uncached, each re-runs the full
+        # Arrow instance-building + triple assembly (3x the hot-path
+        # cost per micro-batch); released before returning
+        trips = assemble_triples(build_instances(batch_df, kb)).cache()
+        trips.count()
         rel = trips.where(F.col("ent2_tag").contains("/"))
         edges = rel.groupBy(
             "ent1", F.col("ent2_tag").alias("pred"), "ent2", "sent_id"
@@ -208,6 +213,7 @@ def stream_graph_deltas(
         mentions.write.mode("overwrite").parquet(
             f"{sink_dir}/mentions/batch_id={batch_id}"
         )
+        trips.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -217,17 +223,12 @@ def stream_graph_deltas(
     )
 
 
-def graph_edges_view(spark: SparkSession, sink_dir: str) -> DataFrame:
-    """Compaction view over the delta log written by
-    ``stream_graph_deltas``: canonicalize the union of all mention
-    deltas (same star-path map the batch graph uses), join the
-    sentence-grain edge deltas through it, aggregate to canonical
-    edges. Output schema and values match ``materialize_graph``'s edge
-    table exactly. Returned eagerly materialized (localCheckpoint) so
-    the internal canonical-map cache is released before returning."""
+def _delta_canonical_map(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Cached canonical map over the accumulated mention deltas (the
+    same star-path map the batch graph uses). Callers own the cache:
+    materialize consumers, then unpersist."""
     from denrl_spark.operators.linking import canonicalize_surfaces
 
-    edges = spark.read.parquet(f"{sink_dir}/edges")
     mentions = spark.read.parquet(f"{sink_dir}/mentions").select("surface").distinct()
     cmap = (
         canonicalize_surfaces(mentions)
@@ -235,6 +236,11 @@ def graph_edges_view(spark: SparkSession, sink_dir: str) -> DataFrame:
         .cache()
     )
     cmap.count()
+    return cmap
+
+
+def _edges_over_map(spark: SparkSession, sink_dir: str, cmap: DataFrame) -> DataFrame:
+    edges = spark.read.parquet(f"{sink_dir}/edges")
     src = (
         cmap.withColumnRenamed("surface", "ent1")
         .withColumnRenamed("canonical_id", "src_id")
@@ -245,7 +251,7 @@ def graph_edges_view(spark: SparkSession, sink_dir: str) -> DataFrame:
         .withColumnRenamed("canonical_id", "dst_id")
         .withColumnRenamed("canonical_surface", "dst_surface")
     )
-    out = (
+    return (
         edges.join(src, "ent1")
         .join(dst, "ent2")
         .groupBy("src_id", "src_surface", "pred", "dst_id", "dst_surface")
@@ -256,6 +262,33 @@ def graph_edges_view(spark: SparkSession, sink_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+def _vertices_over_map(spark: SparkSession, sink_dir: str, cmap: DataFrame) -> DataFrame:
+    verts = spark.read.parquet(f"{sink_dir}/vertices")
+    return (
+        verts.join(cmap, "surface")
+        .groupBy("canonical_id", "canonical_surface")
+        .agg(
+            F.collect_set("etype").alias("types"),
+            F.sum("cnt").alias("n_mentions"),
+        )
+        .localCheckpoint()
+    )
+
+
+def graph_edges_view(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Compaction view over the delta log written by
+    ``stream_graph_deltas``: canonicalize the union of all mention
+    deltas (same star-path map the batch graph uses), join the
+    sentence-grain edge deltas through it, aggregate to canonical
+    edges. Output schema and values match ``materialize_graph``'s edge
+    table exactly. Returned eagerly materialized (localCheckpoint) so
+    the internal canonical-map cache is released before returning.
+    Refreshing BOTH views? Use ``graph_views`` — it builds the
+    canonical map once for the pair."""
+    cmap = _delta_canonical_map(spark, sink_dir)
+    out = _edges_over_map(spark, sink_dir, cmap)
     cmap.unpersist()
     return out
 
@@ -265,27 +298,22 @@ def graph_vertices_view(spark: SparkSession, sink_dir: str) -> DataFrame:
     compacted from the delta log, exactly equal to the batch
     ``materialize_graph`` vertices (types compared as sets —
     collect_set order is nondeterministic in both paths)."""
-    from denrl_spark.operators.linking import canonicalize_surfaces
-
-    verts = spark.read.parquet(f"{sink_dir}/vertices")
-    mentions = spark.read.parquet(f"{sink_dir}/mentions").select("surface").distinct()
-    cmap = (
-        canonicalize_surfaces(mentions)
-        .select("surface", "canonical_id", "canonical_surface")
-        .cache()
-    )
-    cmap.count()
-    out = (
-        verts.join(cmap, "surface")
-        .groupBy("canonical_id", "canonical_surface")
-        .agg(
-            F.collect_set("etype").alias("types"),
-            F.sum("cnt").alias("n_mentions"),
-        )
-        .localCheckpoint()
-    )
+    cmap = _delta_canonical_map(spark, sink_dir)
+    out = _vertices_over_map(spark, sink_dir, cmap)
     cmap.unpersist()
     return out
+
+
+def graph_views(spark: SparkSession, sink_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(vertices, edges) compacted from the delta log over ONE shared
+    canonical map — the refresh entry point for consumers that read
+    both tables (a per-view map build would scan and canonicalize the
+    mention log twice)."""
+    cmap = _delta_canonical_map(spark, sink_dir)
+    vertices = _vertices_over_map(spark, sink_dir, cmap)
+    edges = _edges_over_map(spark, sink_dir, cmap)
+    cmap.unpersist()
+    return vertices, edges
 
 
 def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
@@ -299,16 +327,24 @@ def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
     (ent1, pred, ent2, sent_id) loses nothing), vertex rows sum their
     counts, mention sets union.
 
-    Write-then-commit: the folded table lands in a SIDE directory
-    outside the partition root (so the views' partition discovery never
-    sees it half-written), old batch dirs are removed only after the
-    fold is fully written, then the side dir is renamed into the root
-    as ``batch_id=-1`` (no real micro-batch id is negative, so a later stream restart — even one with a fresh checkpoint whose batch ids restart at 0 — can never overwrite the folded base). A crash after the removal but before the rename
-    leaves the side dir as the commit record — the next
-    compact_graph_deltas call detects it (empty root + side dir) and
-    completes the rename. Streaming writers must be stopped while
-    compacting (same contract as any file-log compactor). Returns the
-    number of folded batch directories."""
+    Crash-safe write-then-commit: the fold lands in a SIDE directory
+    outside the partition root (partition discovery never sees it), and
+    the commit record is a ``_FOLDED`` manifest written into the side
+    dir AFTER the parquet write completes, listing exactly the batch
+    directories the fold covers. Only then are those directories
+    removed and the side dir renamed into the root as ``batch_id=-1``
+    (no real micro-batch id is negative, so a later stream restart —
+    even with a fresh checkpoint whose batch ids restart at 0 — can
+    never overwrite the folded base; the underscore-prefixed manifest
+    is invisible to parquet readers, like _SUCCESS). Recovery on the
+    next call covers every crash point: a side dir WITHOUT a manifest
+    is an aborted fold and is discarded; a side dir WITH a manifest is
+    a committed fold — the remaining listed batch dirs are removed
+    (resume of an interrupted removal; unlisted dirs are untouched) and
+    the rename is completed before any new folding. Streaming writers
+    must be stopped while compacting (same contract as any file-log
+    compactor). Returns the number of folded batch directories."""
+    import json
     import os
     import shutil
 
@@ -324,15 +360,26 @@ def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
     ):
         root = f"{sink_dir}/{part}"
         side = f"{sink_dir}/.compact_{part}"
+        manifest = f"{side}/_FOLDED"
         if not os.path.isdir(root):
             continue
+
+        if os.path.isdir(side):
+            if os.path.exists(manifest):
+                # committed fold: finish removing exactly the listed
+                # dirs, then complete the rename
+                with open(manifest) as f:
+                    listed = json.load(f)
+                for b in listed:
+                    p = f"{root}/{b}"
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+                os.rename(side, f"{root}/batch_id=-1")
+            else:
+                # aborted fold (crash before the manifest): discard
+                shutil.rmtree(side)
+
         batches = [d for d in os.listdir(root) if d.startswith("batch_id=")]
-        if not batches and os.path.isdir(side):
-            # resume an interrupted compaction: fold was committed to
-            # the side dir and old batches removed, but the final
-            # rename did not happen
-            os.rename(side, f"{root}/batch_id=-1")
-            continue
         if len(batches) <= 1:
             continue
         df = spark.read.parquet(*[f"{root}/{b}" for b in batches])
@@ -341,9 +388,11 @@ def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
             if aggs is not None
             else df.select(*keys).distinct()
         )
-        if os.path.isdir(side):  # stale side dir from an aborted fold
-            shutil.rmtree(side)
         out.write.mode("overwrite").parquet(side)
+        tmp = f"{side}/_FOLDED.tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(batches), f)
+        os.rename(tmp, manifest)  # the commit point
         for b in batches:
             shutil.rmtree(f"{root}/{b}")
         os.rename(side, f"{root}/batch_id=-1")

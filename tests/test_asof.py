@@ -91,3 +91,24 @@ def test_asof_twins_match_on_events_table(spark):
     a = {r["event_id"]: r["rv"] for r in asof_join_window(left, right).collect()}
     b = {r["event_id"]: r["rv"] for r in asof_join_cogroup(left, right).collect()}
     assert a == b and len(a) > 0
+
+
+def test_asof_null_right_values_ignored(spark):
+    """Null right values can never be the as-of result in either
+    variant: the match is the latest strictly-earlier NON-NULL value
+    (module docstring contract)."""
+    left = spark.createDataFrame(
+        [("u1", 10, "e1")], "user_id string, t long, event_id string"
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, None), ("u1", 3, 7)], "user_id string, t long, rv int"
+    )
+    for fn in (asof_join_window, asof_join_cogroup):
+        vals = {r["event_id"]: r["rv"] for r in fn(left, right).collect()}
+        assert vals == {"e1": 7}, fn.__name__  # null at t=5 skipped
+    right_all_null = spark.createDataFrame(
+        [("u1", 5, None)], "user_id string, t long, rv int"
+    )
+    for fn in (asof_join_window, asof_join_cogroup):
+        vals = {r["event_id"]: r["rv"] for r in fn(left, right_all_null).collect()}
+        assert vals == {"e1": None}, fn.__name__

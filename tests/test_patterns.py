@@ -187,7 +187,13 @@ def test_negative_sampling_twin_choice_oracle(spark):
     assert n_checked > 0
 
     plan = all_neg._jdf.queryExecution().executedPlan().toString()
-    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+    for marker in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
+    ):
         assert marker not in plan, marker
 
 

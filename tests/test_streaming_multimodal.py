@@ -367,3 +367,62 @@ def test_stream_graph_deltas_view_equals_batch_graph(spark, transcript_dir, tmp_
     assert norm_v(graph_vertices_view(spark, sink).collect()) == exp_v
     # idempotent: nothing left to fold
     assert compact_graph_deltas(spark, sink) == 0
+
+
+def test_compact_graph_deltas_crash_recovery(spark, tmp_path):
+    """The manifest protocol's two recovery paths: a side dir WITHOUT a
+    manifest is an aborted fold (discarded, data re-folded from the
+    intact log); a side dir WITH a manifest is a committed fold whose
+    interrupted batch-removal is resumed — no data lost or duplicated
+    in either case."""
+    import json
+    import os
+
+    from denrl_spark.streaming.ingest import compact_graph_deltas
+
+    def make_log(sink):
+        a = spark.createDataFrame(
+            [("x", "/r/p", "y", 1, 2)],
+            "ent1 string, pred string, ent2 string, sent_id long, n_obs long",
+        )
+        b = spark.createDataFrame(
+            [("x", "/r/p", "y", 2, 3)],
+            "ent1 string, pred string, ent2 string, sent_id long, n_obs long",
+        )
+        a.write.parquet(f"{sink}/edges/batch_id=0")
+        b.write.parquet(f"{sink}/edges/batch_id=1")
+
+    def edge_rows(sink):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(f"{sink}/edges")
+            .select("ent1", "pred", "ent2", "sent_id", "n_obs")
+            .collect()
+        }
+
+    expect = {("x", "/r/p", "y", 1, 2), ("x", "/r/p", "y", 2, 3)}
+
+    # path A: aborted fold — side dir with (bogus) parquet, NO manifest
+    s1 = str(tmp_path / "log_a")
+    make_log(s1)
+    spark.createDataFrame(
+        [("BOGUS", "/r/p", "z", 9, 9)],
+        "ent1 string, pred string, ent2 string, sent_id long, n_obs long",
+    ).write.parquet(f"{s1}/.compact_edges")
+    assert compact_graph_deltas(spark, s1) == 2
+    assert edge_rows(s1) == expect  # bogus side discarded, real log folded
+    assert os.listdir(f"{s1}/edges") == ["batch_id=-1"]
+
+    # path B: committed fold, removal interrupted after one of two dirs
+    s2 = str(tmp_path / "log_b")
+    make_log(s2)
+    fold = spark.read.parquet(f"{s2}/edges/batch_id=0", f"{s2}/edges/batch_id=1")
+    fold.write.parquet(f"{s2}/.compact_edges")
+    with open(f"{s2}/.compact_edges/_FOLDED", "w") as f:
+        json.dump(["batch_id=0", "batch_id=1"], f)
+    import shutil
+
+    shutil.rmtree(f"{s2}/edges/batch_id=1")  # simulate the crash point
+    compact_graph_deltas(spark, s2)  # resumes: removes =0, renames side
+    assert edge_rows(s2) == expect
+    assert os.listdir(f"{s2}/edges") == ["batch_id=-1"]
