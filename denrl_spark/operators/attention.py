@@ -87,11 +87,21 @@ def with_target_att(
 
 
 def kl_divergence(target_col: str, pa_col: str) -> Column:
-    """sum_i t_i * (ln t_i - ln p_i), zero where t_i == 0 — JVM-side."""
+    """sum_i t_i * (ln t_i - ln p_i), zero where t_i == 0 — JVM-side.
+
+    p_i == 0 at a position with t_i > 0 contributes +Infinity (torch
+    KLDivLoss convention: confidence 1/(1+KL) -> 0, never selected).
+    Spark's log(0) is NULL, which would otherwise propagate NULL through
+    the whole sum and silently drop the row from BOTH selected and
+    not-selected filters — hence the explicit -inf substitution."""
+    neg_inf = F.lit(float("-inf"))
     terms = F.zip_with(
         F.col(target_col),
         F.col(pa_col),
-        lambda t, p: F.when(t > 0, t * (F.log(t) - F.log(p))).otherwise(F.lit(0.0)),
+        lambda t, p: F.when(
+            t > 0,
+            t * (F.log(t) - F.when(p > 0, F.log(p)).otherwise(neg_inf)),
+        ).otherwise(F.lit(0.0)),
     )
     return F.aggregate(terms, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
 

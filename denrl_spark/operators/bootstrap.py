@@ -66,23 +66,29 @@ class BootstrapState:
 
 def initial_round(
     instances: DataFrame,
-    kb: KB,
     seed: int = 42,
     use_negative_sampling: bool = True,
     sample_rate: float | None = None,
 ) -> BootstrapState:
+    # (no KB parameter: pattern mining, matching, and sampling operate
+    # on the already-tagged instance table alone)
     # cache: raw patterns feed three subtrees (top-k, J1 semi-join,
-    # pattern2target) — uncached, the extraction UDF would run 3x
+    # pattern2target) — uncached, the extraction UDF would run 3x.
+    # Outputs are eagerly localCheckpoint-ed (small: pattern set + id
+    # set + sampled train) so the cache can be RELEASED before
+    # returning — caches held past the function leak InMemoryRelations
+    # across bootstrap runs (the ADVICE-r2 leak class).
     raw = extract_patterns(instances).cache()
-    pset = topk_patterns(raw).cache()
-    matched_ids = match_instances(instances, raw, pset).cache()
+    pset = topk_patterns(raw).localCheckpoint()
+    matched_ids = match_instances(instances, raw, pset).localCheckpoint()
     matched = instances.join(matched_ids, "instance_id", "left_semi").select(*INSTANCE_COLS)
     rate = SAMPLE_RATE if sample_rate is None else sample_rate
     train = (
         negative_sampling(matched, sample_rate=rate, seed=seed)
         if use_negative_sampling
         else matched
-    )
+    ).localCheckpoint()
+    raw.unpersist()
     return BootstrapState(
         pattern_set=pset, trust_ids=matched_ids, init_ids=matched_ids, train=train
     )
@@ -139,6 +145,10 @@ def bootstrap_round(
         else matched
     ).localCheckpoint()
 
+    # every output above is checkpointed (eager), so the round's big
+    # intermediate cache can be released before returning
+    raw_all.unpersist()
+
     stats = {
         "round": rnd,
         "n_selected": matched_ids.count(),
@@ -186,9 +196,8 @@ def run_bootstrap(
             train=ckpt.read(spark, "train", 0).select(*INSTANCE_COLS),
         )
     else:
-        state = initial_round(instances, kb, seed=seed, sample_rate=sample_rate)
-        state.train = state.train.localCheckpoint()
-        state.trust_ids = state.trust_ids.localCheckpoint()
+        # initial_round returns eagerly-checkpointed frames already
+        state = initial_round(instances, seed=seed, sample_rate=sample_rate)
         if ckpt:
             ckpt.write(state.pattern_set, "pattern_set", 0)
             ckpt.write(state.trust_ids, "trust_ids", 0)

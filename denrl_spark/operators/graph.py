@@ -27,27 +27,38 @@ def tool_edges(transcripts: DataFrame, kb) -> DataFrame:
     entity_surface, etype, n_obs, n_convs) — which tools handle which KB
     entities, the transcript-specific modality of the input contract
     (``tool`` column, BASELINE.json input_hint) that pure document KGs
-    don't have. Occurrence = exact 1/2-gram surface presence in a
-    tool-turn's text (KB surfaces are 1-2 tokens by construction).
+    don't have. Occurrence = exact n-gram surface presence in a
+    tool-turn's text, with n ranging up to the LONGEST surface in the
+    KB (derived, not assumed — a hard-coded 1/2-gram cap would
+    silently undercount 3+-token surfaces the tagger matches).
 
-    Shape: explode unigrams+bigrams of TOOL turns only (the tool-turn
-    fraction bounds the explode), broadcast equi-join against the
-    vocabulary-sized entity table, one map-side-combined aggregation —
-    no nested-loop scans, no self-joins."""
+    Shape: explode the n-grams of TOOL turns only (the tool-turn
+    fraction and the KB's max surface length bound the explode),
+    broadcast equi-join against the vocabulary-sized entity table, one
+    map-side-combined aggregation — no nested-loop scans, no
+    self-joins."""
     spark = transcripts.sparkSession
+    max_n = max((len(s.split(" ")) for s in kb.entity_type), default=1)
     toks = F.split("text", " ")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+
+    def ngrams(n: int):
+        # factory, not a defaulted lambda: pyspark dispatches HOF
+        # lambdas on arity (2 params = element+index), so a `n=n`
+        # default would silently change the signature
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    gram_arrays = [toks] + [ngrams(n) for n in range(2, max_n + 1)]
     t = (
         transcripts.where(F.col("tool").isNotNull())
-        .select("conv_id", "tool", F.explode(F.concat(toks, bigrams)).alias("surface"))
+        .select("conv_id", "tool", F.explode(F.concat(*gram_arrays)).alias("surface"))
     )
     ents = F.broadcast(
         spark.createDataFrame(

@@ -231,9 +231,18 @@ def pattern2target(raw_patterns: DataFrame) -> DataFrame:
     """(relation, pattern) -> single (sent_id, query_id, target_id): the
     reference keeps the last writer (dict overwrite, 1765-1767); rebuild
     keeps max by canonical order for determinism."""
+    # ord must be a TOTAL order: one instance can emit the same
+    # (relation, pattern) toward two different targets, so without
+    # target_id in the key max_by breaks ties arbitrarily per
+    # partitioning — exactly where this function promises determinism
     ordered = raw_patterns.withColumn(
         "ord",
-        F.struct(F.col("conv_id"), F.col("turn_idx"), F.col("query_id")),
+        F.struct(
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.col("query_id"),
+            F.col("target_id"),
+        ),
     )
     return ordered.groupBy("relation", "pattern").agg(
         F.max_by(F.struct("sent_id", "query_id", "target_id"), F.col("ord")).alias("t")

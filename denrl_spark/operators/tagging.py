@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame
 
 from denrl_spark.sources.kb import KB
 
-MAX_ENTITY_TOKENS = 3
 MAX_TOKENS = 512  # reference drops longer instances (run_jointmodel.py:516-520)
 
 INSTANCE_SCHEMA = (

@@ -98,7 +98,10 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-reproducible: conv = doc_id // 4, turn = doc_id % 4."""
     d = load_documents(spark, sf_dir)
     return d.select(
-        F.concat(F.lit("conv-"), F.lpad((F.col("doc_id") / 4).cast("long").cast("string"), 8, "0")).alias("conv_id"),
+        # format_string, not lpad: lpad TRUNCATES past the pad width, so
+        # conv indices >= 1e8 (doc_id >= 4e8) would silently collide;
+        # %08d pads short values identically and grows beyond 8 digits
+        F.format_string("conv-%08d", (F.col("doc_id") / 4).cast("long")).alias("conv_id"),
         F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("turn_idx"),
         F.when(F.pmod("doc_id", F.lit(2)) == 0, "user").otherwise("assistant").alias("role"),
         F.col("text"),
@@ -227,7 +230,9 @@ def _sent_doc_map(tr: DataFrame) -> DataFrame:
 
     return tr.select(
         sid("conv_id", "turn_idx").alias("sent_id"),
-        (F.substring("conv_id", 6, 8).cast("long") * 4 + F.col("turn_idx")).alias(
+        # substring to end-of-string (not a fixed 8): conv indices can
+        # exceed 8 digits at scale (see transcripts_from_documents)
+        (F.expr("substring(conv_id, 6)").cast("long") * 4 + F.col("turn_idx")).alias(
             "doc_id"
         ),
     )

@@ -912,17 +912,26 @@ def rel_hot_keys(spark, sf_dir):
     """Skew diagnostics: the top-10 hottest join/agg keys with their
     traffic share — the profiling step that decides salting/AQE-skew
     settings before a 100 TB run. TakeOrdered top-k (no global sort, no
-    single-partition exchange); total via a 1-row cross join."""
-    e = _t(spark, sf_dir, "events")
-    total = e.count()
-    return (
-        e.groupBy("user_id")
+    single-partition exchange). The table is scanned ONCE: the per-key
+    counts are eagerly checkpointed, the total is a key-count-sized sum
+    over them collected at construction time (embedding the global
+    1-row aggregate in the plan would reintroduce a SinglePartition
+    exchange — the one shape the plan-hygiene sweep forbids), and the
+    ranking reads the same checkpoint."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
+        .localCheckpoint()
+    )
+    total = counts.agg(F.sum("n")).collect()[0][0]
+    return (
+        counts.withColumn(
             "share_e6", F.floor(1_000_000 * F.col("n") / F.lit(total)).cast("bigint")
         )
         .orderBy(F.desc("n"), F.asc("user_id"))
         .limit(10)
+        .select("user_id", "n", "share_e6")
     )
 
 

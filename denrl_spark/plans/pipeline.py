@@ -94,7 +94,11 @@ def run_kg_pipeline(
 
     metrics = triple_metrics(pred, gold)
 
-    vertices, edges = materialize_graph(pred)
+    # eager="both": both parts are consumed below (counts + optional
+    # writes), and the internal mention-map cache is released (the
+    # eager=None default assigns cleanup to the caller, who has no
+    # handle to it)
+    vertices, edges = materialize_graph(pred, eager="both")
     n_vertices, n_edges = vertices.count(), edges.count()
 
     if output_dir:

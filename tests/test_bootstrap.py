@@ -19,7 +19,7 @@ def _instances(spark, n=50, seed=42):
 
 def test_initial_round_shapes(spark):
     ins = _instances(spark)
-    st = initial_round(ins, KBD, seed=42)
+    st = initial_round(ins, seed=42)
     assert st.pattern_set.count() > 0
     n_train = st.train.count()
     assert n_train > 0
