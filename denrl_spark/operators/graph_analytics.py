@@ -1,0 +1,167 @@
+"""Graph analytics over the canonicalized KG edge table (stage-6 output
+of ``graph.materialize_graph``): degree centrality, 2-hop reachability,
+triangle enumeration, and fixed-iteration PageRank.
+
+The reference stops at materializing the triple/edge tables
+(run_jointmodel.py:1619-1688 writes triples; no downstream analytics),
+but a KG-construction engine's consumers immediately ask these four
+questions of the graph, so they ship as first-class operators with the
+same oracle discipline as the extraction stages.
+
+Scale notes (edge table = E rows, vertex table = V rows, E >> V):
+
+- ``degrees``: one union + one groupBy — a single shuffle on the vertex
+  key, map-side combined. 100 TB-safe by construction.
+- ``two_hop``: self-join on the shared middle vertex. Both sides
+  shuffle on the join key once; hot middle vertices (celebrities) are
+  the classic skew — AQE skew-join splits them, and the groupBy that
+  follows is map-side combined. At production scale the edge table is
+  written bucketed by src (graph.py docstring), which co-locates one
+  side for free.
+- ``triangles``: edges are oriented low->high BEFORE the joins, which
+  is the standard compact-forward optimization — every triangle is
+  enumerated exactly once (a<b<c) instead of 6x, and orientation
+  halves the join input.
+- ``pagerank``: rank vector is V rows, edges E rows. Each iteration is
+  one join + one map-side-combined agg. The edge/out-degree frame is
+  computed once and REUSED across iterations (cached by the caller or
+  naturally re-read from the materialized edge table); ranks stay
+  small enough to broadcast for most real graphs (V ~ 1e8 canonical
+  entities => a few GB — at that point AQE falls back to a shuffle
+  join co-partitioned with the bucketed edges). Iterations live in the
+  DRIVER as a Python loop over lazy plans with an eager checkpoint per
+  round — lineage would otherwise grow exponentially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PR_DAMPING = 0.85
+
+
+def degrees(edges: DataFrame, src: str = "src_surface", dst: str = "dst_surface",
+            weight: str = "n_obs") -> DataFrame:
+    """Per-vertex degree centrality: (surface, out_deg, in_deg,
+    w_out_obs, w_in_obs). Distinct-neighbor degrees + observation-
+    weighted degrees in ONE pass: union the two endpoint projections
+    with an is_out flag, then a single map-side-combined aggregation —
+    no join, one shuffle on the vertex key."""
+    ends = edges.select(
+        F.col(src).alias("surface"), F.lit(1).alias("is_out"), F.col(weight).alias("w")
+    ).unionByName(
+        edges.select(
+            F.col(dst).alias("surface"), F.lit(0).alias("is_out"), F.col(weight).alias("w")
+        )
+    )
+    return ends.groupBy("surface").agg(
+        F.sum("is_out").cast("bigint").alias("out_deg"),
+        F.sum(1 - F.col("is_out")).cast("bigint").alias("in_deg"),
+        F.sum(F.col("is_out") * F.col("w")).cast("bigint").alias("w_out_obs"),
+        F.sum((1 - F.col("is_out")) * F.col("w")).cast("bigint").alias("w_in_obs"),
+    )
+
+
+def two_hop(edges: DataFrame, src: str = "src_surface", dst: str = "dst_surface",
+            weight: str = "n_obs") -> DataFrame:
+    """2-hop reachability with path counts: (src, dst, n_paths,
+    w_paths) where w_paths = sum over paths of the product of the two
+    hop weights. Trivial self-loops (src == final dst) are kept out —
+    consumers ask "what NEW entities are 2 hops away".
+
+    Shape: one self-equi-join on the middle vertex + one map-side-
+    combined agg. Skewed middle vertices are split by AQE."""
+    a = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("mid"), F.col(weight).alias("w1")
+    )
+    b = edges.select(
+        F.col(src).alias("mid"), F.col(dst).alias("dst"), F.col(weight).alias("w2")
+    )
+    return (
+        a.join(b, "mid")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.sum(F.col("w1") * F.col("w2")).cast("bigint").alias("w_paths"),
+        )
+    )
+
+
+def undirected_edges(edges: DataFrame, src: str = "src_surface",
+                     dst: str = "dst_surface") -> DataFrame:
+    """Distinct undirected vertex pairs oriented low->high: (va, vb)
+    with va < vb. Self-loops dropped. The orientation is what makes
+    triangle enumeration emit each triangle exactly once."""
+    return (
+        edges.select(
+            F.least(src, dst).alias("va"), F.greatest(src, dst).alias("vb")
+        )
+        .where(F.col("va") != F.col("vb"))
+        .distinct()
+    )
+
+
+def triangles(edges: DataFrame, src: str = "src_surface",
+              dst: str = "dst_surface") -> DataFrame:
+    """Triangle enumeration over the undirected graph: one row
+    (va, vb, vc) per triangle with va < vb < vc (compact-forward:
+    orient first, then two equi-joins — each triangle found once, the
+    closing edge checked with an equi-join, never a nested loop)."""
+    u = undirected_edges(edges, src, dst)
+    ab = u.select(F.col("va").alias("a"), F.col("vb").alias("b"))
+    bc = u.select(F.col("va").alias("b"), F.col("vb").alias("c"))
+    ac = u.select(F.col("va").alias("a"), F.col("vb").alias("c"))
+    return (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])  # closing edge
+        .select(F.col("a").alias("va"), F.col("b").alias("vb"), F.col("c").alias("vc"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = PR_DAMPING,
+             src: str = "src_surface", dst: str = "dst_surface") -> DataFrame:
+    """Fixed-iteration PageRank over the DISTINCT directed edge set:
+    (surface, rank). Uniform init 1/V; per iteration
+    r'(v) = (1-d)/V + d * sum_{u->v} r(u)/outdeg(u). Dangling-vertex
+    mass is dropped (not redistributed) — deterministic, and exactly
+    reproducible by the unrolled-SQL oracle twin.
+
+    Each iteration: one equi-join (ranks x out-edges) + one map-side-
+    combined agg + one left join back to the vertex set — then an EAGER
+    localCheckpoint so lineage stays O(1) per round instead of
+    compounding (the classic iterative-Spark failure mode). The
+    distinct edge/out-degree frame is computed once and cached for the
+    duration of the loop, released before returning."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.cache()
+    verts = (
+        e.select(F.col("src").alias("surface"))
+        .unionByName(e.select(F.col("dst").alias("surface")))
+        .distinct()
+        .localCheckpoint()  # eager: breaks lineage AND gives exact stats
+    )
+    n_v = verts.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # out-edges annotated with out-degree: the loop's constant operand
+    eo = e.join(outdeg, "src").localCheckpoint()
+
+    ranks = verts.withColumn("rank", F.lit(1.0 / n_v))
+    base = (1.0 - damping) / n_v
+    for _ in range(iters):
+        contribs = (
+            eo.join(ranks, eo.src == ranks.surface)
+            .select(F.col("dst").alias("surface"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("surface")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            verts.join(contribs, "surface", "left")
+            .select(
+                "surface",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return ranks

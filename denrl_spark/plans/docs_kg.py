@@ -438,6 +438,89 @@ def vertices_by_doc_sql(rel: str = "documents") -> str:
     """
 
 
+def _edges_cte(rel: str = "documents") -> str:
+    """The canonical edge table as a nested-WITH CTE operand for the
+    graph-analytics twins (DuckDB supports a WITH inside a CTE body)."""
+    return f"edges AS ({edges_by_doc_sql(rel)})"
+
+
+def degree_sql(rel: str = "documents") -> str:
+    """graph_analytics.degrees twin (sum(BIGINT) -> HUGEINT in DuckDB,
+    hence the CASTs)."""
+    return f"""
+        WITH {_edges_cte(rel)},
+        ends AS (
+          SELECT src_surface AS surface, 1 AS is_out, n_obs AS w FROM edges
+          UNION ALL
+          SELECT dst_surface, 0, n_obs FROM edges)
+        SELECT surface,
+               CAST(sum(is_out) AS BIGINT) AS out_deg,
+               CAST(sum(1 - is_out) AS BIGINT) AS in_deg,
+               CAST(sum(is_out * w) AS BIGINT) AS w_out_obs,
+               CAST(sum((1 - is_out) * w) AS BIGINT) AS w_in_obs
+        FROM ends GROUP BY 1
+    """
+
+
+def two_hop_sql(rel: str = "documents") -> str:
+    """graph_analytics.two_hop twin."""
+    return f"""
+        WITH {_edges_cte(rel)},
+        a AS (SELECT src_surface AS src, dst_surface AS mid, n_obs AS w1 FROM edges),
+        b AS (SELECT src_surface AS mid, dst_surface AS dst, n_obs AS w2 FROM edges)
+        SELECT a.src, b.dst, count(*) AS n_paths,
+               CAST(sum(a.w1 * b.w2) AS BIGINT) AS w_paths
+        FROM a JOIN b USING (mid)
+        WHERE a.src <> b.dst
+        GROUP BY 1, 2
+    """
+
+
+def triangles_sql(rel: str = "documents") -> str:
+    """graph_analytics.triangles twin (compact-forward: orient low->high
+    first, then two equi-joins; each triangle emitted once as va<vb<vc)."""
+    return f"""
+        WITH {_edges_cte(rel)},
+        u AS (
+          SELECT DISTINCT least(src_surface, dst_surface) AS va,
+                 greatest(src_surface, dst_surface) AS vb
+          FROM edges WHERE src_surface <> dst_surface)
+        SELECT ab.va AS va, ab.vb AS vb, bc.vb AS vc
+        FROM u ab
+        JOIN u bc ON bc.va = ab.vb
+        JOIN u ac ON ac.va = ab.va AND ac.vb = bc.vb
+    """
+
+
+def pagerank_sql(rel: str = "documents", iters: int = 3, damping: float = 0.85) -> str:
+    """graph_analytics.pagerank twin: the fixed iteration count is
+    UNROLLED into chained CTEs r0..r{iters} — same uniform init, same
+    dropped dangling mass, same damping literals as the Spark loop."""
+    body = f"""
+        WITH {_edges_cte(rel)},
+        e AS (SELECT DISTINCT src_surface AS src, dst_surface AS dst FROM edges),
+        verts AS (
+          SELECT DISTINCT surface FROM (
+            SELECT src AS surface FROM e UNION ALL SELECT dst FROM e)),
+        nv AS (SELECT count(*) AS n FROM verts),
+        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        r0 AS (SELECT surface, 1.0 / (SELECT n FROM nv) AS rank FROM verts)"""
+    for i in range(1, iters + 1):
+        body += f""",
+        r{i} AS (
+          SELECT v.surface,
+                 {1.0 - damping} / (SELECT n FROM nv)
+                   + {damping} * COALESCE(s.inflow, 0) AS rank
+          FROM verts v
+          LEFT JOIN (
+            SELECT e.dst AS surface, sum(r.rank / od.outdeg) AS inflow
+            FROM e JOIN od USING (src) JOIN r{i-1} r ON r.surface = e.src
+            GROUP BY 1) s USING (surface))"""
+    return body + f"""
+        SELECT surface, CAST(floor(1e6 * rank) AS BIGINT) AS rank_e6 FROM r{iters}
+    """
+
+
 def topk_patterns_docs_sql(rel: str = "documents") -> str:
     return f"""
         WITH counts AS ({patterns_between_sql(rel)}),

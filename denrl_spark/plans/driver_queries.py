@@ -131,6 +131,51 @@ def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Graph analytics over the canonical KG (stage-6 consumers; the reference
+# stops at edge materialization — these are the questions its users ask next)
+# --------------------------------------------------------------------------
+
+@_q("kg_degree", docs_kg.degree_sql())
+def kg_degree(spark, sf_dir):
+    """Per-vertex degree centrality over the canonical edge table — one
+    union + one map-side-combined agg (graph_analytics.degrees)."""
+    from denrl_spark.operators.graph_analytics import degrees
+
+    return degrees(docs_kg.edges_by_doc(spark, sf_dir))
+
+
+@_q("kg_two_hop", docs_kg.two_hop_sql())
+def kg_two_hop(spark, sf_dir):
+    """2-hop reachability with path counts/weights — edge self-join on
+    the middle vertex (AQE splits skewed middles), one agg."""
+    from denrl_spark.operators.graph_analytics import two_hop
+
+    return two_hop(docs_kg.edges_by_doc(spark, sf_dir))
+
+
+@_q("kg_triangles", docs_kg.triangles_sql())
+def kg_triangles(spark, sf_dir):
+    """Triangle enumeration, compact-forward oriented (va<vb<vc, each
+    triangle once) — two equi-joins over the oriented distinct edges."""
+    from denrl_spark.operators.graph_analytics import triangles
+
+    return triangles(docs_kg.edges_by_doc(spark, sf_dir))
+
+
+@_q("kg_pagerank", docs_kg.pagerank_sql())
+def kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (3 rounds, d=0.85, dangling mass
+    dropped), driver-looped with per-round eager checkpoints; the
+    DuckDB twin unrolls the identical recurrence into chained CTEs."""
+    from denrl_spark.operators.graph_analytics import pagerank
+
+    r = pagerank(docs_kg.edges_by_doc(spark, sf_dir), iters=3)
+    return r.select(
+        "surface", F.floor(1_000_000 * F.col("rank")).cast("bigint").alias("rank_e6")
+    )
+
+
+# --------------------------------------------------------------------------
 # Relational operators on the TPC-H-ish tables (SURVEY.md §2.2/2.4-2.7)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,104 @@
+"""Graph-analytics operators vs brute-force enumeration on a hand-built
+edge table (a directed multigraph-shaped aggregate: distinct (src, dst)
+pairs with observation weights, like materialize_graph's output)."""
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from denrl_spark.operators.graph_analytics import (
+    degrees,
+    pagerank,
+    triangles,
+    two_hop,
+    undirected_edges,
+)
+
+# (src, pred, dst, n_obs) — includes a cycle, a hub, a dangling vertex
+# (no out-edges: "f"), and a 4-clique subgraph {a,b,c,d} for triangles
+EDGES = [
+    ("a", "p", "b", 3),
+    ("a", "p", "c", 1),
+    ("a", "p", "d", 2),
+    ("b", "q", "c", 5),
+    ("b", "q", "d", 1),
+    ("c", "q", "d", 4),
+    ("d", "p", "a", 2),   # cycle back
+    ("c", "p", "e", 1),
+    ("e", "q", "f", 7),   # f is dangling
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(
+        EDGES, "src_surface string, pred string, dst_surface string, n_obs long"
+    ).cache()
+
+
+def test_degrees_match_enumeration(edges):
+    got = {r["surface"]: r for r in degrees(edges).collect()}
+    verts = {s for s, _, o, _ in EDGES} | {o for _, _, o, _ in EDGES}
+    assert set(got) == verts
+    for v in verts:
+        outs = [w for s, _, o, w in EDGES if s == v]
+        ins = [w for s, _, o, w in EDGES if o == v]
+        r = got[v]
+        assert (r["out_deg"], r["in_deg"]) == (len(outs), len(ins))
+        assert (r["w_out_obs"], r["w_in_obs"]) == (sum(outs), sum(ins))
+
+
+def test_two_hop_matches_enumeration(edges):
+    got = {(r["src"], r["dst"]): (r["n_paths"], r["w_paths"]) for r in two_hop(edges).collect()}
+    want: dict[tuple[str, str], list[int]] = {}
+    for s1, _, m1, w1 in EDGES:
+        for s2, _, d2, w2 in EDGES:
+            if m1 == s2 and s1 != d2:
+                want.setdefault((s1, d2), []).append(w1 * w2)
+    assert got == {k: (len(v), sum(v)) for k, v in want.items()}
+
+
+def test_triangles_match_bruteforce(edges):
+    got = {(r["va"], r["vb"], r["vc"]) for r in triangles(edges).collect()}
+    und = {frozenset((s, o)) for s, _, o, _ in EDGES if s != o}
+    verts = sorted({v for e in und for v in e})
+    want = {
+        (x, y, z)
+        for x, y, z in combinations(verts, 3)
+        if {frozenset((x, y)), frozenset((y, z)), frozenset((x, z))} <= und
+    }
+    # the {a,b,c,d} clique holds exactly C(4,3)=4 triangles
+    assert got == want and len(got) == 4
+
+
+def test_undirected_orientation(edges):
+    rows = undirected_edges(edges).collect()
+    assert all(r["va"] < r["vb"] for r in rows)
+    # a->b and d->a + a->d collapse: distinct undirected pairs
+    assert len(rows) == len({frozenset((s, o)) for s, _, o, _ in EDGES if s != o})
+
+
+def test_pagerank_matches_numpy_loop(edges):
+    d = 0.85
+    got = {r["surface"]: r["rank"] for r in pagerank(edges, iters=3, damping=d).collect()}
+    # reference loop: same recurrence, dangling mass dropped
+    e = {(s, o) for s, _, o, _ in EDGES}
+    verts = sorted({v for pair in e for v in pair})
+    outdeg = {v: sum(1 for s, _ in [(a, b) for a, b in e] if s == v) for v in verts}
+    rank = {v: 1.0 / len(verts) for v in verts}
+    for _ in range(3):
+        inflow = {v: 0.0 for v in verts}
+        for s, o in e:
+            inflow[o] += rank[s] / outdeg[s]
+        rank = {v: (1 - d) / len(verts) + d * inflow[v] for v in verts}
+    assert set(got) == set(verts)
+    for v in verts:
+        assert got[v] == pytest.approx(rank[v], abs=1e-12)
+    # dropped dangling mass: total strictly below 1 (f has no out-edges)
+    assert sum(got.values()) < 1.0
+
+
+def test_pagerank_plan_has_no_single_partition(edges):
+    plan = pagerank(edges, iters=2)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
