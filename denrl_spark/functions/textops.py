@@ -447,3 +447,90 @@ def jaccard_pairs(docs: DataFrame, min_j_e6: int = 200_000) -> DataFrame:
         )
     )
     return j.where(F.col("j_e6") >= min_j_e6).select("doc_a", "doc_b", "j_e6")
+
+
+def contamination_scan(train: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    distinct 3-gram shingles appear anywhere in the benchmark (eval)
+    corpus — (doc_id, n_shingles, n_hit, contam_e6). Docs shorter than
+    one shingle (<3 tokens) emit no row (nothing to test).
+
+    Shape for 100 TB training x MB-GB benchmark: the benchmark's
+    distinct shingle set is the SMALL side and is broadcast, so the
+    training shingles never shuffle for the membership test; the only
+    shuffle is the map-side-combined per-doc aggregation. If the
+    benchmark ever outgrows broadcast, AQE falls back to a shuffle join
+    keyed on the shingle — the same plan dedup uses."""
+    t_sh = shingles(train).distinct()
+    b_sh = F.broadcast(
+        shingles(benchmark).select("shingle").distinct().withColumn("hit", F.lit(1))
+    )
+    return (
+        t_sh.join(b_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .withColumn(
+            "contam_e6",
+            F.floor(1_000_000 * F.col("n_hit") / F.col("n_shingles")).cast("long"),
+        )
+    )
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, per doc with >= 3
+    tokens: (doc_id, n_tokens, top2_e6, dup3_e6) where top2_e6 is the
+    token fraction covered by the single most frequent 2-gram
+    (2 * max-count / n_tokens) and dup3_e6 the fraction of 3-gram
+    occurrences that are repeats ((total - distinct) / total).
+
+    Entirely per-row array HOFs inside the scan stage — the max-run
+    count runs over the SORTED gram array with one aggregate() fold
+    (prev/run/best accumulator), so the operator needs NO shuffle, no
+    explode, and no Python: it scales with input bandwidth alone."""
+    toks = _toks()
+
+    def grams(n: int):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def max_run(sorted_arr):
+        init = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+        return F.aggregate(
+            sorted_arr,
+            init,
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
+        )
+
+    g2, g3 = grams(2), grams(3)
+    n = F.size(toks)
+    tot3 = F.size(g3)
+    return docs.where(F.size(toks) >= 3).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.floor(1_000_000 * 2 * max_run(F.array_sort(g2)) / n)
+        .cast("long")
+        .alias("top2_e6"),
+        F.floor(1_000_000 * (tot3 - F.size(F.array_distinct(g3))) / tot3)
+        .cast("long")
+        .alias("dup3_e6"),
+    )

@@ -527,6 +527,87 @@ def text_unigram_lm(spark, sf_dir):
     return textops.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+_SHINGLE_SQL = """
+      SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle FROM (
+        SELECT doc_id, tok,
+               lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+               lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM (SELECT doc_id,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents))
+      WHERE t2 IS NOT NULL
+"""
+
+
+@_q(
+    "text_contamination",
+    f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(floor(1000000 * sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*)) AS BIGINT) AS contam_e6
+    FROM train t LEFT JOIN bench b USING (shingle)
+    GROUP BY 1
+    """,
+)
+def text_contamination(spark, sf_dir):
+    """Benchmark decontamination scan: every 97th doc plays the held-out
+    eval set; the rest is the training corpus. The benchmark's distinct
+    shingle set broadcasts, so the training side never shuffles for the
+    membership test (textops.contamination_scan)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return textops.contamination_scan(train, bench)
+
+
+@_q(
+    "text_repetition",
+    """
+    WITH pos AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    g2 AS (
+      SELECT doc_id, n_tokens, tok || ' ' || t1 AS g FROM (
+        SELECT doc_id, n_tokens, tok,
+               lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+        FROM pos)
+      WHERE t1 IS NOT NULL),
+    g3 AS (
+      SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS g FROM (
+        SELECT doc_id, tok,
+               lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+               lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM pos)
+      WHERE t2 IS NOT NULL),
+    m2 AS (
+      SELECT doc_id, max(n_tokens) AS n_tokens, max(c) AS maxc FROM (
+        SELECT doc_id, n_tokens, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3)
+      GROUP BY 1),
+    d3 AS (
+      SELECT doc_id, count(*) AS tot3, count(DISTINCT g) AS dis3
+      FROM g3 GROUP BY 1)
+    SELECT m2.doc_id, CAST(m2.n_tokens AS INT) AS n_tokens,
+           CAST(floor(1000000 * 2 * m2.maxc / m2.n_tokens) AS BIGINT) AS top2_e6,
+           CAST(floor(1000000 * (d3.tot3 - d3.dis3) / d3.tot3) AS BIGINT) AS dup3_e6
+    FROM m2 JOIN d3 USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals — per-row array HOFs
+    only, no shuffle at all (textops.repetition_metrics); the DuckDB
+    twin re-derives the max-run fold relationally via unnest+group-by."""
+    return textops.repetition_metrics(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"), "top2_e6", "dup3_e6"
+    )
+
+
 @_q(
     "rel_stratified_sample",
     """
@@ -567,19 +648,6 @@ def rel_stratified_sample(spark, sf_dir):
 )
 def dedup_exact(spark, sf_dir):
     return textops.dedup_exact(_t(spark, sf_dir, "documents"))
-
-
-_SHINGLE_SQL = """
-      SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle FROM (
-        SELECT doc_id, tok,
-               lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
-               lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
-        FROM (SELECT doc_id,
-                     generate_subscripts(string_split(text, ' '), 1) AS pos,
-                     unnest(string_split(text, ' ')) AS tok
-              FROM documents))
-      WHERE t2 IS NOT NULL
-"""
 
 
 @_q(
