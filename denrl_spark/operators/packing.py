@@ -1,0 +1,92 @@
+"""Sequence packing: assign documents to fixed-token-capacity training
+sequences ("bins"), the step between curation and tokenized training
+shards in an LLM data pipeline.
+
+Semantics: deterministic NEXT-FIT per shard — docs are ordered by
+doc_id within their shard; each doc appends to the current bin if it
+fits (used + n_tokens <= capacity), else opens the next bin. A doc
+longer than the capacity occupies a bin alone (emitted, not dropped —
+truncation is the tokenizer's call, not the packer's). Output:
+(shard, doc_id, n_tokens, bin_idx, offset_tokens).
+
+Scale shape: packing is inherently SEQUENTIAL within an output shard
+(each placement depends on the bin state the previous doc left), so the
+operator parallelizes the way production packers do — across shards.
+Shard = pmod(doc_id, n_shards) here; at 100 TB, n_shards is the output
+shard count (10^4-10^5), each holding ~E/n_shards docs, so per-task
+work stays bounded and the only shuffle is the groupBy(shard). The
+per-doc Python step inside the Arrow batch is a constant-time state
+update (three comparisons); the oracle twin replays the identical
+recurrence as a recursive CTE that advances every shard one row per
+recursion step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PACK_SCHEMA = (
+    "shard long, doc_id long, n_tokens int, bin_idx long, offset_tokens long"
+)
+
+
+def pack_sequences(
+    docs: DataFrame, capacity: int = 128, n_shards: int = 64
+) -> DataFrame:
+    """Next-fit packing of ``docs`` (doc_id, text, ...) into
+    ``capacity``-token bins, sharded pmod(doc_id, n_shards)."""
+    d = docs.select(
+        F.pmod("doc_id", F.lit(n_shards)).cast("long").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, offs = [], []
+        b, used = 0, None
+        for n in pdf["n_tokens"]:
+            if used is None:
+                b, off, used = 0, 0, int(n)
+            elif used + n <= capacity:
+                off, used = used, used + int(n)
+            else:
+                b, off, used = b + 1, 0, int(n)
+            bins.append(b)
+            offs.append(off)
+        pdf["bin_idx"] = bins
+        pdf["offset_tokens"] = offs
+        return pdf[["shard", "doc_id", "n_tokens", "bin_idx", "offset_tokens"]]
+
+    return d.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+
+
+def pack_sequences_sql(
+    rel: str = "documents", capacity: int = 128, n_shards: int = 64
+) -> str:
+    """The identical next-fit recurrence as a recursive CTE: each
+    recursion step places row rn+1 of EVERY shard (depth = max docs per
+    shard, not total docs)."""
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id % {n_shards} AS shard, doc_id,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                 row_number() OVER (PARTITION BY doc_id % {n_shards}
+                                    ORDER BY doc_id) AS rn
+          FROM {rel}),
+        pack AS (
+          SELECT shard, doc_id, n_tokens, rn,
+                 CAST(0 AS BIGINT) AS bin_idx, CAST(0 AS BIGINT) AS offset_tokens,
+                 CAST(n_tokens AS BIGINT) AS used
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.shard, b.doc_id, b.n_tokens, b.rn,
+                 CASE WHEN p.used + b.n_tokens <= {capacity}
+                      THEN p.bin_idx ELSE p.bin_idx + 1 END,
+                 CASE WHEN p.used + b.n_tokens <= {capacity}
+                      THEN p.used ELSE 0 END,
+                 CASE WHEN p.used + b.n_tokens <= {capacity}
+                      THEN p.used + b.n_tokens ELSE CAST(b.n_tokens AS BIGINT) END
+          FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
+        SELECT shard, doc_id, n_tokens, bin_idx, offset_tokens FROM pack
+    """

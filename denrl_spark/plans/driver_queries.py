@@ -608,6 +608,23 @@ def text_repetition(spark, sf_dir):
     )
 
 
+def _pack_sql():
+    from denrl_spark.operators.packing import pack_sequences_sql
+
+    return pack_sequences_sql()
+
+
+@_q("text_pack_sequences", _pack_sql())
+def text_pack_sequences(spark, sf_dir):
+    """Next-fit sequence packing into 128-token bins, 64 output shards
+    (operators/packing.py) — sequential within a shard (the bin state
+    is a chain), parallel across shards; the oracle replays the same
+    recurrence as a recursive CTE."""
+    from denrl_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
 @_q(
     "rel_stratified_sample",
     """

@@ -76,3 +76,50 @@ def test_repetition_plan_is_shuffle_free(frames):
         repetition_metrics(train)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_matches_bruteforce(spark):
+    from denrl_spark.operators.packing import pack_sequences
+
+    # shard 0: exact fit at the boundary, then overflow; shard 1: an
+    # oversized doc alone in a bin, followed by a normal doc
+    rows = [
+        (0, "w " * 9 + "w"),    # 10 tokens
+        (2, "w " * 5 + "w"),    # 6 -> 10+6=16 == capacity: fits
+        (4, "w"),               # 1 -> overflow, new bin
+        (1, "w " * 39 + "w"),   # 40 > capacity: bin alone
+        (3, "w " * 3 + "w"),    # 4 -> used 40+4 > 16: new bin
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["bin_idx"], r["offset_tokens"], r["n_tokens"])
+        for r in pack_sequences(docs, capacity=16, n_shards=2).collect()
+    }
+    assert got == {
+        0: (0, 0, 0, 10),
+        2: (0, 0, 10, 6),   # exact fit: offset 10, used becomes 16
+        4: (0, 1, 0, 1),    # boundary overflow opens bin 1
+        1: (1, 0, 0, 40),   # oversized doc occupies bin 0 alone
+        3: (1, 1, 0, 4),
+    }
+
+
+def test_pack_sequences_invariants(spark):
+    from denrl_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = pack_sequences(docs, capacity=128, n_shards=8).collect()
+    assert len(rows) == docs.count()
+    by_bin: dict[tuple, list] = {}
+    for r in rows:
+        by_bin.setdefault((r["shard"], r["bin_idx"]), []).append(r)
+    for (shard, b), members in by_bin.items():
+        members.sort(key=lambda r: r["doc_id"])
+        used = 0
+        for r in members:
+            assert r["offset_tokens"] == used
+            used += r["n_tokens"]
+        # a bin over capacity can only be a single oversized doc
+        assert used <= 128 or len(members) == 1
