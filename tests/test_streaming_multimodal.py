@@ -368,6 +368,21 @@ def test_stream_graph_deltas_view_equals_batch_graph(spark, transcript_dir, tmp_
     # idempotent: nothing left to fold
     assert compact_graph_deltas(spark, sink) == 0
 
+    # composition: the analytics operators consume the INCREMENTAL edge
+    # view directly (same column contract as the batch edge table) and
+    # agree with the batch graph — schema drift between the streaming
+    # surface and graph_analytics would fail here
+    from denrl_spark.operators.graph_analytics import degrees, pagerank
+
+    view = graph_edges_view(spark, sink)
+    deg_view = {tuple(r) for r in degrees(view).collect()}
+    deg_batch = {tuple(r) for r in degrees(edges).collect()}
+    assert len(deg_view) > 0 and deg_view == deg_batch
+    pr_view = {r["surface"]: r["rank"] for r in pagerank(view, iters=2).collect()}
+    pr_batch = {r["surface"]: r["rank"] for r in pagerank(edges, iters=2).collect()}
+    assert pr_view.keys() == pr_batch.keys()
+    assert all(abs(pr_view[k] - pr_batch[k]) < 1e-12 for k in pr_view)
+
 
 def test_compact_graph_deltas_crash_recovery(spark, tmp_path):
     """The manifest protocol's two recovery paths: a side dir WITHOUT a
