@@ -130,6 +130,7 @@ def materialize_graph(
             F.count(F.lit(1)).alias("n_obs"),
             F.countDistinct("sent_id").alias("n_sents"),
             F.min("sent_id").alias("first_sent_id"),
+            F.max("sent_id").alias("last_sent_id"),
         )
     )
 

@@ -352,6 +352,54 @@ def edges_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def edge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal edge provenance: per canonical edge, the observation
+    validity window (first_ts, last_ts as epoch seconds — exact integer
+    math over the turn timestamp stamp ts = 1735689600 + doc_id*7,
+    transcripts_from_documents) and the observation count — the
+    temporal-KG surface consumers use to expire or version edges.
+    first/last ride the SAME edges aggregate (materialize_graph carries
+    both bounds), so this costs no extra pass over the triples."""
+    from denrl_spark.operators.graph import materialize_graph
+
+    trips = (
+        gold_triples_by_doc(spark, sf_dir)
+        .withColumnRenamed("doc_id", "sent_id")
+        .cache()
+    )
+    trips.count()
+    _, edges = materialize_graph(trips, eager="edges")
+    trips.unpersist()
+    base = F.lit(1735689600)
+    return edges.select(
+        "src_surface",
+        "pred",
+        "dst_surface",
+        "n_obs",
+        (base + F.col("first_sent_id") * 7).cast("bigint").alias("first_ts"),
+        (base + F.col("last_sent_id") * 7).cast("bigint").alias("last_ts"),
+    )
+
+
+def edge_history_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()},
+        rel_rows AS (
+          SELECT g.doc_id, cs.canonical_surface AS src_surface,
+                 g.ent2_tag AS pred, cd.canonical_surface AS dst_surface
+          FROM gold g
+          JOIN canon cs ON cs.surface = g.ent1
+          JOIN canon cd ON cd.surface = g.ent2
+          WHERE g.ent2_tag LIKE '%/%')
+        SELECT src_surface, pred, dst_surface,
+               count(*) AS n_obs,
+               1735689600 + min(doc_id) * 7 AS first_ts,
+               1735689600 + max(doc_id) * 7 AS last_ts
+        FROM rel_rows GROUP BY 1, 2, 3
+    """
+
+
 def _canon_cte() -> str:
     """linking.canonicalize in SQL: mentions grouped by normalized form
     (lower, punctuation->space, collapse space), canonical surface = min

@@ -135,6 +135,37 @@ def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stops at edge materialization — these are the questions its users ask next)
 # --------------------------------------------------------------------------
 
+_q("kg_edge_history", docs_kg.edge_history_sql())(docs_kg.edge_history)
+
+
+@_q(
+    "kg_adjacency",
+    f"""
+    WITH edges AS ({{edges_sql}})
+    SELECT src_surface,
+           string_agg(pred || '>' || dst_surface, ','
+                      ORDER BY pred || '>' || dst_surface) AS neighbors_csv,
+           count(*) AS n_edges
+    FROM edges GROUP BY 1
+    """.format(edges_sql=docs_kg.edges_by_doc_sql()),
+)
+def kg_adjacency(spark, sf_dir):
+    """Adjacency-list export of the canonical KG (graph-serving shape):
+    per source vertex, the sorted 'pred>dst' neighbor list as a
+    deterministic scalar — collect_list + array_sort, stable under any
+    partitioning, one map-side-combined agg over the edge table."""
+    e = docs_kg.edges_by_doc(spark, sf_dir)
+    return e.groupBy("src_surface").agg(
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(F.concat_ws(">", "pred", "dst_surface"))
+            ),
+        ).alias("neighbors_csv"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+
+
 @_q("kg_degree", docs_kg.degree_sql())
 def kg_degree(spark, sf_dir):
     """Per-vertex degree centrality over the canonical edge table — one

@@ -259,6 +259,7 @@ def _edges_over_map(spark: SparkSession, sink_dir: str, cmap: DataFrame) -> Data
             F.sum("n_obs").alias("n_obs"),
             F.countDistinct("sent_id").alias("n_sents"),
             F.min("sent_id").alias("first_sent_id"),
+            F.max("sent_id").alias("last_sent_id"),
         )
         .localCheckpoint()
     )

@@ -312,7 +312,7 @@ def test_stream_graph_deltas_view_equals_batch_graph(spark, transcript_dir, tmp_
         tuple(r)
         for r in graph_edges_view(spark, sink)
         .select("src_id", "src_surface", "pred", "dst_id", "dst_surface",
-                "n_obs", "n_sents", "first_sent_id")
+                "n_obs", "n_sents", "first_sent_id", "last_sent_id")
         .collect()
     }
     batch = spark.read.parquet(transcript_dir)
@@ -323,7 +323,7 @@ def test_stream_graph_deltas_view_equals_batch_graph(spark, transcript_dir, tmp_
     expect = {
         tuple(r)
         for r in edges.select("src_id", "src_surface", "pred", "dst_id",
-                              "dst_surface", "n_obs", "n_sents", "first_sent_id").collect()
+                              "dst_surface", "n_obs", "n_sents", "first_sent_id", "last_sent_id").collect()
     }
     assert len(got) > 0 and got == expect
 
@@ -360,7 +360,7 @@ def test_stream_graph_deltas_view_equals_batch_graph(spark, transcript_dir, tmp_
         tuple(r)
         for r in graph_edges_view(spark, sink)
         .select("src_id", "src_surface", "pred", "dst_id", "dst_surface",
-                "n_obs", "n_sents", "first_sent_id")
+                "n_obs", "n_sents", "first_sent_id", "last_sent_id")
         .collect()
     }
     assert got2 == expect
