@@ -34,6 +34,22 @@ def _toks(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
+def ngram_array(toks, n: int):
+    """Space-joined token n-grams of a token-array column as an array
+    column, built with HOFs in the scan stage (no shuffle, no explode).
+    THE one n-gram builder — shingles, repetition metrics, and
+    graph.tool_edges all route here, because the short-array guard is a
+    subtle-bug class: sequence(1, m) DESCENDS when m < 1, so arrays
+    shorter than n need the explicit empty-array branch."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """(doc_id, n_ws_tokens, n_re_tokens, n_chars)."""
     return docs.select(
@@ -224,20 +240,9 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     inside the scan stage with NO shuffle, unlike the window-lead
     formulation (the per-doc window sort was the dominant cost of every
     MinHash/Jaccard query)."""
-    toks = _toks()
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
+    return docs.select(
+        "doc_id", F.explode(ngram_array(_toks(), n)).alias("shingle")
     )
-    # sequence(1, n) DESCENDS when n < 1, so short docs need an explicit
-    # empty-array guard rather than relying on the sequence bounds
-    grams = F.when(F.size(toks) >= 3, grams).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def minhash_signature_cols(
@@ -251,19 +256,7 @@ def minhash_signature_cols(
     over a multiset == min over its set; test-asserted). Rows with < 3
     tokens have no shingles; their bands fall back to md5(text) (an
     exact-content signature) so null never matches null."""
-    toks = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
-    grams = F.when(F.size(toks) >= 3, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    grams = ngram_array(F.split(F.col(text_col), " "), 3)
     out = df
     for b in range(n_bands):
         mh = F.array_min(
@@ -489,19 +482,12 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     Entirely per-row array HOFs inside the scan stage — the max-run
     count runs over the SORTED gram array with one aggregate() fold
     (prev/run/best accumulator), so the operator needs NO shuffle, no
-    explode, and no Python: it scales with input bandwidth alone."""
-    toks = _toks()
+    explode, and no Python: it scales with input bandwidth alone.
 
-    def grams(n: int):
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    top2_e6 counts OVERLAPPING occurrences (a token run 'x x x x' has
+    three 'x x' bigrams), so 2*maxc can exceed n — the ratio is capped
+    at 1e6 to keep the fraction contract for downstream validators."""
+    toks = _toks()
 
     def max_run(sorted_arr):
         init = F.struct(
@@ -521,13 +507,16 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
             lambda acc: acc.best,
         )
 
-    g2, g3 = grams(2), grams(3)
+    g2, g3 = ngram_array(toks, 2), ngram_array(toks, 3)
     n = F.size(toks)
     tot3 = F.size(g3)
     return docs.where(F.size(toks) >= 3).select(
         "doc_id",
         n.alias("n_tokens"),
-        F.floor(1_000_000 * 2 * max_run(F.array_sort(g2)) / n)
+        F.least(
+            F.lit(1_000_000),
+            F.floor(1_000_000 * 2 * max_run(F.array_sort(g2)) / n),
+        )
         .cast("long")
         .alias("top2_e6"),
         F.floor(1_000_000 * (tot3 - F.size(F.array_distinct(g3))) / tot3)

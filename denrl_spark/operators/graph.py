@@ -37,25 +37,12 @@ def tool_edges(transcripts: DataFrame, kb) -> DataFrame:
     broadcast equi-join against the vocabulary-sized entity table, one
     map-side-combined aggregation — no nested-loop scans, no
     self-joins."""
+    from denrl_spark.functions.textops import ngram_array
+
     spark = transcripts.sparkSession
     max_n = max((len(s.split(" ")) for s in kb.entity_type), default=1)
     toks = F.split("text", " ")
-
-    def ngrams(n: int):
-        # factory, not a defaulted lambda: pyspark dispatches HOF
-        # lambdas on arity (2 params = element+index), so a `n=n`
-        # default would silently change the signature
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    gram_arrays = [toks] + [ngrams(n) for n in range(2, max_n + 1)]
+    gram_arrays = [toks] + [ngram_array(toks, n) for n in range(2, max_n + 1)]
     t = (
         transcripts.where(F.col("tool").isNotNull())
         .select("conv_id", "tool", F.explode(F.concat(*gram_arrays)).alias("surface"))

@@ -43,20 +43,28 @@ PR_DAMPING = 0.85
 def degrees(edges: DataFrame, src: str = "src_surface", dst: str = "dst_surface",
             weight: str = "n_obs") -> DataFrame:
     """Per-vertex degree centrality: (surface, out_deg, in_deg,
-    w_out_obs, w_in_obs). Distinct-neighbor degrees + observation-
-    weighted degrees in ONE pass: union the two endpoint projections
-    with an is_out flag, then a single map-side-combined aggregation —
-    no join, one shuffle on the vertex key."""
+    out_nbrs, in_nbrs, w_out_obs, w_in_obs). out_deg/in_deg are
+    EDGE-grain (one per (src, pred, dst) row — a pair linked by two
+    predicates counts twice); out_nbrs/in_nbrs are the DISTINCT
+    neighbor counts. All six in ONE pass: union the two endpoint
+    projections with an is_out flag, then a single aggregation (the
+    countDistinct adds the usual two-phase expand; still one shuffle on
+    the vertex key, no join)."""
     ends = edges.select(
-        F.col(src).alias("surface"), F.lit(1).alias("is_out"), F.col(weight).alias("w")
+        F.col(src).alias("surface"), F.lit(1).alias("is_out"),
+        F.col(dst).alias("nbr"), F.col(weight).alias("w")
     ).unionByName(
         edges.select(
-            F.col(dst).alias("surface"), F.lit(0).alias("is_out"), F.col(weight).alias("w")
+            F.col(dst).alias("surface"), F.lit(0).alias("is_out"),
+            F.col(src).alias("nbr"), F.col(weight).alias("w")
         )
     )
+    out = F.col("is_out") == 1
     return ends.groupBy("surface").agg(
         F.sum("is_out").cast("bigint").alias("out_deg"),
         F.sum(1 - F.col("is_out")).cast("bigint").alias("in_deg"),
+        F.countDistinct(F.when(out, F.col("nbr"))).alias("out_nbrs"),
+        F.countDistinct(F.when(~out, F.col("nbr"))).alias("in_nbrs"),
         F.sum(F.col("is_out") * F.col("w")).cast("bigint").alias("w_out_obs"),
         F.sum((1 - F.col("is_out")) * F.col("w")).cast("bigint").alias("w_in_obs"),
     )
@@ -145,6 +153,11 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = PR_DAMPING,
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # out-edges annotated with out-degree: the loop's constant operand
     eo = e.join(outdeg, "src").localCheckpoint()
+    # both loop operands are materialized now — the distinct-edge cache
+    # is dead; release it before the loop, not after
+    e.unpersist()
+    if n_v == 0:  # empty graph: empty ranks, not ZeroDivisionError
+        return verts.withColumn("rank", F.lit(0.0))
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n_v))
     base = (1.0 - damping) / n_v
@@ -163,5 +176,65 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = PR_DAMPING,
             )
             .localCheckpoint()
         )
+    return ranks
+
+
+PR_UNIT = 10**12  # fixed-point rank unit (1 rank == 10^12 units)
+
+
+def pagerank_fixedpoint(edges: DataFrame, iters: int = 3,
+                        damping_pct: int = 85,
+                        src: str = "src_surface",
+                        dst: str = "dst_surface") -> DataFrame:
+    """PageRank in EXACT integer fixed-point (rank stored as bigint
+    units of 1e-12): contributions use integer division (rank div
+    outdeg, then *damping_pct div 100), so every aggregate is a sum of
+    exact integers — order-independent, bit-identical across engines
+    and partitionings. This is the ORACLE-SAFE variant: the float
+    ``pagerank`` is the reference recurrence (tested vs a numpy loop),
+    but its floor(1e6 * double-sum) output can flip an ULP at a floor
+    boundary between engines; this one cannot, by construction. The
+    per-step truncation deflates each rank by < 1e-10 relative —
+    ranking order is unaffected for any real graph.
+
+    Same plan shape as ``pagerank``: one join + one map-side-combined
+    agg + one left join per iteration, eager checkpoint per round."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.cache()
+    verts = (
+        e.select(F.col("src").alias("surface"))
+        .unionByName(e.select(F.col("dst").alias("surface")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_v = verts.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    eo = e.join(outdeg, "src").localCheckpoint()
     e.unpersist()
+    if n_v == 0:
+        return verts.withColumn("rank_u", F.lit(0).cast("bigint"))
+
+    ranks = verts.withColumn("rank_u", F.lit(PR_UNIT // n_v).cast("bigint"))
+    base_u = ((100 - damping_pct) * PR_UNIT) // (100 * n_v)
+    for _ in range(iters):
+        contribs = (
+            eo.join(ranks, eo.src == ranks.surface)
+            .select(
+                F.col("dst").alias("surface"),
+                F.expr("rank_u div outdeg").alias("c"),
+            )
+            .groupBy("surface")
+            .agg(F.sum("c").cast("bigint").alias("inflow"))
+        )
+        ranks = (
+            verts.join(contribs, "surface", "left")
+            .select(
+                "surface",
+                (
+                    F.lit(base_u)
+                    + F.expr(f"({damping_pct} * coalesce(inflow, 0L)) div 100")
+                ).cast("bigint").alias("rank_u"),
+            )
+            .localCheckpoint()
+        )
     return ranks

@@ -324,25 +324,33 @@ def pred_triples_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def edges_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonicalized KG edges over the doc-keyed gold triples (stage 6:
-    linking.canonicalize + graph.materialize_graph), surface-keyed so
-    the canonical ids (xxhash64) stay engine-internal."""
+def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw canonical edge table over the doc-keyed gold triples (stage
+    6: linking.canonicalize + graph.materialize_graph) — the shared
+    input of edges_by_doc / edge_history / the analytics queries.
+
+    Cache discipline: eagerly-materialized cache, not lazy cache
+    (population race) and not localCheckpoint (bogus RDD stats flip the
+    join sides) — see kg_edges in driver_queries.py; the edges come
+    back eager so every internal cache is released before returning
+    (ADVICE r2 leak class)."""
     from denrl_spark.operators.graph import materialize_graph
 
-    # eagerly-materialized cache, not lazy cache (population race) and
-    # not localCheckpoint (bogus RDD stats flip the join sides): see
-    # kg_edges in driver_queries.py
     trips = (
         gold_triples_by_doc(spark, sf_dir)
         .withColumnRenamed("doc_id", "sent_id")
         .cache()
     )
     trips.count()
-    # eager: caches released before return (see kg_edges / ADVICE r2)
     _, edges = materialize_graph(trips, eager="edges")
     trips.unpersist()
-    return edges.select(
+    return edges
+
+
+def edges_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized KG edges, surface-keyed so the canonical ids
+    (xxhash64) stay engine-internal."""
+    return _canonical_edges(spark, sf_dir).select(
         "src_surface",
         "pred",
         "dst_surface",
@@ -360,18 +368,8 @@ def edge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     temporal-KG surface consumers use to expire or version edges.
     first/last ride the SAME edges aggregate (materialize_graph carries
     both bounds), so this costs no extra pass over the triples."""
-    from denrl_spark.operators.graph import materialize_graph
-
-    trips = (
-        gold_triples_by_doc(spark, sf_dir)
-        .withColumnRenamed("doc_id", "sent_id")
-        .cache()
-    )
-    trips.count()
-    _, edges = materialize_graph(trips, eager="edges")
-    trips.unpersist()
     base = F.lit(1735689600)
-    return edges.select(
+    return _canonical_edges(spark, sf_dir).select(
         "src_surface",
         "pred",
         "dst_surface",
@@ -498,12 +496,16 @@ def degree_sql(rel: str = "documents") -> str:
     return f"""
         WITH {_edges_cte(rel)},
         ends AS (
-          SELECT src_surface AS surface, 1 AS is_out, n_obs AS w FROM edges
+          SELECT src_surface AS surface, 1 AS is_out, dst_surface AS nbr,
+                 n_obs AS w
+          FROM edges
           UNION ALL
-          SELECT dst_surface, 0, n_obs FROM edges)
+          SELECT dst_surface, 0, src_surface, n_obs FROM edges)
         SELECT surface,
                CAST(sum(is_out) AS BIGINT) AS out_deg,
                CAST(sum(1 - is_out) AS BIGINT) AS in_deg,
+               count(DISTINCT CASE WHEN is_out = 1 THEN nbr END) AS out_nbrs,
+               count(DISTINCT CASE WHEN is_out = 0 THEN nbr END) AS in_nbrs,
                CAST(sum(is_out * w) AS BIGINT) AS w_out_obs,
                CAST(sum((1 - is_out) * w) AS BIGINT) AS w_in_obs
         FROM ends GROUP BY 1
@@ -540,10 +542,16 @@ def triangles_sql(rel: str = "documents") -> str:
     """
 
 
-def pagerank_sql(rel: str = "documents", iters: int = 3, damping: float = 0.85) -> str:
-    """graph_analytics.pagerank twin: the fixed iteration count is
-    UNROLLED into chained CTEs r0..r{iters} — same uniform init, same
-    dropped dangling mass, same damping literals as the Spark loop."""
+def pagerank_sql(rel: str = "documents", iters: int = 3, damping_pct: int = 85) -> str:
+    """graph_analytics.pagerank_fixedpoint twin: the fixed iteration
+    count is UNROLLED into chained CTEs r0..r{iters} — same uniform
+    init, same dropped dangling mass, same integer fixed-point
+    recurrence (bigint units of 1e-12, integer division at every step,
+    so the aggregates are exact and order-independent — a double-sum
+    formulation could flip floor() by an ULP between engines). All
+    operands here are non-negative, where DuckDB's floor-division //
+    and Spark's truncating `div` agree."""
+    unit = 10**12
     body = f"""
         WITH {_edges_cte(rel)},
         e AS (SELECT DISTINCT src_surface AS src, dst_surface AS dst FROM edges),
@@ -552,20 +560,24 @@ def pagerank_sql(rel: str = "documents", iters: int = 3, damping: float = 0.85) 
             SELECT src AS surface FROM e UNION ALL SELECT dst FROM e)),
         nv AS (SELECT count(*) AS n FROM verts),
         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-        r0 AS (SELECT surface, 1.0 / (SELECT n FROM nv) AS rank FROM verts)"""
+        r0 AS (SELECT surface,
+                      CAST({unit} // (SELECT n FROM nv) AS BIGINT) AS rank_u
+               FROM verts)"""
     for i in range(1, iters + 1):
         body += f""",
         r{i} AS (
           SELECT v.surface,
-                 {1.0 - damping} / (SELECT n FROM nv)
-                   + {damping} * COALESCE(s.inflow, 0) AS rank
+                 CAST(({100 - damping_pct} * {unit})
+                        // (100 * (SELECT n FROM nv))
+                      + ({damping_pct} * COALESCE(s.inflow, 0)) // 100
+                      AS BIGINT) AS rank_u
           FROM verts v
           LEFT JOIN (
-            SELECT e.dst AS surface, sum(r.rank / od.outdeg) AS inflow
+            SELECT e.dst AS surface, sum(r.rank_u // od.outdeg) AS inflow
             FROM e JOIN od USING (src) JOIN r{i-1} r ON r.surface = e.src
             GROUP BY 1) s USING (surface))"""
     return body + f"""
-        SELECT surface, CAST(floor(1e6 * rank) AS BIGINT) AS rank_e6 FROM r{iters}
+        SELECT surface, rank_u FROM r{iters}
     """
 
 

@@ -138,31 +138,52 @@ def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q("kg_edge_history", docs_kg.edge_history_sql())(docs_kg.edge_history)
 
 
+ADJ_MAX_NEIGHBORS = 64
+
+
 @_q(
     "kg_adjacency",
     f"""
-    WITH edges AS ({{edges_sql}})
+    WITH edges AS ({{edges_sql}}),
+    ranked AS (
+      SELECT src_surface, pred || '>' || dst_surface AS nbr,
+             row_number() OVER (PARTITION BY src_surface
+                                ORDER BY pred || '>' || dst_surface) AS rn,
+             count(*) OVER (PARTITION BY src_surface) AS n_edges
+      FROM edges)
     SELECT src_surface,
-           string_agg(pred || '>' || dst_surface, ','
-                      ORDER BY pred || '>' || dst_surface) AS neighbors_csv,
-           count(*) AS n_edges
-    FROM edges GROUP BY 1
+           string_agg(nbr, ',' ORDER BY nbr) AS neighbors_csv,
+           CAST(max(n_edges) AS BIGINT) AS n_edges
+    FROM ranked WHERE rn <= {ADJ_MAX_NEIGHBORS} GROUP BY 1
     """.format(edges_sql=docs_kg.edges_by_doc_sql()),
 )
 def kg_adjacency(spark, sf_dir):
     """Adjacency-list export of the canonical KG (graph-serving shape):
-    per source vertex, the sorted 'pred>dst' neighbor list as a
-    deterministic scalar — collect_list + array_sort, stable under any
-    partitioning, one map-side-combined agg over the edge table."""
-    e = docs_kg.edges_by_doc(spark, sf_dir)
-    return e.groupBy("src_surface").agg(
-        F.concat_ws(
-            ",",
-            F.array_sort(
-                F.collect_list(F.concat_ws(">", "pred", "dst_surface"))
+    per source vertex, the first ADJ_MAX_NEIGHBORS 'pred>dst' strings
+    in sorted order as one deterministic scalar, plus the TRUE total
+    edge count (so a capped row is detectable: n_edges > list length).
+    The fan-out cap is applied with a window rank BEFORE collect_list,
+    so per-key aggregation state is bounded — an uncapped hub vertex
+    (10^7+ edges) would otherwise materialize its whole neighbor set
+    in one aggregation buffer, the unbounded-per-key-state shape this
+    engine bans at 100 TB. Serving exports cap fan-out for the same
+    reason."""
+    e = docs_kg.edges_by_doc(spark, sf_dir).select(
+        "src_surface", F.concat_ws(">", "pred", "dst_surface").alias("nbr")
+    )
+    w = Window.partitionBy("src_surface").orderBy("nbr")
+    wc = Window.partitionBy("src_surface")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_edges", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") <= ADJ_MAX_NEIGHBORS)
+        .groupBy("src_surface")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("nbr"))).alias(
+                "neighbors_csv"
             ),
-        ).alias("neighbors_csv"),
-        F.count(F.lit(1)).alias("n_edges"),
+            F.max("n_edges").alias("n_edges"),
+        )
     )
 
 
@@ -196,14 +217,15 @@ def kg_triangles(spark, sf_dir):
 @_q("kg_pagerank", docs_kg.pagerank_sql())
 def kg_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (3 rounds, d=0.85, dangling mass
-    dropped), driver-looped with per-round eager checkpoints; the
-    DuckDB twin unrolls the identical recurrence into chained CTEs."""
-    from denrl_spark.operators.graph_analytics import pagerank
+    dropped), driver-looped with per-round eager checkpoints. The
+    registered variant is the EXACT integer fixed-point recurrence
+    (order-independent sums — a double-sum rank could flip floor() by
+    an ULP between engines and partitionings); the float twin is
+    pytest-verified against a numpy loop. The DuckDB oracle unrolls
+    the identical integer recurrence into chained CTEs."""
+    from denrl_spark.operators.graph_analytics import pagerank_fixedpoint
 
-    r = pagerank(docs_kg.edges_by_doc(spark, sf_dir), iters=3)
-    return r.select(
-        "surface", F.floor(1_000_000 * F.col("rank")).cast("bigint").alias("rank_e6")
-    )
+    return pagerank_fixedpoint(docs_kg.edges_by_doc(spark, sf_dir), iters=3)
 
 
 # --------------------------------------------------------------------------
@@ -625,7 +647,7 @@ def text_contamination(spark, sf_dir):
       SELECT doc_id, count(*) AS tot3, count(DISTINCT g) AS dis3
       FROM g3 GROUP BY 1)
     SELECT m2.doc_id, CAST(m2.n_tokens AS INT) AS n_tokens,
-           CAST(floor(1000000 * 2 * m2.maxc / m2.n_tokens) AS BIGINT) AS top2_e6,
+           CAST(least(1000000, floor(1000000 * 2 * m2.maxc / m2.n_tokens)) AS BIGINT) AS top2_e6,
            CAST(floor(1000000 * (d3.tot3 - d3.dis3) / d3.tot3) AS BIGINT) AS dup3_e6
     FROM m2 JOIN d3 USING (doc_id)
     """,

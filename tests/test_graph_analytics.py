@@ -16,9 +16,11 @@ from denrl_spark.operators.graph_analytics import (
 )
 
 # (src, pred, dst, n_obs) — includes a cycle, a hub, a dangling vertex
-# (no out-edges: "f"), and a 4-clique subgraph {a,b,c,d} for triangles
+# (no out-edges: "f"), a 4-clique subgraph {a,b,c,d} for triangles, and
+# a MULTI-PREDICATE pair (a-p->b and a-q->b: edge-degree 2, 1 neighbor)
 EDGES = [
     ("a", "p", "b", 3),
+    ("a", "q", "b", 1),   # second predicate on the same pair
     ("a", "p", "c", 1),
     ("a", "p", "d", 2),
     ("b", "q", "c", 5),
@@ -46,7 +48,12 @@ def test_degrees_match_enumeration(edges):
         ins = [w for s, _, o, w in EDGES if o == v]
         r = got[v]
         assert (r["out_deg"], r["in_deg"]) == (len(outs), len(ins))
+        assert r["out_nbrs"] == len({o for s, _, o, _ in EDGES if s == v})
+        assert r["in_nbrs"] == len({s for s, _, o, _ in EDGES if o == v})
         assert (r["w_out_obs"], r["w_in_obs"]) == (sum(outs), sum(ins))
+    # the multi-predicate pair separates edge-grain from neighbor-grain
+    assert got["a"]["out_deg"] == 4 and got["a"]["out_nbrs"] == 3
+    assert got["b"]["in_deg"] == 2 and got["b"]["in_nbrs"] == 1
 
 
 def test_two_hop_matches_enumeration(edges):
@@ -102,3 +109,38 @@ def test_pagerank_matches_numpy_loop(edges):
 def test_pagerank_plan_has_no_single_partition(edges):
     plan = pagerank(edges, iters=2)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_pagerank_fixedpoint_matches_integer_loop(edges):
+    from denrl_spark.operators.graph_analytics import PR_UNIT, pagerank_fixedpoint
+
+    got = {
+        r["surface"]: r["rank_u"]
+        for r in pagerank_fixedpoint(edges, iters=3).collect()
+    }
+    e = {(s, o) for s, _, o, _ in EDGES}
+    verts = sorted({v for pair in e for v in pair})
+    outdeg = {v: sum(1 for s, _ in e if s == v) for v in verts}
+    rank = {v: PR_UNIT // len(verts) for v in verts}
+    for _ in range(3):
+        inflow = {v: 0 for v in verts}
+        for s, o in e:
+            inflow[o] += rank[s] // outdeg[s]
+        rank = {
+            v: (15 * PR_UNIT) // (100 * len(verts)) + (85 * inflow[v]) // 100
+            for v in verts
+        }
+    assert got == rank
+    # fixed-point tracks the float recurrence to ~1e-10 relative
+    flt = {r["surface"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert all(abs(got[v] / PR_UNIT - flt[v]) < 1e-9 for v in verts)
+
+
+def test_pagerank_empty_graph(spark):
+    from denrl_spark.operators.graph_analytics import pagerank_fixedpoint
+
+    empty = spark.createDataFrame(
+        [], "src_surface string, pred string, dst_surface string, n_obs long"
+    )
+    assert pagerank(empty).count() == 0
+    assert pagerank_fixedpoint(empty).count() == 0
