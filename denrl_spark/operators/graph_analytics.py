@@ -127,6 +127,73 @@ def triangles(edges: DataFrame, src: str = "src_surface",
     )
 
 
+def components(edges: DataFrame, src: str = "src_surface",
+               dst: str = "dst_surface", max_iter: int = 12) -> DataFrame:
+    """Connected components of the undirected canonical graph:
+    (surface, component) with component = min surface of the component
+    (deterministic). Delegates to linking.connected_components — the
+    same O(diameter) salted min-label propagation the entity-linking
+    stage uses, with its strict convergence guard."""
+    from denrl_spark.operators.linking import connected_components
+
+    und = undirected_edges(edges, src, dst).select(
+        F.col("va").alias("src"), F.col("vb").alias("dst")
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node_id"))
+        .unionByName(edges.select(F.col(dst).alias("node_id")))
+        .distinct()
+    )
+    return connected_components(nodes, und, max_iter=max_iter).select(
+        F.col("node_id").alias("surface"), "component"
+    )
+
+
+RA_UNIT = 10**12  # resource-allocation weight unit (1/deg in 1e-12)
+
+
+def link_prediction_ra(edges: DataFrame, src: str = "src_surface",
+                       dst: str = "dst_surface") -> DataFrame:
+    """Link-prediction candidates over the undirected canonical graph:
+    for every NON-adjacent pair (va < vb) with at least one common
+    neighbor, the common-neighbor count and the resource-allocation
+    index sum_w 1/deg(w) in exact integer units (RA_UNIT div deg — the
+    per-neighbor weight is an integer division, so the aggregate is
+    order-independent and hash-oracle-able; Adamic-Adar's 1/ln(deg)
+    would re-open the cross-engine libm/ULP gap).
+
+    Shape: adjacency self-join on the shared neighbor (the same
+    skew-sensitive middle-vertex join as two_hop — AQE splits hot
+    neighbors), one left-anti join against the edge set to drop
+    already-linked pairs, one map-side-combined agg."""
+    und = undirected_edges(edges, src, dst)
+    adj = und.unionByName(
+        und.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+    )  # (v, neighbor), both directions
+    deg = adj.groupBy(F.col("va").alias("w")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    a = adj.select(F.col("vb").alias("w"), F.col("va").alias("u"))
+    b = adj.select(F.col("vb").alias("w"), F.col("va").alias("v"))
+    cand = (
+        a.join(b, "w")
+        .where(F.col("u") < F.col("v"))
+        .join(
+            und,
+            (F.col("u") == und.va) & (F.col("v") == und.vb),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(deg, "w")
+        .groupBy(F.col("u").alias("va"), F.col("v").alias("vb"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr(f"{RA_UNIT} div deg")).cast("bigint").alias("ra_u12"),
+        )
+    )
+
+
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = PR_DAMPING,
              src: str = "src_surface", dst: str = "dst_surface") -> DataFrame:
     """Fixed-iteration PageRank over the DISTINCT directed edge set:

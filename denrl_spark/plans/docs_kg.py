@@ -542,6 +542,55 @@ def triangles_sql(rel: str = "documents") -> str:
     """
 
 
+def components_sql(rel: str = "documents") -> str:
+    """graph_analytics.components twin: recursive-CTE transitive
+    closure + min reachable label (fine at check scale; the Spark side
+    is O(diameter) label propagation)."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(rel)},
+        und AS (
+          SELECT src_surface AS src, dst_surface AS dst FROM edges
+          WHERE src_surface <> dst_surface
+          UNION
+          SELECT dst_surface, src_surface FROM edges
+          WHERE src_surface <> dst_surface),
+        verts AS (
+          SELECT DISTINCT surface FROM (
+            SELECT src_surface AS surface FROM edges
+            UNION ALL SELECT dst_surface FROM edges)),
+        reach(node, r) AS (
+          SELECT surface, surface FROM verts
+          UNION
+          SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.node)
+        SELECT node AS surface, min(r) AS component FROM reach GROUP BY 1
+    """
+
+
+def link_prediction_sql(rel: str = "documents") -> str:
+    """graph_analytics.link_prediction_ra twin (integer RA units)."""
+    unit = 10**12
+    return f"""
+        WITH {_edges_cte(rel)},
+        u AS (
+          SELECT DISTINCT least(src_surface, dst_surface) AS va,
+                 greatest(src_surface, dst_surface) AS vb
+          FROM edges WHERE src_surface <> dst_surface),
+        adj AS (
+          SELECT va, vb FROM u UNION ALL SELECT vb, va FROM u),
+        deg AS (SELECT va AS w, count(*) AS deg FROM adj GROUP BY 1),
+        cand AS (
+          SELECT a.vb AS w, a.va AS u_, b.va AS v_
+          FROM adj a JOIN adj b ON a.vb = b.vb
+          WHERE a.va < b.va
+            AND NOT EXISTS (
+              SELECT 1 FROM u WHERE u.va = a.va AND u.vb = b.va))
+        SELECT c.u_ AS va, c.v_ AS vb, count(*) AS n_common,
+               CAST(sum({unit} // d.deg) AS BIGINT) AS ra_u12
+        FROM cand c JOIN deg d ON d.w = c.w
+        GROUP BY 1, 2
+    """
+
+
 def pagerank_sql(rel: str = "documents", iters: int = 3, damping_pct: int = 85) -> str:
     """graph_analytics.pagerank_fixedpoint twin: the fixed iteration
     count is UNROLLED into chained CTEs r0..r{iters} — same uniform

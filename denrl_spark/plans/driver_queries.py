@@ -214,6 +214,27 @@ def kg_triangles(spark, sf_dir):
     return triangles(docs_kg.edges_by_doc(spark, sf_dir))
 
 
+@_q("kg_components", docs_kg.components_sql())
+def kg_components(spark, sf_dir):
+    """Connected components of the canonical KG (the same O(diameter)
+    min-label propagation the entity-linking stage uses, strict
+    convergence guard); component = min surface, deterministic."""
+    from denrl_spark.operators.graph_analytics import components
+
+    return components(docs_kg.edges_by_doc(spark, sf_dir))
+
+
+@_q("kg_link_prediction", docs_kg.link_prediction_sql())
+def kg_link_prediction(spark, sf_dir):
+    """Link-prediction candidates: non-adjacent pairs ranked by common
+    neighbors + resource-allocation index in exact integer units
+    (1e12 div deg — order-independent aggregate, unlike Adamic-Adar's
+    float 1/ln(deg))."""
+    from denrl_spark.operators.graph_analytics import link_prediction_ra
+
+    return link_prediction_ra(docs_kg.edges_by_doc(spark, sf_dir))
+
+
 @_q("kg_pagerank", docs_kg.pagerank_sql())
 def kg_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (3 rounds, d=0.85, dangling mass

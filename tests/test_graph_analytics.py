@@ -144,3 +144,57 @@ def test_pagerank_empty_graph(spark):
     )
     assert pagerank(empty).count() == 0
     assert pagerank_fixedpoint(empty).count() == 0
+
+
+def test_components_match_bruteforce(edges):
+    from denrl_spark.operators.graph_analytics import components
+
+    got = {r["surface"]: r["component"] for r in components(edges).collect()}
+    # brute force: union-find over the undirected pairs
+    und = {frozenset((s, o)) for s, _, o, _ in EDGES if s != o}
+    verts = sorted({v for e_ in und for v in e_})
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for x, y in (tuple(e_) for e_ in und):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {v: find(v) for v in verts}
+    # normalize: component label = min member
+    comp_min = {}
+    for v, c in want.items():
+        comp_min.setdefault(c, []).append(v)
+    want = {v: min(comp_min[find(v)]) for v in verts}
+    assert got == want
+    assert len(set(got.values())) == 1  # this graph is one component
+
+
+def test_link_prediction_matches_bruteforce(edges):
+    from denrl_spark.operators.graph_analytics import RA_UNIT, link_prediction_ra
+
+    got = {
+        (r["va"], r["vb"]): (r["n_common"], r["ra_u12"])
+        for r in link_prediction_ra(edges).collect()
+    }
+    und = {frozenset((s, o)) for s, _, o, _ in EDGES if s != o}
+    verts = sorted({v for e_ in und for v in e_})
+    nbrs = {v: {x for e_ in und if v in e_ for x in e_ if x != v} for v in verts}
+    want = {}
+    for i, u in enumerate(verts):
+        for v in verts[i + 1 :]:
+            if frozenset((u, v)) in und:
+                continue
+            common = nbrs[u] & nbrs[v]
+            if common:
+                want[(u, v)] = (
+                    len(common),
+                    sum(RA_UNIT // len(nbrs[w]) for w in common),
+                )
+    assert got == want and len(got) > 0
+    # adjacent pairs never appear
+    assert all(frozenset(k) not in und for k in got)
