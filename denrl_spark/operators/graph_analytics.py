@@ -246,6 +246,59 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = PR_DAMPING,
     return ranks
 
 
+def personalized_pagerank(edges: DataFrame, seeds: list[str], iters: int = 3,
+                          damping: float = PR_DAMPING,
+                          src: str = "src_surface",
+                          dst: str = "dst_surface") -> DataFrame:
+    """Personalized PageRank: the teleport vector is uniform over the
+    SEED set instead of all vertices — the KG-relevance primitive
+    ("entities related to these") behind recommendation and query
+    expansion. r0 = 1/|S| on seeds, 0 elsewhere;
+    r'(v) = (1-d)*teleport(v) + d * sum_in r(u)/outdeg(u); dangling
+    mass dropped as in ``pagerank``. Same plan shape per iteration
+    (join + map-side-combined agg + left join, eager checkpoint);
+    the seed set rides a broadcast literal — it is a user query, not
+    data."""
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.cache()
+    verts = (
+        e.select(F.col("src").alias("surface"))
+        .unionByName(e.select(F.col("dst").alias("surface")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    eo = e.join(outdeg, "src").localCheckpoint()
+    e.unpersist()
+
+    teleport = F.when(
+        F.col("surface").isin(list(seeds)), F.lit(1.0 / len(seeds))
+    ).otherwise(F.lit(0.0))
+    ranks = verts.withColumn("rank", teleport)
+    for _ in range(iters):
+        contribs = (
+            eo.join(ranks, eo.src == ranks.surface)
+            .select(F.col("dst").alias("surface"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("surface")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            verts.join(contribs, "surface", "left")
+            .select(
+                "surface",
+                (
+                    F.lit(1.0 - damping) * teleport
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 PR_UNIT = 10**12  # fixed-point rank unit (1 rank == 10^12 units)
 
 

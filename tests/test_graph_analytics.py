@@ -198,3 +198,34 @@ def test_link_prediction_matches_bruteforce(edges):
     assert got == want and len(got) > 0
     # adjacent pairs never appear
     assert all(frozenset(k) not in und for k in got)
+
+
+def test_personalized_pagerank_matches_loop(edges):
+    from denrl_spark.operators.graph_analytics import personalized_pagerank
+
+    seeds, d = ["a", "e"], 0.85
+    got = {
+        r["surface"]: r["rank"]
+        for r in personalized_pagerank(edges, seeds, iters=3, damping=d).collect()
+    }
+    e = {(s, o) for s, _, o, _ in EDGES}
+    verts = sorted({v for pair in e for v in pair})
+    outdeg = {v: sum(1 for s, _ in e if s == v) for v in verts}
+    tele = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in verts}
+    rank = dict(tele)
+    for _ in range(3):
+        inflow = {v: 0.0 for v in verts}
+        for s, o in e:
+            inflow[o] += rank[s] / outdeg[s]
+        rank = {v: (1 - d) * tele[v] + d * inflow[v] for v in verts}
+    for v in verts:
+        assert got[v] == pytest.approx(rank[v], abs=1e-12)
+    # locality: a seed neighborhood outranks the far side of the graph
+    assert got["b"] > got["f"] or got["a"] > got["f"]
+
+
+def test_personalized_pagerank_empty_seeds_raises(edges):
+    from denrl_spark.operators.graph_analytics import personalized_pagerank
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, [])
