@@ -101,12 +101,28 @@ def run_kg_pipeline(
     vertices, edges = materialize_graph(pred, eager="both")
     n_vertices, n_edges = vertices.count(), edges.count()
 
+    # graph-analytics summary over the materialized edges (stage-6
+    # consumers, one pass each over the small aggregated edge table —
+    # not the triple table)
+    from denrl_spark.operators.graph_analytics import degrees, pagerank_fixedpoint
+
+    deg = degrees(edges).localCheckpoint()
+    max_out = deg.agg(F.max("out_deg")).collect()[0][0] or 0
+    pr_top = [
+        (r["surface"], r["rank_u"])
+        for r in pagerank_fixedpoint(edges, iters=3)
+        .orderBy(F.desc("rank_u"), "surface")
+        .limit(5)
+        .collect()
+    ]
+
     if output_dir:
         from denrl_spark.sources.io import write_metrics_json, write_table
 
         write_table(pred, f"{output_dir}/triples")
         write_table(vertices, f"{output_dir}/vertices")
         write_table(edges, f"{output_dir}/edges")
+        write_table(deg, f"{output_dir}/degrees")
 
     elapsed = time.time() - t_start
     report = {
@@ -115,6 +131,8 @@ def run_kg_pipeline(
         "n_triples": n_triples,
         "n_vertices": n_vertices,
         "n_edges": n_edges,
+        "max_out_degree": int(max_out),
+        "pagerank_top5": pr_top,
         "precision": metrics["precision"],
         "recall": metrics["recall"],
         "f1": metrics["f1"],
