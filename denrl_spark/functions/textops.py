@@ -449,13 +449,14 @@ def contamination_scan(train: DataFrame, benchmark: DataFrame) -> DataFrame:
     one shingle (<3 tokens) emit no row (nothing to test).
 
     Shape for 100 TB training x MB-GB benchmark: the benchmark's
-    distinct shingle set is the SMALL side and is broadcast, so the
-    training shingles never shuffle for the membership test; the only
-    shuffle is the map-side-combined per-doc aggregation. If the
-    benchmark ever outgrows broadcast, AQE falls back to a shuffle join
-    keyed on the shingle — the same plan dedup uses."""
+    distinct shingle set is the SMALL side — no explicit broadcast
+    hint, because a hint would OVERRIDE the planner and fail outright
+    ('cannot broadcast >8GB') on an oversized benchmark; left to AQE,
+    the join broadcasts whenever the benchmark is genuinely small
+    (runtime stats) and degrades to a shuffle join keyed on the
+    shingle — the same plan dedup uses — when it is not."""
     t_sh = shingles(train).distinct()
-    b_sh = F.broadcast(
+    b_sh = (
         shingles(benchmark).select("shingle").distinct().withColumn("hit", F.lit(1))
     )
     return (

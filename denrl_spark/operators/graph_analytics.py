@@ -74,15 +74,19 @@ def two_hop(edges: DataFrame, src: str = "src_surface", dst: str = "dst_surface"
             weight: str = "n_obs") -> DataFrame:
     """2-hop reachability with path counts: (src, dst, n_paths,
     w_paths) where w_paths = sum over paths of the product of the two
-    hop weights. Trivial self-loops (src == final dst) are kept out —
-    consumers ask "what NEW entities are 2 hops away".
+    hop weights. Round trips (src == final dst) are kept out —
+    consumers ask "what NEW entities are 2 hops away" — and so are
+    SELF-LOOP hops (a->a->b is not a genuine 2-hop path; canonical
+    graphs can carry self-loops when both mention surfaces of a triple
+    canonicalize to the same entity).
 
     Shape: one self-equi-join on the middle vertex + one map-side-
     combined agg. Skewed middle vertices are split by AQE."""
-    a = edges.select(
+    no_loop = F.col(src) != F.col(dst)
+    a = edges.where(no_loop).select(
         F.col(src).alias("src"), F.col(dst).alias("mid"), F.col(weight).alias("w1")
     )
-    b = edges.select(
+    b = edges.where(no_loop).select(
         F.col(src).alias("mid"), F.col(dst).alias("dst"), F.col(weight).alias("w2")
     )
     return (
@@ -128,12 +132,16 @@ def triangles(edges: DataFrame, src: str = "src_surface",
 
 
 def components(edges: DataFrame, src: str = "src_surface",
-               dst: str = "dst_surface", max_iter: int = 12) -> DataFrame:
+               dst: str = "dst_surface", max_iter: int = 40) -> DataFrame:
     """Connected components of the undirected canonical graph:
     (surface, component) with component = min surface of the component
     (deterministic). Delegates to linking.connected_components — the
     same O(diameter) salted min-label propagation the entity-linking
-    stage uses, with its strict convergence guard."""
+    stage uses, with its strict convergence guard. max_iter bounds the
+    graph DIAMETER, not size: linking's star graphs converge in 2, but
+    a general KG can carry long containment chains, so the default
+    here is 40 (raise for pathological path graphs — the guard raises
+    loudly rather than returning partially-merged components)."""
     from denrl_spark.operators.linking import connected_components
 
     und = undirected_edges(edges, src, dst).select(
@@ -194,56 +202,72 @@ def link_prediction_ra(edges: DataFrame, src: str = "src_surface",
     )
 
 
-def pagerank(edges: DataFrame, iters: int = 3, damping: float = PR_DAMPING,
-             src: str = "src_surface", dst: str = "dst_surface") -> DataFrame:
-    """Fixed-iteration PageRank over the DISTINCT directed edge set:
-    (surface, rank). Uniform init 1/V; per iteration
-    r'(v) = (1-d)/V + d * sum_{u->v} r(u)/outdeg(u). Dangling-vertex
-    mass is dropped (not redistributed) — deterministic, and exactly
-    reproducible by the unrolled-SQL oracle twin.
-
-    Each iteration: one equi-join (ranks x out-edges) + one map-side-
-    combined agg + one left join back to the vertex set — then an EAGER
-    localCheckpoint so lineage stays O(1) per round instead of
-    compounding (the classic iterative-Spark failure mode). The
-    distinct edge/out-degree frame is computed once and cached for the
-    duration of the loop, released before returning."""
+def _pr_operands(edges: DataFrame, src: str, dst: str):
+    """Shared preamble of every PageRank variant: the DISTINCT directed
+    edge set reduced to (verts, n_v, eo), where eo = out-edges
+    annotated with out-degree — the loop's constant operand. verts and
+    eo come back eagerly localCheckpoint-ed (breaks lineage AND gives
+    exact stats); the transient distinct-edge cache is released before
+    returning."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.cache()
     verts = (
         e.select(F.col("src").alias("surface"))
         .unionByName(e.select(F.col("dst").alias("surface")))
         .distinct()
-        .localCheckpoint()  # eager: breaks lineage AND gives exact stats
+        .localCheckpoint()
     )
     n_v = verts.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # out-edges annotated with out-degree: the loop's constant operand
     eo = e.join(outdeg, "src").localCheckpoint()
-    # both loop operands are materialized now — the distinct-edge cache
-    # is dead; release it before the loop, not after
     e.unpersist()
-    if n_v == 0:  # empty graph: empty ranks, not ZeroDivisionError
-        return verts.withColumn("rank", F.lit(0.0))
+    return verts, n_v, eo
 
-    ranks = verts.withColumn("rank", F.lit(1.0 / n_v))
-    base = (1.0 - damping) / n_v
+
+def _pr_iterate(verts: DataFrame, eo: DataFrame, ranks: DataFrame,
+                iters: int, contrib, update, rank_col: str) -> DataFrame:
+    """Shared iteration loop: per round one equi-join (ranks x
+    out-edges) + one map-side-combined agg + one left join back to the
+    vertex set, then an EAGER localCheckpoint so lineage stays O(1)
+    per round instead of compounding (the classic iterative-Spark
+    failure mode). ``contrib`` is the per-edge column sent to the
+    destination; ``update`` maps the summed ``inflow`` column to the
+    new rank column."""
     for _ in range(iters):
         contribs = (
             eo.join(ranks, eo.src == ranks.surface)
-            .select(F.col("dst").alias("surface"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .select(F.col("dst").alias("surface"), contrib.alias("c"))
             .groupBy("surface")
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = (
             verts.join(contribs, "surface", "left")
-            .select(
-                "surface",
-                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
-            )
+            .select("surface", update.alias(rank_col))
             .localCheckpoint()
         )
     return ranks
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = PR_DAMPING,
+             src: str = "src_surface", dst: str = "dst_surface") -> DataFrame:
+    """Fixed-iteration PageRank over the DISTINCT directed edge set:
+    (surface, rank). Uniform init 1/V; per iteration
+    r'(v) = (1-d)/V + d * sum_{u->v} r(u)/outdeg(u). Dangling-vertex
+    mass is dropped (not redistributed) — deterministic, and exactly
+    reproducible by the unrolled-SQL oracle twin. Plan shape and cache
+    discipline live in _pr_operands/_pr_iterate."""
+    verts, n_v, eo = _pr_operands(edges, src, dst)
+    if n_v == 0:  # empty graph: empty ranks, not ZeroDivisionError
+        return verts.withColumn("rank", F.lit(0.0))
+    return _pr_iterate(
+        verts, eo,
+        ranks=verts.withColumn("rank", F.lit(1.0 / n_v)),
+        iters=iters,
+        contrib=F.col("rank") / F.col("outdeg"),
+        update=F.lit((1.0 - damping) / n_v)
+        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+        rank_col="rank",
+    )
 
 
 def personalized_pagerank(edges: DataFrame, seeds: list[str], iters: int = 3,
@@ -255,48 +279,25 @@ def personalized_pagerank(edges: DataFrame, seeds: list[str], iters: int = 3,
     ("entities related to these") behind recommendation and query
     expansion. r0 = 1/|S| on seeds, 0 elsewhere;
     r'(v) = (1-d)*teleport(v) + d * sum_in r(u)/outdeg(u); dangling
-    mass dropped as in ``pagerank``. Same plan shape per iteration
-    (join + map-side-combined agg + left join, eager checkpoint);
-    the seed set rides a broadcast literal — it is a user query, not
-    data."""
+    mass dropped as in ``pagerank``. The seed set rides a literal
+    predicate — it is a user query, not data."""
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.cache()
-    verts = (
-        e.select(F.col("src").alias("surface"))
-        .unionByName(e.select(F.col("dst").alias("surface")))
-        .distinct()
-        .localCheckpoint()
-    )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    eo = e.join(outdeg, "src").localCheckpoint()
-    e.unpersist()
-
+    verts, n_v, eo = _pr_operands(edges, src, dst)
+    if n_v == 0:
+        return verts.withColumn("rank", F.lit(0.0))
     teleport = F.when(
         F.col("surface").isin(list(seeds)), F.lit(1.0 / len(seeds))
     ).otherwise(F.lit(0.0))
-    ranks = verts.withColumn("rank", teleport)
-    for _ in range(iters):
-        contribs = (
-            eo.join(ranks, eo.src == ranks.surface)
-            .select(F.col("dst").alias("surface"),
-                    (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("surface")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        ranks = (
-            verts.join(contribs, "surface", "left")
-            .select(
-                "surface",
-                (
-                    F.lit(1.0 - damping) * teleport
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
-    return ranks
+    return _pr_iterate(
+        verts, eo,
+        ranks=verts.withColumn("rank", teleport),
+        iters=iters,
+        contrib=F.col("rank") / F.col("outdeg"),
+        update=F.lit(1.0 - damping) * teleport
+        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+        rank_col="rank",
+    )
 
 
 PR_UNIT = 10**12  # fixed-point rank unit (1 rank == 10^12 units)
@@ -315,46 +316,19 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 3,
     but its floor(1e6 * double-sum) output can flip an ULP at a floor
     boundary between engines; this one cannot, by construction. The
     per-step truncation deflates each rank by < 1e-10 relative —
-    ranking order is unaffected for any real graph.
-
-    Same plan shape as ``pagerank``: one join + one map-side-combined
-    agg + one left join per iteration, eager checkpoint per round."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.cache()
-    verts = (
-        e.select(F.col("src").alias("surface"))
-        .unionByName(e.select(F.col("dst").alias("surface")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n_v = verts.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    eo = e.join(outdeg, "src").localCheckpoint()
-    e.unpersist()
+    ranking order is unaffected for any real graph."""
+    verts, n_v, eo = _pr_operands(edges, src, dst)
     if n_v == 0:
         return verts.withColumn("rank_u", F.lit(0).cast("bigint"))
-
-    ranks = verts.withColumn("rank_u", F.lit(PR_UNIT // n_v).cast("bigint"))
     base_u = ((100 - damping_pct) * PR_UNIT) // (100 * n_v)
-    for _ in range(iters):
-        contribs = (
-            eo.join(ranks, eo.src == ranks.surface)
-            .select(
-                F.col("dst").alias("surface"),
-                F.expr("rank_u div outdeg").alias("c"),
-            )
-            .groupBy("surface")
-            .agg(F.sum("c").cast("bigint").alias("inflow"))
-        )
-        ranks = (
-            verts.join(contribs, "surface", "left")
-            .select(
-                "surface",
-                (
-                    F.lit(base_u)
-                    + F.expr(f"({damping_pct} * coalesce(inflow, 0L)) div 100")
-                ).cast("bigint").alias("rank_u"),
-            )
-            .localCheckpoint()
-        )
-    return ranks
+    return _pr_iterate(
+        verts, eo,
+        ranks=verts.withColumn("rank_u", F.lit(PR_UNIT // n_v).cast("bigint")),
+        iters=iters,
+        contrib=F.expr("rank_u div outdeg"),
+        update=(
+            F.lit(base_u)
+            + F.expr(f"({damping_pct} * coalesce(inflow, 0L)) div 100")
+        ).cast("bigint"),
+        rank_col="rank_u",
+    )

@@ -13,12 +13,17 @@ Scale shape: packing is inherently SEQUENTIAL within an output shard
 (each placement depends on the bin state the previous doc left), so the
 operator parallelizes the way production packers do — across shards.
 Shard = pmod(doc_id, n_shards) here; at 100 TB, n_shards is the output
-shard count (10^4-10^5), each holding ~E/n_shards docs, so per-task
-work stays bounded and the only shuffle is the groupBy(shard). The
-per-doc Python step inside the Arrow batch is a constant-time state
-update (three comparisons); the oracle twin replays the identical
-recurrence as a recursive CTE that advances every shard one row per
-recursion step.
+shard count (10^4-10^5). Memory is bounded REGARDLESS of shard size:
+the implementation is repartition-by-shard + sortWithinPartitions +
+``mapInPandas`` over the ARROW BATCH ITERATOR, carrying the
+(shard, bin, used) state across batches and resetting on shard change
+— a shard's rows stream through one batch at a time, never
+materializing as one pandas frame (a groupBy().applyInPandas packer
+would concatenate the whole shard into a single in-memory frame, the
+unbounded-per-key-state shape this engine bans). The per-doc Python
+step is a constant-time state update; the oracle twin replays the
+identical recurrence as a recursive CTE that advances every shard one
+row per recursion step.
 """
 
 from __future__ import annotations
@@ -34,31 +39,43 @@ def pack_sequences(
     docs: DataFrame, capacity: int = 128, n_shards: int = 64
 ) -> DataFrame:
     """Next-fit packing of ``docs`` (doc_id, text, ...) into
-    ``capacity``-token bins, sharded pmod(doc_id, n_shards)."""
-    d = docs.select(
-        F.pmod("doc_id", F.lit(n_shards)).cast("long").alias("shard"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    ``capacity``-token bins, sharded pmod(doc_id, n_shards). See the
+    module docstring for the bounded-memory execution shape."""
+    d = (
+        docs.select(
+            F.pmod("doc_id", F.lit(n_shards)).cast("long").alias("shard"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+        )
+        # all rows of a shard land in one partition, in (shard, doc_id)
+        # order — multiple shards may share a partition; the state
+        # machine below resets on the shard boundary
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "doc_id")
     )
 
-    def pack(pdf):
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins, offs = [], []
-        b, used = 0, None
-        for n in pdf["n_tokens"]:
-            if used is None:
-                b, off, used = 0, 0, int(n)
-            elif used + n <= capacity:
-                off, used = used, used + int(n)
-            else:
-                b, off, used = b + 1, 0, int(n)
-            bins.append(b)
-            offs.append(off)
-        pdf["bin_idx"] = bins
-        pdf["offset_tokens"] = offs
-        return pdf[["shard", "doc_id", "n_tokens", "bin_idx", "offset_tokens"]]
+    def pack(batches):
+        # state survives ACROSS Arrow batches within the partition
+        cur_shard, b, used = None, 0, None
+        for pdf in batches:
+            bins, offs = [], []
+            for s, n in zip(pdf["shard"], pdf["n_tokens"]):
+                if s != cur_shard:
+                    cur_shard, used = s, None
+                if used is None:
+                    b, off, used = 0, 0, int(n)
+                elif used + n <= capacity:
+                    off, used = used, used + int(n)
+                else:
+                    b, off, used = b + 1, 0, int(n)
+                bins.append(b)
+                offs.append(off)
+            pdf = pdf.copy()
+            pdf["bin_idx"] = bins
+            pdf["offset_tokens"] = offs
+            yield pdf[["shard", "doc_id", "n_tokens", "bin_idx", "offset_tokens"]]
 
-    return d.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+    return d.mapInPandas(pack, PACK_SCHEMA)
 
 
 def pack_sequences_sql(

@@ -513,11 +513,14 @@ def degree_sql(rel: str = "documents") -> str:
 
 
 def two_hop_sql(rel: str = "documents") -> str:
-    """graph_analytics.two_hop twin."""
+    """graph_analytics.two_hop twin (self-loop hops excluded, as in
+    the operator)."""
     return f"""
         WITH {_edges_cte(rel)},
-        a AS (SELECT src_surface AS src, dst_surface AS mid, n_obs AS w1 FROM edges),
-        b AS (SELECT src_surface AS mid, dst_surface AS dst, n_obs AS w2 FROM edges)
+        a AS (SELECT src_surface AS src, dst_surface AS mid, n_obs AS w1
+              FROM edges WHERE src_surface <> dst_surface),
+        b AS (SELECT src_surface AS mid, dst_surface AS dst, n_obs AS w2
+              FROM edges WHERE src_surface <> dst_surface)
         SELECT a.src, b.dst, count(*) AS n_paths,
                CAST(sum(a.w1 * b.w2) AS BIGINT) AS w_paths
         FROM a JOIN b USING (mid)

@@ -28,6 +28,7 @@ EDGES = [
     ("c", "q", "d", 4),
     ("d", "p", "a", 2),   # cycle back
     ("c", "p", "e", 1),
+    ("c", "p", "c", 2),   # self-loop (canonicalization can produce these)
     ("e", "q", "f", 7),   # f is dangling
 ]
 
@@ -61,9 +62,12 @@ def test_two_hop_matches_enumeration(edges):
     want: dict[tuple[str, str], list[int]] = {}
     for s1, _, m1, w1 in EDGES:
         for s2, _, d2, w2 in EDGES:
-            if m1 == s2 and s1 != d2:
+            # self-loop hops excluded: a->a->b is not a 2-hop path
+            if m1 == s2 and s1 != d2 and s1 != m1 and s2 != d2:
                 want.setdefault((s1, d2), []).append(w1 * w2)
     assert got == {k: (len(v), sum(v)) for k, v in want.items()}
+    # the c self-loop must not report c's direct neighbors as 2-hop
+    assert ("c", "e") not in got
 
 
 def test_triangles_match_bruteforce(edges):
