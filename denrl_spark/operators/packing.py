@@ -35,6 +35,32 @@ PACK_SCHEMA = (
 )
 
 
+class NextFitPacker:
+    """The pure next-fit recurrence, one placement at a time — the
+    single source of the packing semantics, shared by the Arrow state
+    machine below and the property tests (hypothesis drives it without
+    Spark). A doc that does not fit the current bin opens the next;
+    an oversized doc occupies its bin alone."""
+
+    __slots__ = ("capacity", "bin_idx", "used")
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.bin_idx = 0
+        self.used: int | None = None
+
+    def place(self, n_tokens: int) -> tuple[int, int]:
+        """Returns (bin_idx, offset_tokens) for a doc of n_tokens."""
+        n = int(n_tokens)
+        if self.used is None:
+            self.bin_idx, off, self.used = 0, 0, n
+        elif self.used + n <= self.capacity:
+            off, self.used = self.used, self.used + n
+        else:
+            self.bin_idx, off, self.used = self.bin_idx + 1, 0, n
+        return self.bin_idx, off
+
+
 def pack_sequences(
     docs: DataFrame, capacity: int = 128, n_shards: int = 64
 ) -> DataFrame:
@@ -56,18 +82,13 @@ def pack_sequences(
 
     def pack(batches):
         # state survives ACROSS Arrow batches within the partition
-        cur_shard, b, used = None, 0, None
+        cur_shard, packer = None, None
         for pdf in batches:
             bins, offs = [], []
             for s, n in zip(pdf["shard"], pdf["n_tokens"]):
                 if s != cur_shard:
-                    cur_shard, used = s, None
-                if used is None:
-                    b, off, used = 0, 0, int(n)
-                elif used + n <= capacity:
-                    off, used = used, used + int(n)
-                else:
-                    b, off, used = b + 1, 0, int(n)
+                    cur_shard, packer = s, NextFitPacker(capacity)
+                b, off = packer.place(n)
                 bins.append(b)
                 offs.append(off)
             pdf = pdf.copy()

@@ -145,3 +145,39 @@ def test_gpt2_encode_lossless_with_learned_merges(t, n_merges):
     chunks = gpt2_pre_tokenize(t)
     ranks = merge_ranks(learn_bpe({c: 1 for c in chunks if c}, n_merges))
     assert bpe_decode_bytes(gpt2_encode(t, ranks)) == t
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=0, max_size=200),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_next_fit_packer_invariants(lengths, capacity):
+    """Independent simulation of next-fit: bins fill left to right,
+    offsets are exact running sums, a bin overflows only as a single
+    oversized doc, and a new bin opens only when the previous could
+    not hold the doc (the no-wasted-bin property of next-fit)."""
+    from denrl_spark.operators.packing import NextFitPacker
+
+    p = NextFitPacker(capacity)
+    placed = [p.place(n) for n in lengths]
+
+    bins: dict[int, list[int]] = {}
+    for (b, off), n in zip(placed, lengths):
+        bins.setdefault(b, []).append((off, n))
+
+    # bin ids are contiguous from 0
+    assert sorted(bins) == list(range(len(bins)))
+    prev_used = None
+    for b in sorted(bins):
+        used = 0
+        for off, n in bins[b]:  # placement order == list order
+            assert off == used
+            used += n
+        assert used <= capacity or len(bins[b]) == 1
+        # next-fit: a new bin means its first doc did NOT fit the
+        # previous bin's remaining space
+        if b > 0:
+            first_n = bins[b][0][1]
+            assert prev_used + first_n > capacity
+        prev_used = used
