@@ -693,10 +693,12 @@ def text_pack_sequences(spark, sf_dir):
     """Next-fit sequence packing into 128-token bins, 64 output shards
     (operators/packing.py) — sequential within a shard (the bin state
     is a chain), parallel across shards; the oracle replays the same
-    recurrence as a recursive CTE."""
+    recurrence as a recursive CTE. Reads the raw scan (no _t
+    parallelism lift): the operator's own shard repartition IS the
+    parallelism step, so the lift would just add a second exchange."""
     from denrl_spark.operators.packing import pack_sequences
 
-    return pack_sequences(_t(spark, sf_dir, "documents"))
+    return pack_sequences(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 @_q(
