@@ -1,10 +1,12 @@
 """Graph analytics over the canonicalized KG edge table (stage-6 output
 of ``graph.materialize_graph``): degree centrality, 2-hop reachability,
-triangle enumeration, and fixed-iteration PageRank.
+triangle enumeration, connected components, resource-allocation link
+prediction, and fixed-iteration PageRank (float reference, exact
+integer fixed-point, and personalized variants).
 
 The reference stops at materializing the triple/edge tables
 (run_jointmodel.py:1619-1688 writes triples; no downstream analytics),
-but a KG-construction engine's consumers immediately ask these four
+but a KG-construction engine's consumers immediately ask these
 questions of the graph, so they ship as first-class operators with the
 same oracle discipline as the extraction stages.
 
