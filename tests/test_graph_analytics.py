@@ -233,3 +233,19 @@ def test_personalized_pagerank_empty_seeds_raises(edges):
 
     with pytest.raises(ValueError):
         personalized_pagerank(edges, [])
+
+
+def test_partition_invariance(edges, spark):
+    """The analytics are pure functions of the edge SET: shuffling the
+    input partitioning changes nothing (content-derived keys, no
+    row-order dependence)."""
+    from denrl_spark.operators.graph_analytics import (
+        link_prediction_ra,
+        pagerank_fixedpoint,
+    )
+
+    shuffled = edges.repartition(7)
+    for op in (degrees, two_hop, triangles, link_prediction_ra, pagerank_fixedpoint):
+        a = sorted(map(tuple, op(edges).collect()))
+        b = sorted(map(tuple, op(shuffled).collect()))
+        assert a == b and len(a) > 0, op.__name__

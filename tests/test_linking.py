@@ -157,3 +157,29 @@ def test_tool_edges(spark):
         n_obs, n_convs, pred, etype = got[k]
         assert (n_obs, n_convs) == (n, len(convs[k])), k
         assert pred == R_TOOL_TOUCHES and etype == KBD.entity_type[k[1]]
+
+
+def test_tool_edges_derives_ngram_cap_from_kb(spark):
+    """A 3-token KB surface is matched — the n-gram explode derives its
+    cap from the longest surface instead of a fixed 1/2-gram window."""
+    from denrl_spark.operators.graph import tool_edges
+    from denrl_spark.sources.kb import KB
+
+    kb3 = KB({"new york city": "LOC", "york": "LOC"}, frozenset(), {})
+    tr = spark.createDataFrame(
+        [
+            ("c1", "maps", "visit new york city today"),
+            ("c2", "maps", "new york city new york city"),
+            ("c3", "search", "york alone"),
+        ],
+        "conv_id string, tool string, text string",
+    )
+    got = {
+        (r["tool"], r["surface"]): (r["n_obs"], r["n_convs"])
+        for r in tool_edges(tr, kb3).collect()
+    }
+    assert got == {
+        ("maps", "new york city"): (3, 2),  # 1 in c1 + 2 in c2
+        ("maps", "york"): (3, 2),
+        ("search", "york"): (1, 1),
+    }

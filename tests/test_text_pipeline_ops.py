@@ -126,3 +126,12 @@ def test_pack_sequences_invariants(spark):
             used += r["n_tokens"]
         # a bin over capacity can only be a single oversized doc
         assert used <= 128 or len(members) == 1
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from denrl_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, pack_sequences(docs, 128, 8).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(11), 128, 8).collect()))
+    assert a == b and len(a) > 0
