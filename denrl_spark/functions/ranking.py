@@ -57,3 +57,39 @@ def with_global_row_number(
         .withColumn(out_col, F.col("_offset") + F.col("_local_rn"))
         .drop("_pid", "_local_rn", "_offset")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k per group
+    (Efraimidis-Spirakis A-ES): each row draws u ~ Uniform(0,1] from a
+    content hash of its id and keeps key = ln(u)/w — the k LARGEST keys
+    per group are a faithful weight-proportional sample. Reproducible
+    under any partitioning and cluster size (the randomness is the
+    row's own hash, not a seed stream), and the same construction runs
+    in ANSI SQL for the oracle twin.
+
+    u is built from the first 48 bits of md5 (exact in a double on
+    both engines); the only cross-engine nondeterminism left is a
+    sub-ULP ln/divide difference flipping the rank of two keys that
+    are bit-adjacent — measure-zero for continuous weights.
+
+    One window shuffle per group key; no global sort."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("double")
+    u = (h + 1) / F.lit(float(2**48) + 1.0)
+    key = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(F.desc(key), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(group_col, id_col)
+    )

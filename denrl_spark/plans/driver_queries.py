@@ -1047,6 +1047,35 @@ def sim_quantize_int8(spark, sf_dir):
 
 
 @_q(
+    "rel_weighted_sample",
+    """
+    SELECT o_orderpriority, o_orderkey FROM (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+                                 AS BIGINT) + 1) / 281474976710657.0)
+                        / o_totalprice DESC,
+                        o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 10
+    """,
+)
+def rel_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES), 10 per priority class weighted by order value — the
+    quality-weighted subsampling primitive of dataset curation
+    (functions/ranking.py:weighted_sample). Content-hash randomness:
+    reproducible under any partitioning, no seed stream."""
+    from denrl_spark.functions.ranking import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority", "o_orderkey", "o_totalprice", k=10,
+    )
+
+
+@_q(
     "rel_sample_deterministic",  # F3 random sample, hash-seeded (reproducible)
     """
     SELECT doc_id FROM documents

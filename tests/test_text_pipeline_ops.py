@@ -135,3 +135,29 @@ def test_pack_sequences_partition_invariant(spark):
     a = sorted(map(tuple, pack_sequences(docs, 128, 8).collect()))
     b = sorted(map(tuple, pack_sequences(docs.repartition(11), 128, 8).collect()))
     assert a == b and len(a) > 0
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    """A-ES weighted sampling: exact match against an independent
+    Python recomputation of the same content-hash keys, and the
+    weight bias is visible (heavy rows dominate the sample)."""
+    import hashlib
+    import math
+
+    from denrl_spark.functions.ranking import weighted_sample
+
+    rows = [("g", i, 1000.0 if i % 10 == 0 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+    got = sorted(r["id"] for r in weighted_sample(df, "grp", "id", "w", k=15).collect())
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        u = (h + 1) / (2**48 + 1)
+        return math.log(u) / w
+
+    ranked = sorted(rows, key=lambda r: (-key(r[1], r[2]), r[1]))
+    want = sorted(r[1] for r in ranked[:15])
+    assert got == want
+    # 20 heavy rows (w=1000) vs 180 light (w=1): heavies dominate top-15
+    n_heavy = sum(1 for i in got if i % 10 == 0)
+    assert n_heavy >= 12
