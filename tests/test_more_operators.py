@@ -250,3 +250,16 @@ def test_global_row_number_matches_window_and_is_partition_invariant(spark):
         df, [F.desc("key"), F.asc("id")]
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """The at-scale cardinality path: HLL++ (approx_count_distinct)
+    tracks the exact distinct count within its rsd bound on real data —
+    at 100 TB the exact count is a full shuffle of the key set, the
+    sketch is a constant-size mergeable state."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+    approx = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("a")
+    ).collect()[0]["a"]
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd headroom
