@@ -398,6 +398,68 @@ def edge_history_sql(rel: str = "documents") -> str:
     """
 
 
+def edges_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speaker-role edge provenance — the transcript-native KG feature:
+    per canonical edge AND asserting role (user/assistant), the
+    observation count. Downstream consumers weight user-asserted vs
+    assistant-asserted facts differently (assistant turns can echo the
+    user; user turns carry ground requirements). Role is the
+    deterministic turn-parity mapping of transcripts_from_documents
+    (doc_id % 2), so the split is ANSI-SQL-reproducible. Same single
+    canonical-map pass as edges_by_doc; the extra grouping key just
+    widens the final aggregate."""
+    from denrl_spark.operators.linking import canonicalize
+
+    trips = (
+        gold_triples_by_doc(spark, sf_dir)
+        .withColumnRenamed("doc_id", "sent_id")
+        .cache()
+    )
+    trips.count()
+    mmap = canonicalize(trips).select("surface", "canonical_surface").cache()
+    mmap.count()
+    t = trips.where(F.col("ent2_tag").contains("/"))
+    src = mmap.withColumnRenamed("surface", "ent1").withColumnRenamed(
+        "canonical_surface", "src_surface"
+    )
+    dst = mmap.withColumnRenamed("surface", "ent2").withColumnRenamed(
+        "canonical_surface", "dst_surface"
+    )
+    out = (
+        t.join(src, "ent1")
+        .join(dst, "ent2")
+        .withColumn(
+            "role",
+            F.when(F.pmod("sent_id", F.lit(2)) == 0, "user").otherwise("assistant"),
+        )
+        .groupBy(
+            "src_surface", F.col("ent2_tag").alias("pred"), "dst_surface", "role"
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .localCheckpoint()
+    )
+    mmap.unpersist()
+    trips.unpersist()
+    return out
+
+
+def edges_by_role_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()},
+        rel_rows AS (
+          SELECT CASE WHEN g.doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+                 cs.canonical_surface AS src_surface,
+                 g.ent2_tag AS pred, cd.canonical_surface AS dst_surface
+          FROM gold g
+          JOIN canon cs ON cs.surface = g.ent1
+          JOIN canon cd ON cd.surface = g.ent2
+          WHERE g.ent2_tag LIKE '%/%')
+        SELECT src_surface, pred, dst_surface, role, count(*) AS n_obs
+        FROM rel_rows GROUP BY 1, 2, 3, 4
+    """
+
+
 def _canon_cte() -> str:
     """linking.canonicalize in SQL: mentions grouped by normalized form
     (lower, punctuation->space, collapse space), canonical surface = min

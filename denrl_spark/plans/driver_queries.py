@@ -136,6 +136,9 @@ def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _q("kg_edge_history", docs_kg.edge_history_sql())(docs_kg.edge_history)
+# speaker-role edge provenance: who asserted the fact (user vs
+# assistant) — the transcript-native KG dimension (docs_kg.edges_by_role)
+_q("kg_edges_by_role", docs_kg.edges_by_role_sql())(docs_kg.edges_by_role)
 
 
 ADJ_MAX_NEIGHBORS = 64
