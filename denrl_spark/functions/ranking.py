@@ -79,17 +79,48 @@ def weighted_sample(
     sub-ULP ln/divide difference flipping the rank of two keys that
     are bit-adjacent — measure-zero for continuous weights.
 
-    One window shuffle per group key; no global sort."""
+    Weights MUST be > 0 (A-ES precondition: a negative weight flips
+    the key sign and would always win) — enforced with a per-row
+    raise_error, not silently.
+
+    Exact two-phase top-k, not one window per group: with a
+    low-cardinality group column a single window funnels each group's
+    ENTIRE row set through one task (the skew shape this module
+    exists to eliminate). Phase 1 takes the local top-k within every
+    (group, input-partition) slice — bounded by partition size; the
+    true global top-k rows each survive their own partition by
+    definition. Phase 2 re-ranks the <= k x n_partitions survivors
+    per group — a tiny window."""
     from pyspark.sql import Window
 
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
     ).cast("double")
     u = (h + 1) / F.lit(float(2**48) + 1.0)
-    key = F.log(u) / F.col(weight_col)
-    w = Window.partitionBy(group_col).orderBy(F.desc(key), F.col(id_col))
+    key = F.when(
+        F.col(weight_col) > 0, F.log(u) / F.col(weight_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample requires positive weights; got "),
+                F.col(weight_col).cast("string"),
+            )
+        )
+    )
+    keyed = df.select(
+        F.col(group_col), F.col(id_col), key.alias("_key"),
+        F.spark_partition_id().alias("_p"),
+    )
+    local = Window.partitionBy(group_col, "_p").orderBy(
+        F.desc("_key"), F.col(id_col)
+    )
+    survivors = (
+        keyed.withColumn("_lrn", F.row_number().over(local))
+        .where(F.col("_lrn") <= k)
+    )
+    final = Window.partitionBy(group_col).orderBy(F.desc("_key"), F.col(id_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        survivors.withColumn("_rn", F.row_number().over(final))
         .where(F.col("_rn") <= k)
         .select(group_col, id_col)
     )

@@ -70,6 +70,23 @@ def tool_edges(transcripts: DataFrame, kb) -> DataFrame:
     )
 
 
+def link_canonical(triples: DataFrame, mmap: DataFrame) -> DataFrame:
+    """Relation rows (ent2_tag carries the ``/`` convention) joined
+    through the canonical mention map on BOTH endpoints — the shared
+    linking step of every canonical-edge derivation (materialize_graph
+    and the role-split edge table). ``mmap`` must carry (surface,
+    canonical_surface) and may carry canonical_id; all other triple
+    columns pass through."""
+    t = triples.where(F.col("ent2_tag").contains("/"))
+    ren = {"surface": "ent1", "canonical_surface": "src_surface",
+           "canonical_id": "src_id"}
+    src = mmap.withColumnsRenamed({k: v for k, v in ren.items() if k in mmap.columns})
+    ren = {"surface": "ent2", "canonical_surface": "dst_surface",
+           "canonical_id": "dst_id"}
+    dst = mmap.withColumnsRenamed({k: v for k, v in ren.items() if k in mmap.columns})
+    return t.join(src, "ent1").join(dst, "ent2")
+
+
 def materialize_graph(
     triples: DataFrame,
     mentions_map: DataFrame | None = None,
@@ -102,14 +119,7 @@ def materialize_graph(
     mmap = mmap.select("surface", "canonical_id", "canonical_surface").cache()
     mmap.count()
 
-    t = triples.where(F.col("ent2_tag").contains("/"))
-    src = mmap.withColumnRenamed("surface", "ent1").withColumnRenamed(
-        "canonical_id", "src_id"
-    ).withColumnRenamed("canonical_surface", "src_surface")
-    dst = mmap.withColumnRenamed("surface", "ent2").withColumnRenamed(
-        "canonical_id", "dst_id"
-    ).withColumnRenamed("canonical_surface", "dst_surface")
-    linked = t.join(src, "ent1").join(dst, "ent2")
+    linked = link_canonical(triples, mmap)
 
     edges = (
         linked.groupBy("src_id", "src_surface", F.col("ent2_tag").alias("pred"), "dst_id", "dst_surface")

@@ -406,31 +406,22 @@ def edges_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     user; user turns carry ground requirements). Role is the
     deterministic turn-parity mapping of transcripts_from_documents
     (doc_id % 2), so the split is ANSI-SQL-reproducible. Same single
-    canonical-map pass as edges_by_doc; the extra grouping key just
-    widens the final aggregate."""
+    canonical-map pass and the SAME linking step (graph.link_canonical)
+    as the canonical edge table; only the final aggregate differs."""
+    from denrl_spark.operators.graph import link_canonical
     from denrl_spark.operators.linking import canonicalize
 
-    trips = (
-        gold_triples_by_doc(spark, sf_dir)
-        .withColumnRenamed("doc_id", "sent_id")
-        .cache()
-    )
+    trips = gold_triples_by_doc(spark, sf_dir).cache()
     trips.count()
+    # canonicalize expects the engine's (ent1/ent2) mention columns;
+    # doc_id passes through link_canonical untouched
     mmap = canonicalize(trips).select("surface", "canonical_surface").cache()
     mmap.count()
-    t = trips.where(F.col("ent2_tag").contains("/"))
-    src = mmap.withColumnRenamed("surface", "ent1").withColumnRenamed(
-        "canonical_surface", "src_surface"
-    )
-    dst = mmap.withColumnRenamed("surface", "ent2").withColumnRenamed(
-        "canonical_surface", "dst_surface"
-    )
     out = (
-        t.join(src, "ent1")
-        .join(dst, "ent2")
+        link_canonical(trips, mmap)
         .withColumn(
             "role",
-            F.when(F.pmod("sent_id", F.lit(2)) == 0, "user").otherwise("assistant"),
+            F.when(F.pmod("doc_id", F.lit(2)) == 0, "user").otherwise("assistant"),
         )
         .groupBy(
             "src_surface", F.col("ent2_tag").alias("pred"), "dst_surface", "role"

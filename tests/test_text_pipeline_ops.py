@@ -161,3 +161,13 @@ def test_weighted_sample_matches_python_twin(spark):
     # 20 heavy rows (w=1000) vs 180 light (w=1): heavies dominate top-15
     n_heavy = sum(1 for i in got if i % 10 == 0)
     assert n_heavy >= 12
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    from denrl_spark.functions.ranking import weighted_sample
+
+    df = spark.createDataFrame(
+        [("g", 1, 2.0), ("g", 2, -1.0)], "grp string, id long, w double"
+    )
+    with pytest.raises(Exception, match="positive weights"):
+        weighted_sample(df, "grp", "id", "w", k=1).collect()
