@@ -44,7 +44,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # single-JVM local mode: the driver heap IS the executor heap.
+        # 24g OOMed the composite bootstrap pipeline at 6.9M turns
+        # (32 concurrent tasks x multi-consumer caches); 48g clears it
+        # with headroom on the 128 GiB box. On a real cluster this maps
+        # to per-executor memory, not one process.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
