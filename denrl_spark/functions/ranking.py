@@ -79,9 +79,13 @@ def weighted_sample(
     sub-ULP ln/divide difference flipping the rank of two keys that
     are bit-adjacent — measure-zero for continuous weights.
 
-    Weights MUST be > 0 (A-ES precondition: a negative weight flips
-    the key sign and would always win) — enforced with a per-row
-    raise_error, not silently.
+    Weights MUST be > 0 and non-NULL (A-ES precondition: a negative
+    weight flips the key sign and would always win; a NULL weight has
+    no defined inclusion probability) — enforced with a per-row
+    raise_error, not silently. The error string coalesces a NULL
+    weight to the literal 'NULL' (concat with a NULL operand would
+    otherwise null out the whole diagnostic and surface as a
+    message-less job failure).
 
     Exact two-phase top-k, not one window per group: with a
     low-cardinality group column a single window funnels each group's
@@ -103,7 +107,7 @@ def weighted_sample(
         F.raise_error(
             F.concat(
                 F.lit("weighted_sample requires positive weights; got "),
-                F.col(weight_col).cast("string"),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
             )
         )
     )

@@ -22,6 +22,26 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def default_driver_mem() -> str:
+    """Default single-JVM heap: min(48g, ~40% of system RAM), floor 2g.
+
+    48g is tuned to the 128 GiB bench box (24g OOMed the composite
+    bootstrap at 6.9M turns: 32 concurrent tasks x multi-consumer
+    caches); hard-coding it would fail JVM startup on smaller hosts, so
+    the default scales down with available memory. SPARK_GRAFT_DRIVER_MEM
+    always wins. On a real cluster this maps to per-executor memory,
+    not one process."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total_b = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    cap_g = max(2, min(48, int(total_b * 0.4 / (1 << 30))))
+    return f"{cap_g}g"
+
+
 def get_spark(
     cpus: int | None = None,
     app_name: str = "denrl_spark",
@@ -44,12 +64,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # single-JVM local mode: the driver heap IS the executor heap.
-        # 24g OOMed the composite bootstrap pipeline at 6.9M turns
-        # (32 concurrent tasks x multi-consumer caches); 48g clears it
-        # with headroom on the 128 GiB box. On a real cluster this maps
-        # to per-executor memory, not one process.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # single-JVM local mode: the driver heap IS the executor heap —
+        # sized from system RAM (see default_driver_mem).
+        .config("spark.driver.memory", default_driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

@@ -48,11 +48,13 @@ TRANSCRIPT_SCHEMA = StructType(
 )
 
 
-def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     return (
         spark.readStream.format("parquet")
         .schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
 
@@ -328,6 +330,17 @@ def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
     (ent1, pred, ent2, sent_id) loses nothing), vertex rows sum their
     counts, mention sets union.
 
+    Replay safety: the HIGHEST-numbered batch directory is never folded.
+    foreachBatch's exactly-once story relies on a replayed batch
+    idempotently overwriting its OWN batch_id=N directory; only the
+    newest batch is replayable (a crash between sink write and
+    checkpoint commit re-runs exactly that batch on restart — all lower
+    ids are committed by construction). Folding N's directory into
+    batch_id=-1 and deleting it would turn the replay's overwrite into
+    an append next to a base that already contains N's rows,
+    double-counting n_obs/n_sents in every view. The newest batch joins
+    the next compaction once a younger batch has been written.
+
     Crash-safe write-then-commit: the fold lands in a SIDE directory
     outside the partition root (partition discovery never sees it), and
     the commit record is a ``_FOLDED`` manifest written into the side
@@ -381,6 +394,20 @@ def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
                 shutil.rmtree(side)
 
         batches = [d for d in os.listdir(root) if d.startswith("batch_id=")]
+        # Replay safety: the HIGHEST-numbered batch directory is the only
+        # one a restarted stream can replay (foreachBatch re-runs batch N
+        # iff the crash fell between N's sink write and its checkpoint
+        # commit; every lower id is committed by construction). Folding it
+        # into batch_id=-1 would break the replay's idempotent overwrite —
+        # the re-run would write batch_id=N NEXT TO a base that already
+        # contains N's rows, double-counting n_obs/n_sents in every view.
+        # So the newest real batch is never folded; it joins the next
+        # compaction once a younger batch exists.
+        real_ids = sorted(
+            int(d.split("=", 1)[1]) for d in batches if int(d.split("=", 1)[1]) >= 0
+        )
+        if real_ids:
+            batches = [d for d in batches if d != f"batch_id={real_ids[-1]}"]
         if len(batches) <= 1:
             continue
         df = spark.read.parquet(*[f"{root}/{b}" for b in batches])

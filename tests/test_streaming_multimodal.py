@@ -302,7 +302,12 @@ def test_stream_graph_deltas_view_equals_batch_graph(spark, transcript_dir, tmp_
     kb = KB.default()
     sink = str(tmp_path / "graph_deltas")
     ck = str(tmp_path / "graph_ck")
-    q = stream_graph_deltas(stream_transcripts(spark, transcript_dir), sink, ck, kb)
+    # maxFilesPerTrigger=2 forces >=3 micro-batches so the compactor's
+    # never-fold-the-newest policy is exercised with a non-trivial fold set
+    q = stream_graph_deltas(
+        stream_transcripts(spark, transcript_dir, max_files_per_trigger=2),
+        sink, ck, kb,
+    )
     try:
         q.processAllAvailable()
     finally:
@@ -347,15 +352,23 @@ def test_stream_graph_deltas_view_equals_batch_graph(spark, transcript_dir, tmp_
 
     from denrl_spark.streaming.ingest import compact_graph_deltas
 
-    n_batches = len(
-        [d for d in os.listdir(f"{sink}/edges") if d.startswith("batch_id=")]
+    batch_dirs = sorted(
+        [d for d in os.listdir(f"{sink}/edges") if d.startswith("batch_id=")],
+        key=lambda d: int(d.split("=", 1)[1]),
     )
-    assert n_batches >= 2  # the multi-micro-batch premise of this test
+    n_batches = len(batch_dirs)
+    assert n_batches >= 3  # the multi-micro-batch premise of this test
+    newest = batch_dirs[-1]
     folded = compact_graph_deltas(spark, sink)
-    assert folded == 3 * n_batches  # edges + vertices + mentions
+    # replay safety: the newest batch dir is never folded (it is the only
+    # one a restarted stream can replay; folding it would double-count)
+    assert folded == 3 * (n_batches - 1)  # edges + vertices + mentions
     for part in ("edges", "vertices", "mentions"):
-        dirs = [d for d in os.listdir(f"{sink}/{part}") if d.startswith("batch_id=")]
-        assert dirs == ["batch_id=-1"], part
+        dirs = sorted(
+            [d for d in os.listdir(f"{sink}/{part}") if d.startswith("batch_id=")],
+            key=lambda d: int(d.split("=", 1)[1]),
+        )
+        assert dirs == ["batch_id=-1", newest], part
     got2 = {
         tuple(r)
         for r in graph_edges_view(spark, sink)
@@ -396,16 +409,14 @@ def test_compact_graph_deltas_crash_recovery(spark, tmp_path):
     from denrl_spark.streaming.ingest import compact_graph_deltas
 
     def make_log(sink):
-        a = spark.createDataFrame(
-            [("x", "/r/p", "y", 1, 2)],
-            "ent1 string, pred string, ent2 string, sent_id long, n_obs long",
-        )
-        b = spark.createDataFrame(
-            [("x", "/r/p", "y", 2, 3)],
-            "ent1 string, pred string, ent2 string, sent_id long, n_obs long",
-        )
+        sch = "ent1 string, pred string, ent2 string, sent_id long, n_obs long"
+        a = spark.createDataFrame([("x", "/r/p", "y", 1, 2)], sch)
+        b = spark.createDataFrame([("x", "/r/p", "y", 2, 3)], sch)
+        c = spark.createDataFrame([("x", "/r/p", "y", 3, 1)], sch)
         a.write.parquet(f"{sink}/edges/batch_id=0")
         b.write.parquet(f"{sink}/edges/batch_id=1")
+        # batch 2 is the newest = replayable: the compactor must leave it
+        c.write.parquet(f"{sink}/edges/batch_id=2")
 
     def edge_rows(sink):
         return {
@@ -415,7 +426,11 @@ def test_compact_graph_deltas_crash_recovery(spark, tmp_path):
             .collect()
         }
 
-    expect = {("x", "/r/p", "y", 1, 2), ("x", "/r/p", "y", 2, 3)}
+    expect = {
+        ("x", "/r/p", "y", 1, 2),
+        ("x", "/r/p", "y", 2, 3),
+        ("x", "/r/p", "y", 3, 1),
+    }
 
     # path A: aborted fold — side dir with (bogus) parquet, NO manifest
     s1 = str(tmp_path / "log_a")
@@ -424,9 +439,10 @@ def test_compact_graph_deltas_crash_recovery(spark, tmp_path):
         [("BOGUS", "/r/p", "z", 9, 9)],
         "ent1 string, pred string, ent2 string, sent_id long, n_obs long",
     ).write.parquet(f"{s1}/.compact_edges")
+    # batches 0 and 1 fold; batch 2 (newest = replayable) is left alone
     assert compact_graph_deltas(spark, s1) == 2
     assert edge_rows(s1) == expect  # bogus side discarded, real log folded
-    assert os.listdir(f"{s1}/edges") == ["batch_id=-1"]
+    assert sorted(os.listdir(f"{s1}/edges")) == ["batch_id=-1", "batch_id=2"]
 
     # path B: committed fold, removal interrupted after one of two dirs
     s2 = str(tmp_path / "log_b")
@@ -440,4 +456,4 @@ def test_compact_graph_deltas_crash_recovery(spark, tmp_path):
     shutil.rmtree(f"{s2}/edges/batch_id=1")  # simulate the crash point
     compact_graph_deltas(spark, s2)  # resumes: removes =0, renames side
     assert edge_rows(s2) == expect
-    assert os.listdir(f"{s2}/edges") == ["batch_id=-1"]
+    assert sorted(os.listdir(f"{s2}/edges")) == ["batch_id=-1", "batch_id=2"]

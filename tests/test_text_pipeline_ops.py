@@ -171,3 +171,16 @@ def test_weighted_sample_rejects_nonpositive_weights(spark):
     )
     with pytest.raises(Exception, match="positive weights"):
         weighted_sample(df, "grp", "id", "w", k=1).collect()
+
+
+def test_weighted_sample_null_weight_keeps_diagnostic(spark):
+    """A NULL weight must raise WITH the intended message — concat with a
+    NULL operand would otherwise null the whole error string and the job
+    would die message-less."""
+    from denrl_spark.functions.ranking import weighted_sample
+
+    df = spark.createDataFrame(
+        [("g", 1, 2.0), ("g", 2, None)], "grp string, id long, w double"
+    )
+    with pytest.raises(Exception, match="positive weights; got NULL"):
+        weighted_sample(df, "grp", "id", "w", k=1).collect()
