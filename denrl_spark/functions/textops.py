@@ -303,27 +303,54 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     return minhash_from_shingles(shingles(docs), n_bands)
 
 
+LSH_BUCKET_CAP = 32  # pairwise-join buckets up to this size; star-link above
+
+
 def lsh_candidate_pairs(
-    docs: DataFrame, n_bands: int = N_BANDS, sh: DataFrame | None = None
+    docs: DataFrame,
+    n_bands: int = N_BANDS,
+    sh: DataFrame | None = None,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """(doc_a, doc_b): pairs sharing any minhash band bucket. The join is
     on (band, mh) — the bucketed equi-join that replaces the O(n^2)
     all-pairs comparison at scale. ``sh`` optionally supplies a
     prebuilt (doc_id, shingle) frame (e.g. a checkpointed distinct
-    shingle table shared with the verify stage)."""
+    shingle table shared with the verify stage).
+
+    Bucket fan-out is CAPPED: a degenerate bucket — millions of
+    identical boilerplate docs landing on one (band, mh) — would emit
+    |bucket|^2 candidate rows from the pairwise self-join, the one
+    remaining quadratic shape on real web corpora. Buckets larger than
+    ``bucket_cap`` are instead STAR-LINKED to the bucket's min doc_id
+    (|bucket|-1 rows — same trick as linking.mention_edges): members of
+    an oversized bucket agree on a full minhash band, so linking them
+    through a hub preserves exactly the connectivity the clustering
+    stage consumes, and the verify stage re-scores every emitted edge
+    either way. Small buckets keep the exact pairwise semantics. The
+    per-bucket stats join is a plain equi-join on (band, mh) — AQE skew
+    splitting handles the degenerate bucket's build side."""
     sig = (
         minhash_from_shingles(sh, n_bands)
         if sh is not None
         else minhash_signatures(docs, n_bands)
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
+    stats = sig.groupBy("band", "mh").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_bmin")
+    )
+    sig = sig.join(stats, ["band", "mh"])
+    small = sig.where(F.col("_bsz") <= bucket_cap)
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs_small = (
         a.join(b, ["band", "mh"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    pairs_big = sig.where(
+        (F.col("_bsz") > bucket_cap) & (F.col("doc_id") != F.col("_bmin"))
+    ).select(F.col("_bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def jaccard_verify_pairs(

@@ -801,13 +801,30 @@ def dedup_minhash_per_row(spark, sf_dir):
       SELECT doc_id, unnest(range(0, 8)) AS band, shingle FROM sh),
     sig AS (
       SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS mh
-      FROM banded GROUP BY 1, 2)
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh
-    WHERE a.doc_id < b.doc_id
+      FROM banded GROUP BY 1, 2),
+    bstat AS (
+      SELECT band, mh, count(*) AS bsz, min(doc_id) AS bmin
+      FROM sig GROUP BY 1, 2),
+    sig2 AS (
+      SELECT sig.doc_id, sig.band, sig.mh, bstat.bsz, bstat.bmin
+      FROM sig JOIN bstat ON sig.band = bstat.band AND sig.mh = bstat.mh),
+    small AS (SELECT * FROM sig2 WHERE bsz <= {textops.LSH_BUCKET_CAP})
+    SELECT DISTINCT doc_a, doc_b FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM small a JOIN small b ON a.band = b.band AND a.mh = b.mh
+      WHERE a.doc_id < b.doc_id
+      UNION ALL
+      SELECT bmin AS doc_a, doc_id AS doc_b
+      FROM sig2 WHERE bsz > {textops.LSH_BUCKET_CAP} AND doc_id <> bmin)
     """,
 )
 def dedup_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs with the oversized-bucket star-link cap
+    (textops.lsh_candidate_pairs). The oracle twin reproduces the cap
+    semantics exactly — small buckets pairwise, buckets above
+    LSH_BUCKET_CAP star-linked to the bucket-min doc — so the hash
+    match holds by construction, not corpus luck (testdata's max
+    bucket is 22 at sf0.1, below the cap)."""
     return textops.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
 
 
@@ -853,10 +870,21 @@ def dedup_jaccard_pairs(spark, sf_dir):
     sig AS (
       SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS mh
       FROM banded GROUP BY 1, 2),
+    bstat AS (
+      SELECT band, mh, count(*) AS bsz, min(doc_id) AS bmin
+      FROM sig GROUP BY 1, 2),
+    sig2 AS (
+      SELECT sig.doc_id, sig.band, sig.mh, bstat.bsz, bstat.bmin
+      FROM sig JOIN bstat ON sig.band = bstat.band AND sig.mh = bstat.mh),
+    small AS (SELECT * FROM sig2 WHERE bsz <= {textops.LSH_BUCKET_CAP}),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh
-      WHERE a.doc_id < b.doc_id),
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM small a JOIN small b ON a.band = b.band AND a.mh = b.mh
+        WHERE a.doc_id < b.doc_id
+        UNION ALL
+        SELECT bmin AS doc_a, doc_id AS doc_b
+        FROM sig2 WHERE bsz > {textops.LSH_BUCKET_CAP} AND doc_id <> bmin)),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
     shared AS (
       SELECT c.doc_a, c.doc_b, count(*) AS shared

@@ -148,6 +148,64 @@ def test_jaccard_pruned_equals_unpruned(spark):
             assert "doc_b#" in line or "doc_a#" in line, line
 
 
+def test_lsh_bucket_cap_degenerate_boilerplate(spark):
+    """10k identical boilerplate docs land every doc on the same
+    (band, mh) bucket in all 8 bands. Uncapped, the pairwise self-join
+    would emit ~8 * 10k^2/2 = 4*10^8 candidate rows pre-distinct — the
+    shape that dies on real web boilerplate at 100 TB. The cap
+    star-links the oversized bucket to its min doc: exactly n-1
+    candidate edges, and downstream clustering still folds the whole
+    bucket into one component with the min doc as representative."""
+    from denrl_spark.functions.textops import lsh_candidate_pairs, near_dup_clusters
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again").alias("text"),
+    )
+    cand = lsh_candidate_pairs(docs)
+    assert cand.count() == n - 1
+    # every candidate edge is anchored at the bucket-min doc (a star)
+    lo, hi = cand.agg(F.min("doc_a"), F.max("doc_a")).first()
+    assert (lo, hi) == (0, 0)
+    clusters = near_dup_clusters(docs)
+    assert clusters.where(F.col("rep_doc_id") == 0).count() == n
+    assert clusters.where(F.col("is_rep")).count() == 1
+
+
+def test_lsh_cap_preserves_connectivity(spark):
+    """Star-linking an oversized bucket keeps exactly the connectivity
+    the clustering stage consumes: components over capped candidates ==
+    components over uncapped pairwise candidates, asserted with a cap
+    small enough (2) to trigger star-linking on real duplicate groups
+    while leaving other buckets pairwise."""
+    from denrl_spark.functions.textops import lsh_candidate_pairs
+    from denrl_spark.operators.linking import connected_components
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit",
+    ]
+    rows = [(g * 100 + i, base[g]) for g in range(3) for i in range(4 + g)]
+    rows += [(900, "completely unrelated text with unique tokens qqq www")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def comps(cand):
+        nodes = docs.select(F.col("doc_id").alias("node_id"))
+        edges = cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        return {
+            (r["node_id"], r["component"])
+            for r in connected_components(nodes, edges).collect()
+        }
+
+    capped = lsh_candidate_pairs(docs, bucket_cap=2)
+    uncapped = lsh_candidate_pairs(docs, bucket_cap=1 << 30)
+    # the tiny cap actually bites: fewer candidate edges than pairwise
+    assert capped.count() < uncapped.count()
+    assert comps(capped) == comps(uncapped)
+
+
 def test_pii_scan(spark):
     from denrl_spark.functions.textops import pii_scan
 
