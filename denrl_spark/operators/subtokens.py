@@ -360,18 +360,35 @@ SUBTOKEN_SCHEMA = (
 
 
 def learn_bpe_from_instances(
-    instances: DataFrame, n_merges: int = 200
+    instances: DataFrame, n_merges: int = 200, max_vocab: int = 1_000_000
 ) -> list[tuple[str, str]]:
     """Corpus-driven merge table: distributed word-frequency aggregation
-    (explode + groupBy, map-side combined), then the vocab-sized count
-    table is collected and merges are learned driver-side — the standard
-    BPE-training shape (training state is O(vocab), not O(corpus))."""
+    (explode + groupBy, map-side combined), then the count table is
+    collected and merges are learned driver-side — the standard
+    BPE-training shape (training state is O(vocab), not O(corpus)).
+
+    The collect is BOUNDED: on 100 TB web text distinct whitespace
+    tokens run to 10^8+, so an uncapped collect OOMs the driver. The
+    vocabulary is truncated to the ``max_vocab`` most frequent words
+    via a distributed top-K (Spark plans orderBy+limit as
+    TakeOrderedAndProject — per-partition O(k) heaps merged on the
+    driver, never an Exchange SinglePartition sort). The tiebreak
+    (count desc, word asc) makes the truncation boundary
+    deterministic. Semantics: each BPE merge is chosen by total pair
+    frequency; truncation is EXACT when the truncated tail's total
+    pair mass is below every chosen merge's frequency (the normal
+    web-corpus shape: head-driven merges, singleton tail), and an
+    approximation otherwise — pick ``max_vocab`` >> n_merges so the
+    floor clears the tail. The skewed-vocabulary test asserts merge
+    identity under a tail-truncating cap."""
     from pyspark.sql import functions as F
 
     counts = (
         instances.select(F.explode("tokens").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(max_vocab)
         .collect()
     )
     return learn_bpe({r["w"]: r["c"] for r in counts}, n_merges)

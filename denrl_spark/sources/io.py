@@ -45,21 +45,77 @@ def write_instances_jsonl(df: DataFrame, path: str) -> None:
     ).json(path)
 
 
-def write_predictions_txt(scored: DataFrame, path: str, tags_col: str = "pred_tags") -> None:
-    """S5: one line per instance, space-joined predicted tags, ordered by
-    (sent_id, instance_id) within files."""
-    (
-        scored.select(
-            F.concat_ws(" ", F.col(tags_col)).alias("value"),
+ORDER_MANIFEST = "_ORDER_MANIFEST.json"
+
+
+def write_predictions_txt(
+    scored: DataFrame,
+    path: str,
+    tags_col: str = "pred_tags",
+    single_file: bool = False,
+    single_file_max_rows: int = 1_000_000,
+) -> None:
+    """S5: one line per instance, space-joined predicted tags, globally
+    ordered by (sent_id, instance_id).
+
+    Default shape is DISTRIBUTED: ``repartitionByRange`` on the order
+    key makes the partitions ordered, non-overlapping intervals, each
+    sorted within; part files are written in partition-index order, so
+    lexicographic part-file order IS global row order. A
+    ``_ORDER_MANIFEST.json`` records that file order for consumers
+    (``read_predictions_txt`` round-trips it). No task ever sees more
+    than one partition of the output — the old ``repartition(1)``
+    funneled the entire dataset through a single task, a scale-killer
+    at any real corpus size.
+
+    ``single_file=True`` keeps the one-file reference-parity layout but
+    is guarded by an explicit row-count check (> ``single_file_max_rows``
+    raises rather than silently funneling)."""
+    base = scored.select(
+        F.concat_ws(" ", F.col(tags_col)).alias("value"),
+        "sent_id",
+        "instance_id",
+    )
+    if single_file:
+        n = base.count()
+        if n > single_file_max_rows:
+            raise ValueError(
+                f"single_file predictions output of {n} rows exceeds the "
+                f"{single_file_max_rows}-row guard; use the default "
+                "multi-part mode (order-manifested) for large outputs"
+            )
+        parted = base.repartition(1)
+    else:
+        parted = base.repartitionByRange(
+            max(scored.sparkSession.sparkContext.defaultParallelism, 2),
             "sent_id",
             "instance_id",
         )
-        .repartition(1)
-        .sortWithinPartitions("sent_id", "instance_id")
+    (
+        parted.sortWithinPartitions("sent_id", "instance_id")
         .select("value")
         .write.mode("overwrite")
         .text(path)
     )
+    # manifest: sorted part names == global order (range partition i holds
+    # strictly smaller keys than partition j for i < j). Local-FS listing
+    # here; on an object store this is the same one listStatus call.
+    parts = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+    with open(os.path.join(path, ORDER_MANIFEST), "w") as fh:
+        json.dump(parts, fh)
+
+
+def read_predictions_txt(path: str) -> list[str]:
+    """Read the S5 sink back in global order via the order manifest
+    (driver-side consumer for eval-sized outputs; distributed consumers
+    read the part files as a DataFrame and re-sort)."""
+    with open(os.path.join(path, ORDER_MANIFEST)) as fh:
+        parts = json.load(fh)
+    lines: list[str] = []
+    for p in parts:
+        with open(os.path.join(path, p)) as fh:
+            lines.extend(fh.read().splitlines())
+    return lines
 
 
 def write_triples_csv(triples: DataFrame, path: str) -> None:

@@ -44,11 +44,42 @@ def test_jsonl_round_trip(spark, tmp_path):
 
 
 def test_sinks_write(spark, tmp_path):
+    import os
+
+    from denrl_spark.sources.io import read_predictions_txt
+
     ins = build_instances(transcripts(spark, 10, seed=4), KBD)
     scored = ins.withColumn("pred_tags", F.col("ner_tags"))
     write_predictions_txt(scored, str(tmp_path / "preds_txt"))
     lines = spark.read.text(str(tmp_path / "preds_txt")).count()
     assert lines == ins.count()
+
+    # multi-part output round-trips in exact reference order: part files
+    # read in manifest order concatenate to the fully-sorted line list
+    n_parts = len(
+        [f for f in os.listdir(tmp_path / "preds_txt") if f.startswith("part-")]
+    )
+    assert n_parts >= 2  # genuinely distributed, no repartition(1) funnel
+    expect = [
+        r["value"]
+        for r in scored.select(
+            F.concat_ws(" ", "pred_tags").alias("value"), "sent_id", "instance_id"
+        )
+        .orderBy("sent_id", "instance_id")
+        .collect()
+    ]
+    assert read_predictions_txt(str(tmp_path / "preds_txt")) == expect
+
+    # single-file reference-parity mode still works, behind its guard
+    write_predictions_txt(scored, str(tmp_path / "preds_one"), single_file=True)
+    assert read_predictions_txt(str(tmp_path / "preds_one")) == expect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="row guard"):
+        write_predictions_txt(
+            scored, str(tmp_path / "preds_guard"), single_file=True,
+            single_file_max_rows=3,
+        )
     from denrl_spark.operators.spans import assemble_triples
 
     trips = assemble_triples(ins)

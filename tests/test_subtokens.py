@@ -115,6 +115,43 @@ def test_align_labels_with_bpe_ranks():
     assert all(l == IGNORE for l in labels[1 : word_ids.index(1)])
 
 
+def test_bpe_vocab_cap_identical_merges_and_no_single_partition(spark):
+    """The bounded-collect path: truncating the vocabulary to the top-K
+    words must not change the learned merge table when the truncated
+    tail is below the merge-frequency floor, and the top-K must plan as
+    TakeOrdered (per-partition heaps), never Exchange SinglePartition."""
+    from pyspark.sql import functions as F
+
+    from denrl_spark.operators.subtokens import learn_bpe_from_instances
+
+    # skewed vocabulary: 3 heavy words (counts 80/60/50, alphabet a-t)
+    # dominate every merge decision; 20 singleton tail words drawn from a
+    # DISJOINT alphabet (u-z) contribute pair counts <= 20 < 50, so no
+    # merge above the floor can depend on them — the semantic condition
+    # under which the top-K truncation is exact.
+    heavy = [("alpha",)] * 80 + [("alphabet",)] * 60 + [("bet",)] * 50
+    tail = [(f"u{chr(118 + i % 5)}x{chr(117 + (i * 3) % 6)}z{i % 10}",) for i in range(20)]
+    rows = [([w],) for (w,) in heavy + tail]
+    ins = spark.createDataFrame(rows, "tokens array<string>")
+    full = learn_bpe_from_instances(ins, n_merges=6)
+    assert len(full) == 6
+    capped = learn_bpe_from_instances(ins, n_merges=6, max_vocab=3)
+    assert capped == full
+
+    plan = (
+        ins.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_with_subtokens_bpe_spark(spark):
     from denrl_spark.operators.subtokens import learn_bpe_from_instances
 
