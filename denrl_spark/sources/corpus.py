@@ -113,9 +113,12 @@ def transcripts(spark: SparkSession, n_convs: int = 200, seed: int = 42) -> Data
         .repartition(max(spark.sparkContext.defaultParallelism, 8), "conv")
     )
 
-    @F.udf("int")
-    def _nturns(conv):  # tiny scalar udf only at build time, per conv not per turn
-        return n_turns_for(seed, conv)
+    def _nturns_fn(conv: pd.Series) -> pd.Series:
+        return conv.map(lambda c: n_turns_for(seed, int(c))).astype("int32")
+
+    # Arrow-batched even at synthesis time: keeps the whole repo free of
+    # row-at-a-time BatchEvalPython (plan-hygiene sweep covers this path)
+    _nturns = F.pandas_udf(_nturns_fn, "int")
 
     turns = (
         base.withColumn("n_turns", _nturns("conv"))

@@ -36,3 +36,17 @@ def test_no_scale_killer_shapes(spark, name):
         if name in allow:
             continue
         assert smell not in plan, f"{name}: {smell} in physical plan"
+
+
+def test_corpus_synthesis_is_arrow_batched(spark):
+    """The synthetic corpus generator is not a registered query but IS the
+    substrate of every pipeline test and scaling run — keep it free of
+    row-at-a-time Python too (the turn-count udf was the last
+    BatchEvalPython in the repo)."""
+    from denrl_spark.sources.corpus import transcripts
+
+    plan = (
+        transcripts(spark, 5, seed=1)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
