@@ -338,6 +338,8 @@ def score_instances(
     bow: dict[str, set] | None = None,
     pre_partitioned: bool = False,
     emit_attention: bool = True,
+    position_kernel=None,
+    position_kernel_version: int = 1,
 ) -> DataFrame:
     """Batch inference: adds pred_tags (+ position_att) via one Arrow pass.
 
@@ -350,6 +352,14 @@ def score_instances(
     skipping it halves Arrow traffic on the pure extraction path.
     The transform is row-wise and order-preserving, so builder layout
     (sentence contiguity) survives for assemble_triples(assume_grouped).
+
+    ``position_kernel`` (a PositionAttentionWeights) routes the
+    position_att slot through the NUMERIC reference kernel
+    (operators/position_attention.py — v.tanh(W_H.H + W_p.h_p + W_h.h_t)
+    over frozen hash embeddings, modeling_gpt2.py:285-395 semantics)
+    instead of the default BoW analog. pred_tags are identical either
+    way (attention never feeds the decoder), so triple oracles stay
+    green regardless of the kernel choice.
     """
     kb = kb or KB.default()
     bow = {k: set(vv) for k, vv in (bow or {}).items()}
@@ -390,15 +400,29 @@ def score_instances(
             out = pdf.copy()
             out["pred_tags"] = pred_tags
             if emit_attention:
-                # position attention from PREDICTED tags + mined BoW
-                # (smoothed so KL's log is finite) — the K2 stand-in.
                 pas = []
-                for i, toks in enumerate(toks_col):
-                    att = target_att_py(toks, pred_tags[i], int(iids[i]), bow)
-                    eps = 1e-6
-                    sm = [a + eps for a in att]
-                    z = sum(sm)
-                    pas.append([a / z for a in sm])
+                if position_kernel is not None:
+                    # numeric reference kernel over frozen hash embeddings
+                    from denrl_spark.operators.position_attention import (
+                        position_att_numeric,
+                    )
+
+                    for i, toks in enumerate(toks_col):
+                        pas.append(
+                            position_att_numeric(
+                                toks, int(qids[i]), position_kernel,
+                                position_kernel_version,
+                            )
+                        )
+                else:
+                    # position attention from PREDICTED tags + mined BoW
+                    # (smoothed so KL's log is finite) — the K2 stand-in.
+                    for i, toks in enumerate(toks_col):
+                        att = target_att_py(toks, pred_tags[i], int(iids[i]), bow)
+                        eps = 1e-6
+                        sm = [a + eps for a in att]
+                        z = sum(sm)
+                        pas.append([a / z for a in sm])
                 out["position_att"] = pas
             yield out
 
