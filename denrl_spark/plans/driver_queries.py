@@ -26,12 +26,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Raw engine-keyed paths, exercised by bench.py and pytest but NOT part of
+# the driver contract. Rationale (VERDICT r3 item 7): these four are the
+# blake2b/xxhash64-keyed twins of the hash-green *_by_doc registry entries
+# — the engine-internal content-hash keys cannot be value-hashed
+# cross-engine, so in the contract they could only ever be rows-only
+# checks of paths whose FULL semantics the *_by_doc variants already
+# hash-verify (same fused extraction, same materialize_graph, re-keyed
+# through _sent_doc_map). Keeping them contract-registered added four
+# permanent `no_oracle` entries for zero extra verification; here they
+# stay benchmarked and pytest-equality-checked against their oracled
+# twins (tests/test_docs_kg_oracle.py::test_raw_paths_match_by_doc_twins).
+RAW_QUERIES: dict[str, QueryFn] = {}
+
 
 def _q(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if sql is not None:
             ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _raw(name: str):
+    def deco(fn: QueryFn) -> QueryFn:
+        RAW_QUERIES[name] = fn
         return fn
 
     return deco
@@ -78,7 +99,7 @@ _q("kg_edges_by_doc", docs_kg.edges_by_doc_sql())(docs_kg.edges_by_doc)
 _q("kg_vertices_by_doc", docs_kg.vertices_by_doc_sql())(docs_kg.vertices_by_doc)
 
 
-@_q("kg_gold_triples")  # full DENRL label path — not SQL-expressible (rows-only)
+@_raw("kg_gold_triples")  # full DENRL label path, blake2b sent_id keys
 def kg_gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from denrl_spark.operators.fused import extract_triples_fused
 
@@ -86,7 +107,7 @@ def kg_gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples_fused(tr, docs_kg.docs_kb(), mode="gold")
 
 
-@_q("kg_pred_triples")  # scored prediction path, fused fast path (rows-only)
+@_raw("kg_pred_triples")  # scored prediction path, fused fast path
 def kg_pred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from denrl_spark.operators.fused import extract_triples_fused
 
@@ -94,7 +115,7 @@ def kg_pred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples_fused(tr, docs_kg.docs_kb(), mode="pred")
 
 
-@_q("kg_gold_triples_modular")  # modular operator chain (rows-only; tests
+@_raw("kg_gold_triples_modular")  # modular operator chain (tests
 def kg_gold_triples_modular(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assert fused == modular, this keeps both exercised by the driver
     from denrl_spark.operators.spans import assemble_triples
@@ -105,7 +126,7 @@ def kg_gold_triples_modular(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_triples(ins)
 
 
-@_q("kg_edges")  # canonicalized KG edge table (rows-only)
+@_raw("kg_edges")  # canonicalized KG edge table, engine-internal ids
 def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from denrl_spark.operators.graph import materialize_graph
 

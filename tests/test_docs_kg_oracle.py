@@ -53,3 +53,37 @@ def test_by_doc_queries_match_duckdb(spark, duck, fn, sql):
     assert list(sdf.columns) == list(odf.columns)
     assert len(sdf) == len(odf)
     pd.testing.assert_frame_equal(sdf, odf)
+
+
+def test_raw_paths_match_by_doc_twins(spark):
+    """The four raw engine-keyed paths (demoted from the driver contract,
+    driver_queries.RAW_QUERIES) must stay value-equal to their hash-green
+    *_by_doc twins modulo the sent_id re-key: the surface multisets match
+    exactly and the re-key join through _sent_doc_map loses no rows."""
+    from denrl_spark.plans.driver_queries import RAW_QUERIES
+
+    assert set(RAW_QUERIES) == {
+        "kg_gold_triples",
+        "kg_pred_triples",
+        "kg_gold_triples_modular",
+        "kg_edges",
+    }
+
+    def surf_multiset(df, cols):
+        out = {}
+        for r in df.select(*cols).collect():
+            k = tuple(r)
+            out[k] = out.get(k, 0) + 1
+        return out
+
+    tcols = ["ent1", "ent1_tag", "ent2", "ent2_tag"]
+    by_doc = surf_multiset(docs_kg.gold_triples_by_doc(spark, SF_DIR), tcols)
+    for name in ("kg_gold_triples", "kg_pred_triples", "kg_gold_triples_modular"):
+        raw = RAW_QUERIES[name](spark, SF_DIR)
+        assert surf_multiset(raw, tcols) == by_doc, name
+        assert raw.count() == sum(by_doc.values()), name  # re-key drops nothing
+
+    ecols = ["src_surface", "pred", "dst_surface", "n_obs"]
+    raw_edges = surf_multiset(RAW_QUERIES["kg_edges"](spark, SF_DIR), ecols)
+    twin_edges = surf_multiset(docs_kg.edges_by_doc(spark, SF_DIR), ecols)
+    assert raw_edges == twin_edges and len(raw_edges) > 0

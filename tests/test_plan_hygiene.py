@@ -18,7 +18,7 @@ justification next to it.
 
 import pytest
 
-from denrl_spark.plans.driver_queries import QUERIES
+from denrl_spark.plans.driver_queries import QUERIES, RAW_QUERIES
 
 SMELLS = {
     "CartesianProduct": frozenset(),  # no exceptions
@@ -29,9 +29,10 @@ SMELLS = {
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(QUERIES) + sorted(RAW_QUERIES))
 def test_no_scale_killer_shapes(spark, name):
-    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    fn = QUERIES.get(name) or RAW_QUERIES[name]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     for smell, allow in SMELLS.items():
         if name in allow:
             continue
