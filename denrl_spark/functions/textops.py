@@ -444,6 +444,66 @@ def near_dup_clusters(
     )
 
 
+def near_dedup_greedy(
+    docs: DataFrame,
+    ord_cols: list[str],
+    n_bands: int = N_BANDS,
+    prior_claims: DataFrame | None = None,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Greedy first-wins LSH near-dedup keep-list: a row is KEPT iff it
+    is the first claimant — by the total order ``ord_cols`` — of EVERY
+    one of its ``n_bands`` per-row minhash band buckets
+    (minhash_signature_cols). Every row claims its buckets regardless
+    of its own keep verdict, which makes the rule PREFIX-CONSISTENT:
+    processing a time-ordered corpus batch-by-batch with carried-over
+    claims yields exactly the same keep-list as one pass over the whole
+    corpus — the equality the streaming twin
+    (streaming.ingest.stream_near_dedup_keep) test asserts.
+
+    Returns (kept_rows, claims) where claims is the distinct
+    (band, mh, ts) bucket set this input claimed (ts = the claiming
+    row's first ord field, for horizon eviction by the streaming
+    caller).
+
+    100 TB shape: one stateless signature projection, one
+    map-side-combined groupBy per bucket, one bucketed equi-join back,
+    one per-row flag aggregation — no pairwise joins anywhere, state
+    (claims) is one row per distinct bucket."""
+    ord_struct = F.struct(*[F.col(c) for c in ord_cols])
+    base = docs.withColumn("_ord", ord_struct)
+    sig = minhash_signature_cols(base, text_col, n_bands)
+    stack = ", ".join(f"{b}, mh{b}" for b in range(n_bands))
+    long = sig.select(
+        "_ord", F.expr(f"stack({n_bands}, {stack}) AS (band, mh)")
+    )
+    wins = long.groupBy("band", "mh").agg(F.min("_ord").alias("_win"))
+    flags = long.join(wins, ["band", "mh"])
+    if prior_claims is not None:
+        flags = flags.join(
+            prior_claims.select("band", "mh").distinct().withColumn(
+                "_claimed", F.lit(1)
+            ),
+            ["band", "mh"],
+            "left",
+        )
+    else:
+        flags = flags.withColumn("_claimed", F.lit(None).cast("int"))
+    ok = (F.col("_claimed").isNull() & (F.col("_ord") == F.col("_win"))).cast("int")
+    ok_rows = (
+        flags.withColumn("_ok", ok)
+        .groupBy("_ord")
+        .agg(F.sum("_ok").alias("_n_ok"))
+        .where(F.col("_n_ok") == n_bands)
+        .select("_ord")
+    )
+    kept = base.join(ok_rows, "_ord").drop("_ord")
+    claims = wins.select(
+        "band", "mh", F.col("_win")[ord_cols[0]].alias("ts")
+    )
+    return kept, claims
+
+
 def jaccard_pairs(docs: DataFrame, min_j_e6: int = 200_000) -> DataFrame:
     """(doc_a, doc_b, j_e6): distinct-3-gram Jaccard >= threshold, via
     shared-shingle counting (no cross join: the shingle equi-join prunes

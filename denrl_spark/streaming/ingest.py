@@ -147,6 +147,82 @@ def dedup_stream_near(
     return out.dropDuplicatesWithinWatermark(cols)
 
 
+def stream_near_dedup_keep(
+    stream: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    n_bands: int = 8,
+    horizon_s: int | None = None,
+    ord_cols: tuple[str, ...] = ("ts", "conv_id", "turn_idx"),
+):
+    """Cross-batch streaming near-duplicate keep-list: suppresses
+    near-dups against the FULL seen-set, not just within the watermark
+    horizon of ``dedup_stream_near``. Semantics = the greedy first-wins
+    LSH rule (textops.near_dedup_greedy): a turn is kept iff it is the
+    first claimant, in (ts, conv_id, turn_idx) order, of every one of
+    its minhash band buckets — prefix-consistent, so over a
+    time-ordered stream the streaming keep-list EQUALS the one-shot
+    batch keep-list (test-asserted on a multi-batch fixture).
+
+    Mechanism: foreachBatch + a persistent bucket-claims log rather
+    than ``applyInPandasWithState`` keyed by bucket, for two reasons:
+    (a) the keep verdict combines n_bands per-bucket freshness flags,
+    and a second stateful aggregation downstream of
+    applyInPandasWithState is outside Structured Streaming's supported
+    stateful-operator chains; (b) claims-as-a-table keeps the state
+    lookup a bucketed equi-join at any scale (and lets AQE handle hot
+    buckets) instead of a per-key Python heap pinned to executors.
+
+    Exactly-once: batch N reads only ``claims/batch_id<N`` — a replayed
+    batch never sees its own previous claims — and overwrites its own
+    ``kept/batch_id=N`` and ``claims/batch_id=N`` directories
+    idempotently (same protocol as stream_graph_deltas).
+
+    ``horizon_s`` bounds state like a watermark: claims older than
+    (batch max ts - horizon) are ignored at read time; a maintenance
+    job can fold and prune the claims log with the same
+    write-then-commit compactor the graph delta log uses. With the
+    default None the seen-set is unbounded (the "full seen-set" mode)."""
+    from denrl_spark.functions.textops import near_dedup_greedy
+
+    ocols = list(ord_cols)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        root = f"{sink_dir}/claims"
+        prior = None
+        if os.path.isdir(root):
+            dirs = [
+                d
+                for d in os.listdir(root)
+                if d.startswith("batch_id=")
+                and int(d.split("=", 1)[1]) < batch_id
+            ]
+            if dirs:
+                prior = spark.read.parquet(*[f"{root}/{d}" for d in dirs])
+                if horizon_s is not None:
+                    lo = batch_df.agg(F.max(ocols[0])).first()[0]
+                    prior = prior.where(
+                        F.col("ts") >= F.expr(
+                            f"timestamp '{lo}' - interval {horizon_s} seconds"
+                        )
+                    )
+        kept, claims = near_dedup_greedy(batch_df, ocols, n_bands, prior)
+        kept.write.mode("overwrite").parquet(f"{sink_dir}/kept/batch_id={batch_id}")
+        claims.write.mode("overwrite").parquet(f"{root}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_graph_deltas(
     stream: DataFrame, sink_dir: str, checkpoint_dir: str, kb=None
 ):

@@ -457,3 +457,81 @@ def test_compact_graph_deltas_crash_recovery(spark, tmp_path):
     compact_graph_deltas(spark, s2)  # resumes: removes =0, renames side
     assert edge_rows(s2) == expect
     assert sorted(os.listdir(f"{s2}/edges")) == ["batch_id=-1", "batch_id=2"]
+
+
+def test_stream_near_dedup_keep_equals_batch(spark, tmp_path):
+    """Cross-batch near-dup suppression: the streaming keep-list over a
+    time-ordered multi-batch stream equals the one-shot batch keep-list
+    (textops.near_dedup_greedy) — duplicates arriving many batches after
+    their original are still suppressed (full seen-set, unlike the
+    watermark-horizon dedup_stream_near)."""
+    import os
+    from datetime import datetime, timezone
+
+    from denrl_spark.functions.textops import near_dedup_greedy
+    from denrl_spark.streaming.ingest import stream_near_dedup_keep
+
+    A = "alpha beta gamma delta epsilon zeta eta"
+    B = "one two three four five six seven"
+    A_near = "alpha beta gamma delta epsilon zeta NINE"  # shares most shingles
+    C = "unique tokens that appear nowhere else at all"
+    D = "totally different closing content words here now"
+    batches = [
+        [("c0", 0, A, 100), ("c0", 1, B, 101)],
+        [("c1", 0, A, 200), ("c1", 1, C, 201)],  # A again: must drop
+        [("c2", 0, B, 300), ("c2", 1, A_near, 301), ("c2", 2, D, 302)],
+    ]
+    src = tmp_path / "nd_in"
+    os.makedirs(src)
+    all_rows = []
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [
+                (cid, tix, "user", txt, None, datetime.fromtimestamp(ts, tz=timezone.utc))
+                for cid, tix, txt, ts in rows
+            ],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        staged = str(tmp_path / f"nd_stage_{i}")
+        df.coalesce(1).write.parquet(staged)
+        part = next(
+            fn for fn in os.listdir(staged)
+            if fn.startswith("part-") and fn.endswith(".parquet")
+        )
+        dst = str(src / f"b{i}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        # ascending mtimes pin the file-source processing order = ts order
+        os.utime(dst, (1000 + i, 1000 + i))
+        all_rows.extend(rows)
+
+    sink = str(tmp_path / "nd_sink")
+    ck = str(tmp_path / "nd_ck")
+    stream = stream_transcripts(spark, str(src), max_files_per_trigger=1)
+    q = stream_near_dedup_keep(stream, sink, ck)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # one kept/ and claims/ dir per non-empty micro-batch
+    kept_dirs = [d for d in os.listdir(f"{sink}/kept") if d.startswith("batch_id=")]
+    assert len(kept_dirs) == 3
+
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in spark.read.parquet(f"{sink}/kept").collect()
+    }
+    full = spark.createDataFrame(
+        [
+            (cid, tix, "user", txt, None, datetime.fromtimestamp(ts, tz=timezone.utc))
+            for cid, tix, txt, ts in all_rows
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    kept_batch, _claims = near_dedup_greedy(full, ["ts", "conv_id", "turn_idx"])
+    want = {(r["conv_id"], r["turn_idx"]) for r in kept_batch.collect()}
+    assert got == want and len(got) > 0
+    # the exact cross-batch duplicates are suppressed, originals kept
+    assert ("c0", 0) in got and ("c0", 1) in got
+    assert ("c1", 0) not in got  # A replayed two batches later
+    assert ("c2", 0) not in got  # B replayed two batches later
