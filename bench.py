@@ -93,7 +93,12 @@ def main() -> None:
     gold_sec = timings["kg_gold_triples"]
     triples = counts["kg_gold_triples"]
 
-    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    sf = (
+        0.1 if "sf0.1" in sf_dir
+        else 0.01 if "sf0.01" in sf_dir
+        else 1.0 if "sf1" in sf_dir  # tools/make_sf1.py 10x corpus
+        else 0.001
+    )
     out = {
         "metric": "bench_total_sec",
         "value": round(sum(timings.values()), 3),
