@@ -335,10 +335,18 @@ def lsh_candidate_pairs(
         if sh is not None
         else minhash_signatures(docs, n_bands)
     )
+    # The signature table feeds FOUR subtrees (bucket stats, both sides
+    # of the small-bucket self-join, the star branch) and Spark's
+    # ReuseExchange does not fire across them (different downstream
+    # partitionings) — without a barrier the shingle scan + band-min
+    # aggregation run 4x (measured: 6 FileScans, 0 ReusedExchange at
+    # sf0.1). sig is n_docs x n_bands rows — checkpoint-cheap at any
+    # scale next to recomputing the shingle pipeline.
+    sig = sig.localCheckpoint()
     stats = sig.groupBy("band", "mh").agg(
         F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_bmin")
     )
-    sig = sig.join(stats, ["band", "mh"])
+    sig = sig.join(stats, ["band", "mh"]).localCheckpoint()
     small = sig.where(F.col("_bsz") <= bucket_cap)
     a = small.alias("a")
     b = small.alias("b")
