@@ -434,10 +434,6 @@ def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
     the rename is completed before any new folding. Streaming writers
     must be stopped while compacting (same contract as any file-log
     compactor). Returns the number of folded batch directories."""
-    import json
-    import os
-    import shutil
-
     folded = 0
     for part, keys, aggs in (
         (
@@ -448,60 +444,95 @@ def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
         ("vertices", ["surface", "etype"], [F.sum("cnt").alias("cnt")]),
         ("mentions", ["surface"], None),
     ):
-        root = f"{sink_dir}/{part}"
-        side = f"{sink_dir}/.compact_{part}"
-        manifest = f"{side}/_FOLDED"
-        if not os.path.isdir(root):
-            continue
-
-        if os.path.isdir(side):
-            if os.path.exists(manifest):
-                # committed fold: finish removing exactly the listed
-                # dirs, then complete the rename
-                with open(manifest) as f:
-                    listed = json.load(f)
-                for b in listed:
-                    p = f"{root}/{b}"
-                    if os.path.isdir(p):
-                        shutil.rmtree(p)
-                os.rename(side, f"{root}/batch_id=-1")
-            else:
-                # aborted fold (crash before the manifest): discard
-                shutil.rmtree(side)
-
-        batches = [d for d in os.listdir(root) if d.startswith("batch_id=")]
-        # Replay safety: the HIGHEST-numbered batch directory is the only
-        # one a restarted stream can replay (foreachBatch re-runs batch N
-        # iff the crash fell between N's sink write and its checkpoint
-        # commit; every lower id is committed by construction). Folding it
-        # into batch_id=-1 would break the replay's idempotent overwrite —
-        # the re-run would write batch_id=N NEXT TO a base that already
-        # contains N's rows, double-counting n_obs/n_sents in every view.
-        # So the newest real batch is never folded; it joins the next
-        # compaction once a younger batch exists.
-        real_ids = sorted(
-            int(d.split("=", 1)[1]) for d in batches if int(d.split("=", 1)[1]) >= 0
-        )
-        if real_ids:
-            batches = [d for d in batches if d != f"batch_id={real_ids[-1]}"]
-        if len(batches) <= 1:
-            continue
-        df = spark.read.parquet(*[f"{root}/{b}" for b in batches])
-        out = (
-            df.groupBy(*keys).agg(*aggs)
-            if aggs is not None
-            else df.select(*keys).distinct()
-        )
-        out.write.mode("overwrite").parquet(side)
-        tmp = f"{side}/_FOLDED.tmp"
-        with open(tmp, "w") as f:
-            json.dump(sorted(batches), f)
-        os.rename(tmp, manifest)  # the commit point
-        for b in batches:
-            shutil.rmtree(f"{root}/{b}")
-        os.rename(side, f"{root}/batch_id=-1")
-        folded += len(batches)
+        folded += _compact_log_part(spark, sink_dir, part, keys, aggs)
     return folded
+
+
+def compact_dedup_claims(spark: SparkSession, sink_dir: str) -> int:
+    """Claims-log maintenance for ``stream_near_dedup_keep``: folds the
+    per-batch bucket-claims directories with the same write-then-commit,
+    never-fold-the-newest protocol as ``compact_graph_deltas``, bounding
+    the O(#batches) read the prior-claims join pays each micro-batch.
+
+    Fold aggregate is max(ts) per (band, mh): the horizon filter treats
+    a bucket as live if ANY claim row is within the horizon, which is
+    exactly max(ts) >= cutoff — so filter-then-distinct over the folded
+    base equals filter-then-distinct over the raw log. The folded base
+    lands as ``batch_id=-1``, which every reader's ``id < N`` predicate
+    admits (the base only ever contains batches strictly older than any
+    replayable one, by the never-fold-newest rule)."""
+    return _compact_log_part(
+        spark, sink_dir, "claims", ["band", "mh"], [F.max("ts").alias("ts")]
+    )
+
+
+def _compact_log_part(
+    spark: SparkSession,
+    sink_dir: str,
+    part: str,
+    keys: list[str],
+    aggs,
+) -> int:
+    """One part of the write-then-commit fold protocol (see
+    compact_graph_deltas docstring for the full crash-recovery
+    contract). ``aggs=None`` folds by distinct over ``keys``."""
+    import json
+    import os
+    import shutil
+
+    root = f"{sink_dir}/{part}"
+    side = f"{sink_dir}/.compact_{part}"
+    manifest = f"{side}/_FOLDED"
+    if not os.path.isdir(root):
+        return 0
+
+    if os.path.isdir(side):
+        if os.path.exists(manifest):
+            # committed fold: finish removing exactly the listed
+            # dirs, then complete the rename
+            with open(manifest) as f:
+                listed = json.load(f)
+            for b in listed:
+                p = f"{root}/{b}"
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+            os.rename(side, f"{root}/batch_id=-1")
+        else:
+            # aborted fold (crash before the manifest): discard
+            shutil.rmtree(side)
+
+    batches = [d for d in os.listdir(root) if d.startswith("batch_id=")]
+    # Replay safety: the HIGHEST-numbered batch directory is the only
+    # one a restarted stream can replay (foreachBatch re-runs batch N
+    # iff the crash fell between N's sink write and its checkpoint
+    # commit; every lower id is committed by construction). Folding it
+    # into batch_id=-1 would break the replay's idempotent overwrite —
+    # the re-run would write batch_id=N NEXT TO a base that already
+    # contains N's rows, double-counting in every view. So the newest
+    # real batch is never folded; it joins the next compaction once a
+    # younger batch exists.
+    real_ids = sorted(
+        int(d.split("=", 1)[1]) for d in batches if int(d.split("=", 1)[1]) >= 0
+    )
+    if real_ids:
+        batches = [d for d in batches if d != f"batch_id={real_ids[-1]}"]
+    if len(batches) <= 1:
+        return 0
+    df = spark.read.parquet(*[f"{root}/{b}" for b in batches])
+    out = (
+        df.groupBy(*keys).agg(*aggs)
+        if aggs is not None
+        else df.select(*keys).distinct()
+    )
+    out.write.mode("overwrite").parquet(side)
+    tmp = f"{side}/_FOLDED.tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(batches), f)
+    os.rename(tmp, manifest)  # the commit point
+    for b in batches:
+        shutil.rmtree(f"{root}/{b}")
+    os.rename(side, f"{root}/batch_id=-1")
+    return len(batches)
 
 
 def stream_triples(stream: DataFrame, sink_dir: str, checkpoint_dir: str, kb=None):

@@ -535,3 +535,22 @@ def test_stream_near_dedup_keep_equals_batch(spark, tmp_path):
     assert ("c0", 0) in got and ("c0", 1) in got
     assert ("c1", 0) not in got  # A replayed two batches later
     assert ("c2", 0) not in got  # B replayed two batches later
+
+    # claims-log compaction: same fold protocol as the graph delta log —
+    # effective claim set unchanged, newest batch dir left for replay
+    from denrl_spark.streaming.ingest import compact_dedup_claims
+
+    before = {
+        (r["band"], r["mh"])
+        for r in spark.read.parquet(f"{sink}/claims").collect()
+    }
+    assert compact_dedup_claims(spark, sink) == 2  # 3 dirs, newest kept
+    dirs = sorted(
+        d for d in os.listdir(f"{sink}/claims") if d.startswith("batch_id=")
+    )
+    assert dirs == ["batch_id=-1", "batch_id=2"]
+    after = {
+        (r["band"], r["mh"])
+        for r in spark.read.parquet(f"{sink}/claims").collect()
+    }
+    assert after == before
