@@ -184,3 +184,43 @@ def test_weighted_sample_null_weight_keeps_diagnostic(spark):
     )
     with pytest.raises(Exception, match="positive weights; got NULL"):
         weighted_sample(df, "grp", "id", "w", k=1).collect()
+
+
+def test_near_dedup_greedy_prefix_consistent(spark):
+    """The invariant the streaming keep-list rests on, tested directly on
+    the batch operator: folding a time-ordered corpus in two chunks with
+    carried-over claims yields exactly the one-shot keep-list, for
+    randomized corpora with duplicate groups straddling the split."""
+    import random
+
+    from denrl_spark.functions.textops import near_dedup_greedy
+
+    rng = random.Random(20260817)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    for trial in range(5):
+        n_groups = rng.randint(2, 5)
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(5, 9)))
+            for _ in range(n_groups)
+        ]
+        rows = []
+        t = 0
+        for _ in range(rng.randint(8, 16)):
+            g = rng.randrange(n_groups)
+            txt = texts[g]
+            if rng.random() < 0.3:  # near-dup: append one token
+                txt += " " + rng.choice(words)
+            rows.append((t, f"d{t}", txt))
+            t += 1
+        df = spark.createDataFrame(rows, "ts long, doc_id string, text string")
+        split = rng.randint(1, len(rows) - 1)
+        one_shot, _ = near_dedup_greedy(df, ["ts", "doc_id"])
+        a = df.where(f"ts < {split}")
+        b = df.where(f"ts >= {split}")
+        kept_a, claims_a = near_dedup_greedy(a, ["ts", "doc_id"])
+        kept_b, _ = near_dedup_greedy(b, ["ts", "doc_id"], prior_claims=claims_a)
+        folded = {r["doc_id"] for r in kept_a.collect()} | {
+            r["doc_id"] for r in kept_b.collect()
+        }
+        want = {r["doc_id"] for r in one_shot.collect()}
+        assert folded == want, (trial, split, sorted(folded), sorted(want))
