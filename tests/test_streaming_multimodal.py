@@ -554,3 +554,56 @@ def test_stream_near_dedup_keep_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(f"{sink}/claims").collect()
     }
     assert after == before
+
+
+def test_stream_near_dedup_horizon_eviction(spark, tmp_path):
+    """With horizon_s set, claims older than (batch max ts - horizon) are
+    ignored: a duplicate arriving AFTER the horizon is kept again (state
+    behaves like a watermark), while one inside the horizon is dropped."""
+    import os
+    from datetime import datetime, timezone
+
+    from denrl_spark.streaming.ingest import stream_near_dedup_keep
+
+    A = "alpha beta gamma delta epsilon zeta eta"
+    B = "one two three four five six seven"
+    batches = [
+        [("c0", 0, A, 1000), ("c0", 1, B, 1000)],
+        [("c1", 0, A, 1500)],          # inside 1h horizon: dropped
+        [("c2", 0, A, 1000 + 7200)],   # 2h later: claim expired, kept
+    ]
+    src = tmp_path / "h_in"
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [
+                (cid, tix, "user", txt, None, datetime.fromtimestamp(ts, tz=timezone.utc))
+                for cid, tix, txt, ts in rows
+            ],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        staged = str(tmp_path / f"h_stage_{i}")
+        df.coalesce(1).write.parquet(staged)
+        part = next(
+            fn for fn in os.listdir(staged)
+            if fn.startswith("part-") and fn.endswith(".parquet")
+        )
+        dst = str(src / f"b{i}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    sink = str(tmp_path / "h_sink")
+    ck = str(tmp_path / "h_ck")
+    stream = stream_transcripts(spark, str(src), max_files_per_trigger=1)
+    q = stream_near_dedup_keep(stream, sink, ck, horizon_s=3600)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in spark.read.parquet(f"{sink}/kept").collect()
+    }
+    assert ("c0", 0) in got and ("c0", 1) in got
+    assert ("c1", 0) not in got  # duplicate within the horizon
+    assert ("c2", 0) in got      # claim expired: kept again
