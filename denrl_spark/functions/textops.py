@@ -323,13 +323,29 @@ def lsh_candidate_pairs(
     |bucket|^2 candidate rows from the pairwise self-join, the one
     remaining quadratic shape on real web corpora. Buckets larger than
     ``bucket_cap`` are instead STAR-LINKED to the bucket's min doc_id
-    (|bucket|-1 rows — same trick as linking.mention_edges): members of
-    an oversized bucket agree on a full minhash band, so linking them
-    through a hub preserves exactly the connectivity the clustering
-    stage consumes, and the verify stage re-scores every emitted edge
-    either way. Small buckets keep the exact pairwise semantics. The
-    per-bucket stats join is a plain equi-join on (band, mh) — AQE skew
-    splitting handles the degenerate bucket's build side."""
+    (|bucket|-1 rows — same trick as linking.mention_edges). Small
+    buckets keep the exact pairwise semantics.
+
+    Recall contract of the cap (precise, not overclaimed): in the
+    degenerate-boilerplate regime that motivates it — near-identical
+    members — hub edges pass the downstream Jaccard verify, so
+    post-verify connectivity is preserved. In the adversarial case (an
+    oversized bucket via band-min collision whose hub is DISSIMILAR to
+    two similar members m1, m2), the (m1, m2) hub path can die at
+    verify; the pair is still emitted pairwise through any OTHER band
+    they share whose bucket is small (each band co-buckets them with
+    probability J(m1,m2)), so a high-similarity pair is lost only if
+    EVERY one of its shared bands is oversized — vanishing for
+    n_bands=8 on real corpora, and the standard production trade
+    (exact-dedup first, cap what remains).
+
+    The per-bucket stats join and the self-join carry shuffle_hash
+    hints: both sides descend from a localCheckpoint whose RDD scan
+    reports bogus size estimates, and a statically-planned broadcast of
+    a corpus-sized signature table (the kg_edges incident,
+    plans/docs_kg.py) cannot be reverted by AQE — the hint pins the
+    scale-safe shuffle join; AQE skew splitting still handles the
+    degenerate bucket."""
     sig = (
         minhash_from_shingles(sh, n_bands)
         if sh is not None
@@ -346,10 +362,14 @@ def lsh_candidate_pairs(
     stats = sig.groupBy("band", "mh").agg(
         F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_bmin")
     )
-    sig = sig.join(stats, ["band", "mh"]).localCheckpoint()
+    # shuffle_hash hints: see docstring — checkpointed scans carry bogus
+    # size estimates and must never be statically broadcast at scale
+    sig = sig.hint("shuffle_hash").join(
+        stats.hint("shuffle_hash"), ["band", "mh"]
+    ).localCheckpoint()
     small = sig.where(F.col("_bsz") <= bucket_cap)
-    a = small.alias("a")
-    b = small.alias("b")
+    a = small.hint("shuffle_hash").alias("a")
+    b = small.hint("shuffle_hash").alias("b")
     pairs_small = (
         a.join(b, ["band", "mh"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -477,9 +497,18 @@ def near_dedup_greedy(
     100 TB shape: one stateless signature projection, one
     map-side-combined groupBy per bucket, one bucketed equi-join back,
     one per-row flag aggregation — no pairwise joins anywhere, state
-    (claims) is one row per distinct bucket."""
+    (claims) is one row per distinct bucket.
+
+    ``ord_cols`` is the row's PRIMARY KEY (non-null): rows sharing the
+    full key are the same logical record double-delivered, and are
+    collapsed to one up front (dropDuplicates on the key) — without the
+    collapse, tied rows would sum their per-bucket flags past n_bands
+    and ALL copies would vanish from the keep-list. Rows with a NULL
+    key field have no defined position in the total order and are
+    dropped by the null-unsafe key join; feed them a surrogate key
+    upstream if they matter."""
     ord_struct = F.struct(*[F.col(c) for c in ord_cols])
-    base = docs.withColumn("_ord", ord_struct)
+    base = docs.dropDuplicates(list(ord_cols)).withColumn("_ord", ord_struct)
     sig = minhash_signature_cols(base, text_col, n_bands)
     stack = ", ".join(f"{b}, mh{b}" for b in range(n_bands))
     long = sig.select(

@@ -139,16 +139,19 @@ def position_att_numeric(
     weights: PositionAttentionWeights,
     version: int = 1,
     seed: int = 0,
+    hidden: np.ndarray | None = None,
 ) -> list[float]:
     """Per-instance normalized position attention over hash embeddings —
     the drop-in for the BoW analog in score_instances' attention slot.
     Unbatched (B=1) by design: instances in an Arrow batch have ragged
     lengths and padding would contaminate the softmax; T^2.H per row is
-    tiny at sentence length."""
+    tiny at sentence length. ``hidden`` optionally supplies the (T, H)
+    embedding matrix (callers cache it per sentence — instances of one
+    sentence share tokens and the blake2b draws dominate the cost)."""
     if not tokens:
         return []
-    hd = weights.v.shape[0]
-    hidden = hash_token_embeddings(tokens, hd, seed)[None, :, :]
+    if hidden is None:
+        hidden = hash_token_embeddings(tokens, weights.v.shape[0], seed)
     q = min(max(int(query_id), 0), len(tokens) - 1)
-    att, _ = position_attention_batch(hidden, q, weights, version)
+    att, _ = position_attention_batch(hidden[None, :, :], q, weights, version)
     return [float(x) for x in att[0]]

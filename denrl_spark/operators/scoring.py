@@ -402,16 +402,28 @@ def score_instances(
             if emit_attention:
                 pas = []
                 if position_kernel is not None:
-                    # numeric reference kernel over frozen hash embeddings
+                    # numeric reference kernel over frozen hash
+                    # embeddings; embeddings cached per SENTENCE (same
+                    # pattern as span_cache above — instances of one
+                    # sentence share tokens, and the blake2b+rng draw is
+                    # the dominant per-token cost)
                     from denrl_spark.operators.position_attention import (
+                        hash_token_embeddings,
                         position_att_numeric,
                     )
 
+                    emb_cache: dict[int, object] = {}
+                    hd = position_kernel.v.shape[0]
                     for i, toks in enumerate(toks_col):
+                        sid = int(sids[i])
+                        emb = emb_cache.get(sid)
+                        if emb is None:
+                            emb = hash_token_embeddings(toks, hd)
+                            emb_cache[sid] = emb
                         pas.append(
                             position_att_numeric(
                                 toks, int(qids[i]), position_kernel,
-                                position_kernel_version,
+                                position_kernel_version, hidden=emb,
                             )
                         )
                 else:

@@ -71,38 +71,62 @@ def write_predictions_txt(
     ``single_file=True`` keeps the one-file reference-parity layout but
     is guarded by an explicit row-count check (> ``single_file_max_rows``
     raises rather than silently funneling)."""
+    spark = scored.sparkSession
     base = scored.select(
         F.concat_ws(" ", F.col(tags_col)).alias("value"),
         "sent_id",
         "instance_id",
     )
     if single_file:
-        n = base.count()
-        if n > single_file_max_rows:
-            raise ValueError(
-                f"single_file predictions output of {n} rows exceeds the "
-                f"{single_file_max_rows}-row guard; use the default "
-                "multi-part mode (order-manifested) for large outputs"
+        # persist around the guard: without it the count and the write
+        # each run the full upstream scoring pipeline
+        base = base.persist()
+        try:
+            n = base.count()
+            if n > single_file_max_rows:
+                raise ValueError(
+                    f"single_file predictions output of {n} rows exceeds the "
+                    f"{single_file_max_rows}-row guard; use the default "
+                    "multi-part mode (order-manifested) for large outputs"
+                )
+            parted = base.repartition(1)
+            (
+                parted.sortWithinPartitions("sent_id", "instance_id")
+                .select("value")
+                .write.mode("overwrite")
+                .text(path)
             )
-        parted = base.repartition(1)
+        finally:
+            base.unpersist()
     else:
         parted = base.repartitionByRange(
-            max(scored.sparkSession.sparkContext.defaultParallelism, 2),
+            max(spark.sparkContext.defaultParallelism, 2),
             "sent_id",
             "instance_id",
         )
-    (
-        parted.sortWithinPartitions("sent_id", "instance_id")
-        .select("value")
-        .write.mode("overwrite")
-        .text(path)
-    )
+        (
+            parted.sortWithinPartitions("sent_id", "instance_id")
+            .select("value")
+            .write.mode("overwrite")
+            .text(path)
+        )
     # manifest: sorted part names == global order (range partition i holds
-    # strictly smaller keys than partition j for i < j). Local-FS listing
-    # here; on an object store this is the same one listStatus call.
-    parts = sorted(f for f in os.listdir(path) if f.startswith("part-"))
-    with open(os.path.join(path, ORDER_MANIFEST), "w") as fh:
-        json.dump(parts, fh)
+    # strictly smaller keys than partition j for i < j). Listed and
+    # written through the Hadoop FileSystem API so the sink works on any
+    # supported FS (hdfs://, s3a://, file:), not just the local disk.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    parts = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().startswith("part-")
+    )
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path, ORDER_MANIFEST), True)
+    try:
+        out.write(bytearray(json.dumps(parts).encode("utf-8")))
+    finally:
+        out.close()
 
 
 def read_predictions_txt(path: str) -> list[str]:

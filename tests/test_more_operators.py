@@ -174,11 +174,13 @@ def test_lsh_bucket_cap_degenerate_boilerplate(spark):
 
 
 def test_lsh_cap_preserves_connectivity(spark):
-    """Star-linking an oversized bucket keeps exactly the connectivity
-    the clustering stage consumes: components over capped candidates ==
-    components over uncapped pairwise candidates, asserted with a cap
-    small enough (2) to trigger star-linking on real duplicate groups
-    while leaving other buckets pairwise."""
+    """Star-linking an oversized bucket preserves PRE-VERIFY candidate
+    connectivity: components over capped candidates == components over
+    uncapped pairwise candidates, asserted with a cap small enough (2)
+    to trigger star-linking on real duplicate groups. (Post-verify
+    recall is the probabilistic contract documented on
+    lsh_candidate_pairs: a high-J pair missed via a dissimilar hub is
+    still emitted pairwise through its other shared bands.)"""
     from denrl_spark.functions.textops import lsh_candidate_pairs
     from denrl_spark.operators.linking import connected_components
 

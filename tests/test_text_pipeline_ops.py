@@ -224,3 +224,21 @@ def test_near_dedup_greedy_prefix_consistent(spark):
         }
         want = {r["doc_id"] for r in one_shot.collect()}
         assert folded == want, (trial, split, sorted(folded), sorted(want))
+
+
+def test_near_dedup_greedy_double_delivery_collapses(spark):
+    """Rows sharing the full order key (a double-delivered record) are
+    collapsed to ONE kept row, not silently dropped — the tie would
+    otherwise push the per-bucket flag sum past n_bands and erase every
+    copy from the keep-list."""
+    from denrl_spark.functions.textops import near_dedup_greedy
+
+    rows = [
+        (1, "d1", "alpha beta gamma delta epsilon"),
+        (1, "d1", "alpha beta gamma delta epsilon"),  # exact double delivery
+        (2, "d2", "one two three four five"),
+    ]
+    df = spark.createDataFrame(rows, "ts long, doc_id string, text string")
+    kept, _ = near_dedup_greedy(df, ["ts", "doc_id"])
+    got = sorted((r["ts"], r["doc_id"]) for r in kept.collect())
+    assert got == [(1, "d1"), (2, "d2")]

@@ -49,9 +49,13 @@ def main(out: str = "/tmp/sf1") -> None:
 
     plans = {
         "documents": (
+            # n_chars recomputed from the perturbed text so the stored
+            # column stays consistent with length(text) on every replica
             "SELECT doc_id + {k} * {md} AS doc_id, "
             "CASE WHEN {k} = 0 THEN text ELSE text || ' rep{k}' END AS text, "
-            "lang, source, n_chars FROM " + src("documents")
+            "lang, source, "
+            "CAST(length(CASE WHEN {k} = 0 THEN text ELSE text || ' rep{k}' END) AS INT) AS n_chars "
+            "FROM " + src("documents")
         ),
         "embeddings": (
             "SELECT vec_id + {k} * {mv} AS vec_id, embedding, label FROM "
