@@ -482,8 +482,17 @@ def near_dedup_greedy(
     """Greedy first-wins LSH near-dedup keep-list: a row is KEPT iff it
     is the first claimant — by the total order ``ord_cols`` — of EVERY
     one of its ``n_bands`` per-row minhash band buckets
-    (minhash_signature_cols). Every row claims its buckets regardless
-    of its own keep verdict, which makes the rule PREFIX-CONSISTENT:
+    (minhash_signature_cols). This is the HIGH-SUPPRESSION end of the
+    near-dup family: any shared band-min with an earlier row counts as
+    a near-dup WITHOUT Jaccard verification (per-band collision
+    probability ~= J, so modestly-similar rows collide somewhere and
+    are dropped — on a small-vocabulary corpus most rows are). Use
+    dedup_stream's exact hash or the full-signature streaming rule for
+    high precision, or the verified near_dup_clusters keep-list for
+    calibrated thresholds; use THIS rule when over-dropping is cheaper
+    than boilerplate (the aggressive web-crawl ingest regime). Every
+    row claims its buckets regardless of its own keep verdict, which
+    makes the rule PREFIX-CONSISTENT:
     processing a time-ordered corpus batch-by-batch with carried-over
     claims yields exactly the same keep-list as one pass over the whole
     corpus — the equality the streaming twin

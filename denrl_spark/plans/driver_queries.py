@@ -850,6 +850,40 @@ def dedup_lsh_pairs(spark, sf_dir):
 
 
 @_q(
+    "dedup_keep_greedy",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    bands AS (
+      SELECT doc_id, text, unnest(range(0, 8)) AS band FROM documents),
+    sig AS (
+      SELECT b.doc_id, b.band,
+             coalesce(
+               min(md5(CAST(b.band AS VARCHAR) || ':' || s.shingle)),
+               md5(b.text)) AS mh
+      FROM bands b LEFT JOIN sh s ON s.doc_id = b.doc_id
+      GROUP BY b.doc_id, b.band, b.text),
+    wins AS (SELECT band, mh, min(doc_id) AS win FROM sig GROUP BY 1, 2)
+    SELECT s.doc_id FROM sig s
+    JOIN wins w ON s.band = w.band AND s.mh = w.mh
+    GROUP BY s.doc_id HAVING sum(CAST(s.doc_id = w.win AS INT)) = 8
+    """,
+)
+def dedup_keep_greedy(spark, sf_dir):
+    """Greedy first-wins LSH keep-list (textops.near_dedup_greedy, the
+    rule the cross-batch streaming ingest applies): a doc is kept iff it
+    is the min-doc_id claimant of EVERY one of its 8 minhash band
+    buckets. The twin re-derives the per-row signature relationally
+    (band-min over shingles with the md5(text) short-doc fallback
+    mirrored via LEFT JOIN + coalesce) and replays the same
+    win-all-bands rule. Prefix consistency of the fold (streaming ==
+    one-shot) is pytest-asserted separately."""
+    kept, _ = textops.near_dedup_greedy(
+        _t(spark, sf_dir, "documents"), ["doc_id"]
+    )
+    return kept.select("doc_id")
+
+
+@_q(
     "dedup_jaccard_pairs",
     f"""
     WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
