@@ -281,11 +281,14 @@ def minhash_from_shingles(sh: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    stack = ", ".join(f"{b}, mh{b}" for b in range(n_bands))
-    return mins.select(
-        "doc_id",
-        F.expr(f"stack({n_bands}, {stack}) AS (band, mh)"),
-    )
+    return mins.select("doc_id", band_stack_expr(n_bands))
+
+
+def band_stack_expr(n_bands: int) -> F.Column:
+    """Unpivot mh0..mh{n-1} signature columns to long (band, mh) rows —
+    shared by every consumer of the wide per-row signature layout."""
+    pairs = ", ".join(f"{b}, mh{b}" for b in range(n_bands))
+    return F.expr(f"stack({n_bands}, {pairs}) AS (band, mh)")
 
 
 def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
@@ -519,10 +522,7 @@ def near_dedup_greedy(
     ord_struct = F.struct(*[F.col(c) for c in ord_cols])
     base = docs.dropDuplicates(list(ord_cols)).withColumn("_ord", ord_struct)
     sig = minhash_signature_cols(base, text_col, n_bands)
-    stack = ", ".join(f"{b}, mh{b}" for b in range(n_bands))
-    long = sig.select(
-        "_ord", F.expr(f"stack({n_bands}, {stack}) AS (band, mh)")
-    )
+    long = sig.select("_ord", band_stack_expr(n_bands))
     wins = long.groupBy("band", "mh").agg(F.min("_ord").alias("_win"))
     flags = long.join(wins, ["band", "mh"])
     if prior_claims is not None:

@@ -808,10 +808,9 @@ def dedup_minhash_per_row(spark, sf_dir):
         F.size(F.split("text", " ")) >= 3
     )
     sig = textops.minhash_signature_cols(docs)
-    stack = ", ".join(f"{b}, mh{b}" for b in range(8))
-    return sig.select(
-        "doc_id", F.expr(f"stack(8, {stack}) AS (band, mh)")
-    ).select("doc_id", F.col("band").cast("int").alias("band"), "mh")
+    return sig.select("doc_id", textops.band_stack_expr(8)).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "mh"
+    )
 
 
 @_q(

@@ -77,6 +77,14 @@ def write_predictions_txt(
         "sent_id",
         "instance_id",
     )
+    def _write(parted: DataFrame) -> None:
+        (
+            parted.sortWithinPartitions("sent_id", "instance_id")
+            .select("value")
+            .write.mode("overwrite")
+            .text(path)
+        )
+
     if single_file:
         # persist around the guard: without it the count and the write
         # each run the full upstream scoring pipeline
@@ -89,26 +97,16 @@ def write_predictions_txt(
                     f"{single_file_max_rows}-row guard; use the default "
                     "multi-part mode (order-manifested) for large outputs"
                 )
-            parted = base.repartition(1)
-            (
-                parted.sortWithinPartitions("sent_id", "instance_id")
-                .select("value")
-                .write.mode("overwrite")
-                .text(path)
-            )
+            _write(base.repartition(1))
         finally:
             base.unpersist()
     else:
-        parted = base.repartitionByRange(
-            max(spark.sparkContext.defaultParallelism, 2),
-            "sent_id",
-            "instance_id",
-        )
-        (
-            parted.sortWithinPartitions("sent_id", "instance_id")
-            .select("value")
-            .write.mode("overwrite")
-            .text(path)
+        _write(
+            base.repartitionByRange(
+                max(spark.sparkContext.defaultParallelism, 2),
+                "sent_id",
+                "instance_id",
+            )
         )
     # manifest: sorted part names == global order (range partition i holds
     # strictly smaller keys than partition j for i < j). Listed and
