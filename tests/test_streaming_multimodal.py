@@ -607,3 +607,87 @@ def test_stream_near_dedup_horizon_eviction(spark, tmp_path):
     assert ("c0", 0) in got and ("c0", 1) in got
     assert ("c1", 0) not in got  # duplicate within the horizon
     assert ("c2", 0) in got      # claim expired: kept again
+
+
+def test_stream_near_dedup_restart_after_compaction(spark, tmp_path):
+    """Operational sequence: stream some batches, stop, compact the
+    claims log, resume the SAME checkpoint on new input — the folded
+    batch_id=-1 base must satisfy every later batch's id<N read and the
+    final keep-list must still equal the one-shot batch fold."""
+    import os
+    from datetime import datetime, timezone
+
+    from denrl_spark.functions.textops import near_dedup_greedy
+    from denrl_spark.streaming.ingest import (
+        compact_dedup_claims,
+        stream_near_dedup_keep,
+    )
+
+    A = "alpha beta gamma delta epsilon zeta eta"
+    B = "one two three four five six seven"
+    C = "unique tokens that appear nowhere else at all"
+    phase1 = [
+        [("c0", 0, A, 100)],
+        [("c0", 1, B, 200)],
+        [("c1", 0, C, 300)],
+    ]
+    phase2 = [[("c2", 0, A, 400), ("c2", 1, "fresh words never seen before today", 401)]]
+
+    src = tmp_path / "rc_in"
+    os.makedirs(src)
+    sink = str(tmp_path / "rc_sink")
+    ck = str(tmp_path / "rc_ck")
+
+    def add_files(batches, start):
+        for i, rows in enumerate(batches, start=start):
+            df = spark.createDataFrame(
+                [
+                    (cid, tix, "user", txt, None,
+                     datetime.fromtimestamp(ts, tz=timezone.utc))
+                    for cid, tix, txt, ts in rows
+                ],
+                "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+            )
+            staged = str(tmp_path / f"rc_stage_{i}")
+            df.coalesce(1).write.parquet(staged)
+            part = next(
+                fn for fn in os.listdir(staged)
+                if fn.startswith("part-") and fn.endswith(".parquet")
+            )
+            dst = str(src / f"b{i}.parquet")
+            os.rename(os.path.join(staged, part), dst)
+            os.utime(dst, (1000 + i, 1000 + i))
+
+    def run_stream():
+        stream = stream_transcripts(spark, str(src), max_files_per_trigger=1)
+        q = stream_near_dedup_keep(stream, sink, ck)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    add_files(phase1, 0)
+    run_stream()
+    assert compact_dedup_claims(spark, sink) == 2  # 3 dirs, newest kept
+
+    add_files(phase2, 3)
+    run_stream()  # same checkpoint: resumes at batch 3, reads folded base
+
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in spark.read.parquet(f"{sink}/kept").collect()
+    }
+    all_rows = [r for b in phase1 + phase2 for r in b]
+    full = spark.createDataFrame(
+        [
+            (cid, tix, "user", txt, None,
+             datetime.fromtimestamp(ts, tz=timezone.utc))
+            for cid, tix, txt, ts in all_rows
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    kept_batch, _ = near_dedup_greedy(full, ["ts", "conv_id", "turn_idx"])
+    want = {(r["conv_id"], r["turn_idx"]) for r in kept_batch.collect()}
+    assert got == want
+    assert ("c2", 0) not in got   # duplicate of A, suppressed via folded base
+    assert ("c2", 1) in got       # genuinely new content survives
