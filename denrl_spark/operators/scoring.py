@@ -340,6 +340,7 @@ def score_instances(
     emit_attention: bool = True,
     position_kernel=None,
     position_kernel_version: int = 1,
+    position_encoder=None,
 ) -> DataFrame:
     """Batch inference: adds pred_tags (+ position_att) via one Arrow pass.
 
@@ -357,9 +358,13 @@ def score_instances(
     position_att slot through the NUMERIC reference kernel
     (operators/position_attention.py — v.tanh(W_H.H + W_p.h_p + W_h.h_t)
     over frozen hash embeddings, modeling_gpt2.py:285-395 semantics)
-    instead of the default BoW analog. pred_tags are identical either
-    way (attention never feeds the decoder), so triple oracles stay
-    green regardless of the kernel choice.
+    instead of the default BoW analog. ``position_encoder`` (an
+    operators/encoder.EncoderWeights) additionally runs the frozen
+    GPT-2 block stack (K1 dataflow) over the hash embeddings before the
+    kernel — the full encoder -> position-attention reference chain,
+    numerically. pred_tags are identical either way (attention never
+    feeds the decoder), so triple oracles stay green regardless of the
+    kernel choice.
     """
     kb = kb or KB.default()
     bow = {k: set(vv) for k, vv in (bow or {}).items()}
@@ -419,6 +424,14 @@ def score_instances(
                         emb = emb_cache.get(sid)
                         if emb is None:
                             emb = hash_token_embeddings(toks, hd)
+                            if position_encoder is not None:
+                                from denrl_spark.operators.encoder import (
+                                    gpt2_encode_batch,
+                                )
+
+                                emb = gpt2_encode_batch(
+                                    emb[None], position_encoder
+                                )[0]
                             emb_cache[sid] = emb
                         pas.append(
                             position_att_numeric(

@@ -111,3 +111,21 @@ def test_score_instances_kernel_route_keeps_predictions(spark):
         att = k[iid]["position_att"]
         assert len(att) == len(b[iid]["position_att"])
         assert abs(sum(att) - 1.0) < 1e-4
+
+    # full numeric chain: frozen encoder stack (K1) feeding the kernel
+    from denrl_spark.operators.encoder import EncoderWeights
+
+    enc = score_instances(
+        ins, position_kernel=w,
+        position_encoder=EncoderWeights.seeded(16, n_layer=2, n_head=4),
+    ).select("instance_id", "pred_tags", "position_att")
+    e = {r["instance_id"]: r for r in enc.collect()}
+    assert e.keys() == b.keys()
+    for iid in e:
+        assert e[iid]["pred_tags"] == b[iid]["pred_tags"]
+        att = e[iid]["position_att"]
+        assert len(att) == len(b[iid]["position_att"])
+        assert abs(sum(att) - 1.0) < 1e-4
+    # contextual hidden states actually change the attention
+    some = next(i for i in e if len(e[i]["position_att"]) > 2)
+    assert e[some]["position_att"] != k[some]["position_att"]
