@@ -176,3 +176,19 @@ def encode_tokens_np(
 
     h = ew.lnf_g.shape[0]
     return gpt2_encode_batch(hash_token_embeddings(tokens, h, seed)[None], ew)[0]
+
+
+def classifier_logits(u: np.ndarray, w_u: np.ndarray) -> np.ndarray:
+    """K3: ``z_t = W_u . u_t`` — the bias-free linear label head over the
+    position-attention outputs u_t = [h_t ; c_t]
+    (modeling_gpt2.py:1470, nn.Linear(2H, V, bias=False)).
+    u: (..., 2H); w_u: (V, 2H) in torch Linear layout. Returns (..., V)."""
+    return u @ w_u.T
+
+
+def seeded_classifier(hidden_dim: int, n_labels: int, seed: int = 0) -> np.ndarray:
+    """Frozen W_u (V, 2H), GPT-2 init scale."""
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((n_labels, 2 * hidden_dim)) * _INIT_STD).astype(
+        np.float32
+    )

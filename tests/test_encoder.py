@@ -106,3 +106,54 @@ def test_encoder_feeds_position_attention():
     att, ut = position_attention_batch(hidden[None], 0, pw, version=1)
     assert att.shape == (1, 5) and ut.shape == (1, 5, 32)
     np.testing.assert_allclose(att.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_full_numeric_chain_k1_k2_k3_k6():
+    """The complete frozen numeric scoring chain — encoder stack (K1) ->
+    position attention per query (K2, all_ut) -> linear label head (K3)
+    -> BIO-constrained Viterbi decode (K6) — runs end to end and
+    produces structurally valid output: per-position logits over the
+    label set and a decoded tag path that respects BIO transition
+    constraints. Weights are frozen/seeded, so values are arbitrary but
+    deterministic; the reference's trained numbers are unreachable
+    without its checkpoint (documented), while every kernel in the
+    chain is individually enumeration-tested."""
+    from denrl_spark.operators.encoder import classifier_logits, seeded_classifier
+    from denrl_spark.operators.position_attention import (
+        PositionAttentionWeights,
+        position_attention_batch,
+    )
+    from denrl_spark.operators.scoring import (
+        bio_transitions,
+        build_label_list,
+        viterbi_batch,
+    )
+    from denrl_spark.sources.kb import KB
+
+    labels = build_label_list(KB.default())
+    v = len(labels)
+    ew = EncoderWeights.seeded(16, n_layer=2, n_head=4, seed=0)
+    pw = PositionAttentionWeights.seeded(16, seed=1)
+    w_u = seeded_classifier(16, v, seed=2)
+
+    toks = ["alice", "works", "at", "acme", "corp", "in", "berlin"]
+    hidden = encode_tokens_np(toks, ew)  # (T, 16)
+    _, ut = position_attention_batch(hidden[None], 0, pw)  # (1, T, 32)
+    logits = classifier_logits(ut, w_u)  # (1, T, V)
+    assert logits.shape == (1, len(toks), v)
+
+    trans = bio_transitions(labels)
+    path = viterbi_batch(
+        logits.astype(np.float32), trans, np.array([len(toks)])
+    )[0]
+    decoded = [labels[t] for t in path]
+    assert len(decoded) == len(toks)
+    # decoded TRANSITIONS respect BIO constraints: I-X only after
+    # B-X/I-X (position 0 is unconstrained — viterbi_batch carries no
+    # start scores, by documented design)
+    for prev, tag in zip(decoded, decoded[1:]):
+        if tag.startswith("I-"):
+            assert prev[2:] == tag[2:] and prev[0] in "BI", (prev, tag)
+    # deterministic across calls
+    hidden2 = encode_tokens_np(toks, ew)
+    np.testing.assert_array_equal(hidden, hidden2)
