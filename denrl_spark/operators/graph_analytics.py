@@ -334,3 +334,167 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 3,
         ).cast("bigint"),
         rank_col="rank_u",
     )
+
+
+JACCARD_UNIT = 10**6  # neighborhood-Jaccard fixed-point unit (1e-6)
+
+
+def neighbor_jaccard(edges: DataFrame, src: str = "src_surface",
+                     dst: str = "dst_surface") -> DataFrame:
+    """Neighborhood-Jaccard similarity over the undirected canonical
+    graph: for every pair (va < vb) sharing at least one common
+    neighbor — adjacent or not — the exact common/union neighbor
+    counts and the Jaccard coefficient in integer 1e-6 units
+    (JACCARD_UNIT * n_common div n_union: integer division, so the
+    result is order-independent and hash-oracle-able). This is the
+    structural-equivalence primitive KG consumers use to flag
+    candidate duplicate entities that canonicalization's surface
+    normalization cannot merge (two different surfaces connected to
+    the same neighborhood).
+
+    Shape (V vertices, E undirected edges): adjacency self-join on the
+    shared neighbor — the same skew-sensitive middle-vertex join as
+    two_hop / link_prediction_ra (AQE splits hot neighbors; at
+    production scale degree-cap the adjacency first, hub-mediated
+    similarity is ~0 anyway) — then one map-side-combined agg and a
+    broadcast-sized degree join. No cartesian anywhere: pairs with
+    zero common neighbors never materialize."""
+    und = undirected_edges(edges, src, dst)
+    adj = und.unionByName(
+        und.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+    )  # (v, neighbor), both directions, distinct by construction
+    deg = adj.groupBy(F.col("va").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    a = adj.select(F.col("vb").alias("w"), F.col("va").alias("u"))
+    b = adj.select(F.col("vb").alias("w"), F.col("va").alias("v"))
+    common = (
+        a.join(b, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy(F.col("u").alias("va"), F.col("v").alias("vb"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("v").alias("va"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("vb"), F.col("deg").alias("deg_b"))
+    return (
+        common.join(da, "va")
+        .join(db, "vb")
+        .select(
+            "va", "vb", "n_common",
+            (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+            .cast("bigint").alias("n_union"),
+            F.expr(f"CAST({JACCARD_UNIT} * n_common div "
+                   f"(deg_a + deg_b - n_common) AS BIGINT)").alias("jac_u6"),
+        )
+    )
+
+
+def bfs_distances(edges: DataFrame, seeds: list[str],
+                  src: str = "src_surface", dst: str = "dst_surface",
+                  max_iter: int = 40) -> DataFrame:
+    """Multi-source BFS over the undirected canonical graph: (surface,
+    dist) with dist = exact hop count to the NEAREST seed; unreachable
+    vertices are absent. The KG-serving radius query ("everything
+    within k hops of these entities") and the reachability half of
+    shortest-path analytics.
+
+    Shape: frontier-free min-distance label propagation — each round
+    joins the CURRENT distance table to the adjacency on the vertex
+    key and takes the per-vertex min of (old, neighbor+1). Rounds are
+    driver-looped over lazy plans with an eager localCheckpoint per
+    round (O(1) lineage — same discipline as pagerank/components), and
+    the loop EXITS EARLY when a round adds no vertices and lowers no
+    distance (converged min distances are unique, so fixpoint output
+    is engine-independent). Per round: one shuffle of the dist table
+    (V rows) + one of the adjacency join. max_iter bounds the graph
+    DIAMETER; the guard raises loudly on non-convergence rather than
+    returning partial distances."""
+    if not seeds:
+        raise ValueError("bfs_distances: empty seed list")
+    spark = edges.sparkSession
+    und = undirected_edges(edges, src, dst)
+    adj = und.unionByName(
+        und.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+    ).select(F.col("va").alias("v"), F.col("vb").alias("nbr"))
+    adj = adj.localCheckpoint()  # reused every round: materialize once
+    dist = (
+        spark.createDataFrame([(s,) for s in sorted(set(seeds))], "surface string")
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    prev_n, prev_sum = _dist_fingerprint(dist)
+    for _ in range(max_iter):
+        hop = (
+            dist.join(adj, dist.surface == adj.v)
+            .select(F.col("nbr").alias("surface"),
+                    (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("surface")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        n, s = _dist_fingerprint(dist)
+        if (n, s) == (prev_n, prev_sum):
+            return dist
+        prev_n, prev_sum = n, s
+    raise RuntimeError(
+        f"bfs_distances did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter)"
+    )
+
+
+def _dist_fingerprint(dist: DataFrame) -> tuple[int, int]:
+    """(row count, sum of distances) — a strictly-decreasing-under-
+    improvement pair: a BFS round either adds a vertex (count grows)
+    or lowers a min distance (sum shrinks at fixed count), so equality
+    means fixpoint. One tiny aggregate action per round."""
+    row = dist.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dist"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"])
+
+
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 6,
+          src: str = "src_surface", dst: str = "dst_surface") -> DataFrame:
+    """k-core peel over the undirected canonical graph: run exactly
+    ``rounds`` peel iterations (drop vertices with degree < k, drop
+    edges touching them, recompute) and return the surviving
+    vertices' degrees (surface, deg). The density filter KG curation
+    uses to separate the well-attested core from the long tail of
+    singleton mentions before expensive downstream analytics.
+
+    Determinism contract: the round count is FIXED, not
+    run-to-convergence — both this operator and its SQL twin execute
+    the identical finite recurrence, so outputs match bit-for-bit on
+    any graph, converged or not (after convergence further rounds are
+    no-ops). For a guaranteed-converged core at scale, raise
+    ``rounds`` to the expected peel depth (real web KGs converge in a
+    handful; each round is one degree agg + one semi-join, both
+    map-side-combinable, with an eager localCheckpoint keeping lineage
+    O(1))."""
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    und = undirected_edges(edges, src, dst).localCheckpoint()
+    for _ in range(rounds):
+        deg = (
+            und.select(F.col("va").alias("v"))
+            .unionByName(und.select(F.col("vb").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("v")
+        und = (
+            und.join(keep.withColumnRenamed("v", "va"), "va", "left_semi")
+            .join(keep.withColumnRenamed("v", "vb"), "vb", "left_semi")
+            .select("va", "vb")
+            .localCheckpoint()
+        )
+    return (
+        und.select(F.col("va").alias("surface"))
+        .unionByName(und.select(F.col("vb").alias("surface")))
+        .groupBy("surface")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )

@@ -700,3 +700,159 @@ def topk_patterns_docs_sql(rel: str = "documents") -> str:
         WHERE least(CAST(floor(0.1 * nd) AS BIGINT), 20) = 0
            OR rank <= least(CAST(floor(0.1 * nd) AS BIGINT), 20)
     """
+
+
+EDGE_WINDOW_S = 3600  # tumbling temporal-rollup width (seconds)
+
+
+def edges_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window temporal rollup of the canonical KG: per
+    (window_start, src, pred, dst), the observation count inside that
+    window — the versioned-KG surface consumers use to diff graph
+    snapshots over time ("what did this edge look like each hour").
+    Window math is exact integer epoch-seconds (ts = 1735689600 +
+    doc_id*7 per transcripts_from_documents; win_start = ts div W * W
+    on non-negative operands, where Spark's `div` and DuckDB's `//`
+    agree), so the rollup is hash-oracle-able. Same single
+    canonical-map pass + linking step as edges_by_role; only the
+    grouping keys differ. At production scale this is the natural
+    PARTITION BY column of the edge table (partition pruning turns a
+    snapshot diff into a two-partition scan)."""
+    from denrl_spark.operators.graph import link_canonical
+    from denrl_spark.operators.linking import canonicalize
+
+    trips = gold_triples_by_doc(spark, sf_dir).cache()
+    trips.count()
+    mmap = canonicalize(trips).select("surface", "canonical_surface").cache()
+    mmap.count()
+    out = (
+        link_canonical(trips, mmap)
+        .withColumn(
+            "ts", (F.lit(1735689600) + F.col("doc_id") * 7).cast("bigint")
+        )
+        .withColumn(
+            "win_start",
+            F.expr(f"CAST(ts div {EDGE_WINDOW_S} * {EDGE_WINDOW_S} AS BIGINT)"),
+        )
+        .groupBy(
+            "win_start", "src_surface", F.col("ent2_tag").alias("pred"),
+            "dst_surface",
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .localCheckpoint()
+    )
+    mmap.unpersist()
+    trips.unpersist()
+    return out
+
+
+def edges_by_window_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()},
+        rel_rows AS (
+          SELECT ((1735689600 + g.doc_id * 7) // {EDGE_WINDOW_S})
+                   * {EDGE_WINDOW_S} AS win_start,
+                 cs.canonical_surface AS src_surface,
+                 g.ent2_tag AS pred, cd.canonical_surface AS dst_surface
+          FROM gold g
+          JOIN canon cs ON cs.surface = g.ent1
+          JOIN canon cd ON cd.surface = g.ent2
+          WHERE g.ent2_tag LIKE '%/%')
+        SELECT CAST(win_start AS BIGINT) AS win_start, src_surface, pred,
+               dst_surface, count(*) AS n_obs
+        FROM rel_rows GROUP BY 1, 2, 3, 4
+    """
+
+
+def _und_cte() -> str:
+    """Distinct low->high undirected pairs of the canonical graph —
+    the graph_analytics.undirected_edges twin, shared by the
+    similarity / BFS / k-core oracles."""
+    return """u AS (
+          SELECT DISTINCT least(src_surface, dst_surface) AS va,
+                 greatest(src_surface, dst_surface) AS vb
+          FROM edges WHERE src_surface <> dst_surface)"""
+
+
+def neighbor_jaccard_sql(rel: str = "documents") -> str:
+    """graph_analytics.neighbor_jaccard twin (integer 1e-6 Jaccard
+    units; // and div agree on the non-negative operands)."""
+    unit = 10**6
+    return f"""
+        WITH {_edges_cte(rel)},
+        {_und_cte()},
+        adj AS (SELECT va, vb FROM u UNION ALL SELECT vb, va FROM u),
+        deg AS (SELECT va AS v, count(*) AS deg FROM adj GROUP BY 1),
+        common AS (
+          SELECT a.va AS u_, b.va AS v_, count(*) AS n_common
+          FROM adj a JOIN adj b ON a.vb = b.vb
+          WHERE a.va < b.va GROUP BY 1, 2)
+        SELECT c.u_ AS va, c.v_ AS vb, c.n_common AS n_common,
+               CAST(da.deg + db.deg - c.n_common AS BIGINT) AS n_union,
+               CAST(({unit} * c.n_common)
+                    // (da.deg + db.deg - c.n_common) AS BIGINT) AS jac_u6
+        FROM common c
+        JOIN deg da ON da.v = c.u_
+        JOIN deg db ON db.v = c.v_
+    """
+
+
+def bfs_sql(rel: str = "documents", max_iter: int = 40) -> str:
+    """graph_analytics.bfs_distances twin, seeded at the minimum
+    vertex surface: depth-bounded recursive closure (UNION-distinct on
+    (node, d) caps rows at V * max_iter) + min distance per vertex.
+    The Spark side runs min-label propagation to fixpoint; converged
+    min distances are unique, so the two agree exactly."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(rel)},
+        {_und_cte()},
+        und AS (SELECT va AS src, vb AS dst FROM u
+                UNION ALL SELECT vb, va FROM u),
+        verts AS (
+          SELECT DISTINCT surface FROM (
+            SELECT src_surface AS surface FROM edges
+            UNION ALL SELECT dst_surface FROM edges)),
+        seed AS (SELECT min(surface) AS surface FROM verts),
+        reach(node, d) AS (
+          SELECT surface, 0 FROM seed
+          UNION
+          SELECT und.dst, reach.d + 1
+          FROM reach JOIN und ON und.src = reach.node
+          WHERE reach.d < {max_iter})
+        SELECT node AS surface, CAST(min(d) AS BIGINT) AS dist
+        FROM reach GROUP BY 1
+    """
+
+
+def kcore_sql(rel: str = "documents", k: int = 2, rounds: int = 6) -> str:
+    """graph_analytics.kcore twin: the fixed peel-round recurrence
+    unrolled into chained CTEs e0..e{rounds} (same discipline as the
+    PageRank twin — both engines execute the identical finite
+    recurrence, so fixed rounds match bit-for-bit, converged or
+    not). Every per-round CTE is MATERIALIZED: DuckDB inlines plain
+    CTEs, and each round references the previous one several times, so
+    un-materialized chaining re-expands the base scan exponentially
+    (~5^rounds parquet opens — measured as an fd-exhaustion failure at
+    rounds=6)."""
+    body = f"""
+        WITH {_edges_cte(rel)},
+        {_und_cte()},
+        e0 AS MATERIALIZED (SELECT va, vb FROM u)"""
+    for i in range(1, rounds + 1):
+        body += f""",
+        d{i-1} AS MATERIALIZED (
+          SELECT v, count(*) AS deg FROM (
+            SELECT va AS v FROM e{i-1} UNION ALL SELECT vb FROM e{i-1})
+          GROUP BY 1),
+        k{i-1} AS MATERIALIZED (SELECT v FROM d{i-1} WHERE deg >= {k}),
+        e{i} AS MATERIALIZED (
+          SELECT e.va, e.vb FROM e{i-1} e
+          JOIN k{i-1} a ON a.v = e.va
+          JOIN k{i-1} b ON b.v = e.vb)"""
+    return body + f"""
+        SELECT surface, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT va AS surface FROM e{rounds}
+          UNION ALL SELECT vb FROM e{rounds})
+        GROUP BY 1
+    """

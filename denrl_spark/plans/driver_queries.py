@@ -273,6 +273,54 @@ def kg_pagerank(spark, sf_dir):
     return pagerank_fixedpoint(docs_kg.edges_by_doc(spark, sf_dir), iters=3)
 
 
+@_q("kg_neighbor_jaccard", docs_kg.neighbor_jaccard_sql())
+def kg_neighbor_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard entity similarity (exact counts + integer
+    1e-6 Jaccard units) — the structural-equivalence signal for
+    candidate duplicate entities canonicalization can't merge by
+    surface form. Adjacency self-join on the shared neighbor (AQE
+    splits hot middles), map-side-combined agg, no cartesian."""
+    from denrl_spark.operators.graph_analytics import neighbor_jaccard
+
+    return neighbor_jaccard(docs_kg.edges_by_doc(spark, sf_dir))
+
+
+@_q("kg_bfs", docs_kg.bfs_sql())
+def kg_bfs(spark, sf_dir):
+    """Multi-source BFS hop distances from the minimum vertex surface
+    (deterministic seed): driver-looped min-distance propagation with
+    per-round eager checkpoints and early exit at fixpoint; the DuckDB
+    twin is a depth-bounded recursive closure + min(d). Converged min
+    distances are unique, so fixpoint output is engine-independent."""
+    from denrl_spark.operators.graph_analytics import bfs_distances
+
+    e = docs_kg.edges_by_doc(spark, sf_dir).localCheckpoint()
+    seed = e.agg(
+        F.least(F.min("src_surface"), F.min("dst_surface")).alias("s")
+    ).collect()[0]["s"]
+    if seed is None:  # empty graph -> empty result, same as the oracle
+        return e.sparkSession.createDataFrame(
+            [], "surface string, dist bigint"
+        )
+    return bfs_distances(e, [seed])
+
+
+@_q("kg_kcore", docs_kg.kcore_sql())
+def kg_kcore(spark, sf_dir):
+    """k-core peel (k=2, fixed 6 rounds): surviving vertices and their
+    core degrees — the density filter that separates the well-attested
+    KG core from singleton-mention noise. Fixed-round recurrence in
+    BOTH engines (the oracle unrolls the identical peel into chained
+    CTEs), so results match converged or not."""
+    from denrl_spark.operators.graph_analytics import kcore
+
+    return kcore(docs_kg.edges_by_doc(spark, sf_dir), k=2, rounds=6)
+
+
+# temporal tumbling-window rollup of the canonical KG (docs_kg.edges_by_window)
+_q("kg_edges_by_window", docs_kg.edges_by_window_sql())(docs_kg.edges_by_window)
+
+
 # --------------------------------------------------------------------------
 # Relational operators on the TPC-H-ish tables (SURVEY.md §2.2/2.4-2.7)
 # --------------------------------------------------------------------------
@@ -1363,6 +1411,70 @@ def rel_asof_join(spark, sf_dir):
     return marked.where(
         (F.col("event_type") == "error") & F.col("last_click_t").isNotNull()
     ).select("event_id", "user_id", "last_click_t")
+
+
+RANGE_JOIN_W = 300  # attribution window width (seconds)
+
+
+@_q(
+    "rel_range_join",  # interval join: clicks within 5 min before each error
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events)
+    SELECT err.event_id, err.user_id,
+           count(*) AS n_clicks, max(c.t) AS last_click_t
+    FROM e err
+    JOIN e c ON c.user_id = err.user_id AND c.event_type = 'click'
+            AND c.t >= err.t - {RANGE_JOIN_W} AND c.t < err.t
+    WHERE err.event_type = 'error'
+    GROUP BY 1, 2
+    """,
+)
+def rel_range_join(spark, sf_dir):
+    """Interval (range) join: for each 'error' event, the count and
+    latest timestamp of 'click' events by the same user in the strict
+    window [t-300, t). Spark has no native range join, and the naive
+    formulation is a non-equi BroadcastNestedLoop; the scale shape
+    used here is the BUCKETED range join: quantize time into buckets
+    the width of the range, give each probe row the two buckets its
+    window can touch (explode), EQUI-join on (user_id, bucket), then
+    apply the residual range predicate. Each build row lands in
+    exactly one bucket, so no pair can match twice and no distinct is
+    needed; cost is O(matches), shuffle is a plain hash join on
+    (user_id, bucket) — the same trick as the LSH band join."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+    )
+    w = F.lit(RANGE_JOIN_W)
+    errors = (
+        e.where(F.col("event_type") == "error")
+        .select(
+            "event_id", "user_id", F.col("t").alias("t_err"),
+            F.explode(
+                F.array(F.expr(f"t div {RANGE_JOIN_W} - 1"),
+                        F.expr(f"t div {RANGE_JOIN_W}"))
+            ).alias("bucket"),
+        )
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("t").alias("t_click"),
+        F.expr(f"t div {RANGE_JOIN_W}").alias("bucket"),
+    )
+    return (
+        errors.join(clicks, ["user_id", "bucket"])
+        .where(
+            (F.col("t_click") >= F.col("t_err") - w)
+            & (F.col("t_click") < F.col("t_err"))
+        )
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.max("t_click").alias("last_click_t"),
+        )
+    )
 
 
 @_q(

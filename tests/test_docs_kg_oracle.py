@@ -87,3 +87,48 @@ def test_raw_paths_match_by_doc_twins(spark):
     raw_edges = surf_multiset(RAW_QUERIES["kg_edges"](spark, SF_DIR), ecols)
     twin_edges = surf_multiset(docs_kg.edges_by_doc(spark, SF_DIR), ecols)
     assert raw_edges == twin_edges and len(raw_edges) > 0
+
+
+def test_edges_by_window_consistent_with_edge_history(spark):
+    """The tumbling rollup partitions the observation stream: summing a
+    canonical edge's windowed counts must reproduce its total n_obs,
+    and every window start must be aligned and inside the edge's
+    [first_ts, last_ts] validity interval."""
+    win = docs_kg.edges_by_window(spark, SF_DIR).toPandas()
+    hist = docs_kg.edge_history(spark, SF_DIR).toPandas()
+    key = ["src_surface", "pred", "dst_surface"]
+    got = win.groupby(key)["n_obs"].sum().sort_index()
+    want = hist.set_index(key)["n_obs"].sort_index()
+    pd.testing.assert_series_equal(got, want, check_dtype=False)
+    assert (win["win_start"] % docs_kg.EDGE_WINDOW_S == 0).all()
+    bounds = win.merge(hist, on=key, suffixes=("", "_h"))
+    assert (bounds["win_start"] <= bounds["last_ts"]).all()
+    assert (bounds["win_start"] + docs_kg.EDGE_WINDOW_S
+            > bounds["first_ts"]).all()
+
+
+def test_range_join_bucketed_equals_naive(spark):
+    """The bucketed range join (equi-join on (user, time-bucket) +
+    residual predicate) must equal the naive non-equi formulation on
+    the same input — including window edges (t_click == t_err - W in,
+    t_click == t_err out)."""
+    from denrl_spark.plans.driver_queries import RANGE_JOIN_W, rel_range_join
+
+    got = {
+        (r["event_id"], r["user_id"]): (r["n_clicks"], r["last_click_t"])
+        for r in rel_range_join(spark, SF_DIR).collect()
+    }
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["t"] = ((ev["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).astype("int64")
+    want = {}
+    errors = ev[ev["event_type"] == "error"]
+    clicks = ev[ev["event_type"] == "click"]
+    for _, e in errors.iterrows():
+        c = clicks[
+            (clicks["user_id"] == e["user_id"])
+            & (clicks["t"] >= e["t"] - RANGE_JOIN_W)
+            & (clicks["t"] < e["t"])
+        ]
+        if len(c):
+            want[(e["event_id"], e["user_id"])] = (len(c), int(c["t"].max()))
+    assert got == want

@@ -249,3 +249,110 @@ def test_partition_invariance(edges, spark):
         a = sorted(map(tuple, op(edges).collect()))
         b = sorted(map(tuple, op(shuffled).collect()))
         assert a == b and len(a) > 0, op.__name__
+
+
+def _und_pairs():
+    return {frozenset((s, o)) for s, _, o, _ in EDGES if s != o}
+
+
+def _nbrs():
+    nbrs: dict[str, set[str]] = {}
+    for e in _und_pairs():
+        x, y = tuple(e)
+        nbrs.setdefault(x, set()).add(y)
+        nbrs.setdefault(y, set()).add(x)
+    return nbrs
+
+
+def test_neighbor_jaccard_matches_bruteforce(edges):
+    from denrl_spark.operators.graph_analytics import (
+        JACCARD_UNIT,
+        neighbor_jaccard,
+    )
+
+    got = {
+        (r["va"], r["vb"]): (r["n_common"], r["n_union"], r["jac_u6"])
+        for r in neighbor_jaccard(edges).collect()
+    }
+    nbrs = _nbrs()
+    want = {}
+    for x, y in combinations(sorted(nbrs), 2):
+        common = nbrs[x] & nbrs[y]
+        if common:
+            union = nbrs[x] | nbrs[y]
+            want[(x, y)] = (
+                len(common), len(union),
+                JACCARD_UNIT * len(common) // len(union),
+            )
+    assert got == want
+    # adjacent pairs are INCLUDED (unlike link_prediction_ra): a-b are
+    # linked and share c,d
+    assert got[("a", "b")][0] == 2
+
+
+def test_bfs_distances_match_bruteforce(edges):
+    from collections import deque
+
+    from denrl_spark.operators.graph_analytics import bfs_distances
+
+    nbrs = _nbrs()
+    for seeds in (["a"], ["f"], ["a", "f"]):
+        got = {
+            r["surface"]: r["dist"]
+            for r in bfs_distances(edges, seeds).collect()
+        }
+        dist = {s: 0 for s in seeds}
+        dq = deque(seeds)
+        while dq:
+            v = dq.popleft()
+            for n in nbrs.get(v, ()):
+                if n not in dist:
+                    dist[n] = dist[v] + 1
+                    dq.append(n)
+        assert got == dist, seeds
+    # multi-source takes the NEAREST seed: e is 1 from f, 2 from a
+    multi = {
+        r["surface"]: r["dist"]
+        for r in bfs_distances(edges, ["a", "f"]).collect()
+    }
+    assert multi["e"] == 1
+
+
+def test_bfs_isolated_seed_and_empty_seeds(edges, spark):
+    from denrl_spark.operators.graph_analytics import bfs_distances
+
+    # a seed not in the graph stays at dist 0 and reaches nothing
+    got = {
+        r["surface"]: r["dist"]
+        for r in bfs_distances(edges, ["zzz"]).collect()
+    }
+    assert got == {"zzz": 0}
+    with pytest.raises(ValueError):
+        bfs_distances(edges, [])
+
+
+def test_kcore_matches_peel(edges):
+    from denrl_spark.operators.graph_analytics import kcore
+
+    for k in (1, 2, 3):
+        got = {
+            r["surface"]: r["deg"]
+            for r in kcore(edges, k=k, rounds=6).collect()
+        }
+        und = _und_pairs()
+        for _ in range(6):
+            deg: dict[str, int] = {}
+            for e in und:
+                for v in e:
+                    deg[v] = deg.get(v, 0) + 1
+            keep = {v for v, d in deg.items() if d >= k}
+            und = {e for e in und if e <= keep}
+        deg = {}
+        for e in und:
+            for v in e:
+                deg[v] = deg.get(v, 0) + 1
+        assert got == deg, k
+    # the {a,b,c,d} clique is the 3-core; e/f peel off
+    assert set(kcore(edges, k=3, rounds=6).toPandas()["surface"]) == {
+        "a", "b", "c", "d",
+    }
