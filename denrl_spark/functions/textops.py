@@ -657,3 +657,51 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("dup3_e6"),
     )
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, lp2_e4): corpus-bigram-LM score per document
+    — the second-order companion of ``unigram_logprob`` (a KenLM-style
+    fluency filter that, unlike the unigram, penalizes scrambled
+    word order). Each adjacent token pair contributes
+    floor(1e4 · ln(c(w1 w2) / c(w1 ·))) where c(w1 ·) is the bigram-
+    PREFIX count, i.e. the conditional probability P(w2|w1) estimated
+    from the corpus itself. Terms are integer-scaled BEFORE the sum
+    (associative integer aggregate — order/partitioning invariant,
+    hash-oracle-able), the same discipline as the unigram scorer.
+
+    Cost shape: one corpus scan to build bigrams (array HOFs in the
+    scan stage, no shuffle), ONE bigram-count aggregation
+    (map-side combined, checkpointed — it feeds both the prefix
+    rollup and the per-bigram term table, which are vocab²-sized, NOT
+    corpus-sized), then a broadcast term join back. Docs with < 2
+    tokens contribute no rows (no bigrams), matching the SQL twin's
+    lead()-IS-NOT-NULL filter."""
+    bg = docs.select(
+        "doc_id", F.explode(ngram_array(_toks(), 2)).alias("bigram")
+    )
+    counts2 = (
+        bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt2"))
+        .localCheckpoint()
+    )
+    counts1 = (
+        counts2.groupBy(F.split("bigram", " ")[0].alias("w1"))
+        .agg(F.sum("cnt2").alias("cnt1"))
+    )
+    term = (
+        counts2.withColumn("w1", F.split("bigram", " ")[0])
+        .join(counts1, "w1")
+        .select(
+            "bigram",
+            F.floor(10_000 * F.log(F.col("cnt2") / F.col("cnt1")))
+            .cast("long").alias("term"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(term), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum("term").alias("lp2_e4"),
+        )
+    )

@@ -498,3 +498,72 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 6,
         .groupBy("surface")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
+
+
+SSSP_UNIT = 10**6  # per-edge traversal cost unit (cost = UNIT div weight)
+
+
+def sssp(edges: DataFrame, seeds: list[str], rounds: int = 8,
+         src: str = "src_surface", dst: str = "dst_surface",
+         weight: str = "n_obs") -> DataFrame:
+    """Weighted shortest paths (min-plus propagation) over the
+    undirected canonical graph: (surface, cost_u) = the cheapest
+    ≤``rounds``-edge path cost from the nearest seed, with per-edge
+    cost = SSSP_UNIT div weight — strongly-attested edges (high n_obs)
+    are cheap, so the result ranks entities by evidence-weighted
+    closeness to the seeds (the KG-relevance companion of the
+    unweighted ``bfs_distances``). Parallel edges between a pair
+    (multi-predicate) collapse to their MINIMUM cost.
+
+    Determinism contract: the round count is FIXED in both this
+    operator and the SQL twin (same discipline as ``kcore`` /
+    ``pagerank_fixedpoint``) — after Bellman-Ford convergence
+    (rounds ≥ graph diameter in edges) extra rounds are no-ops, and
+    before it both engines compute the identical ≤rounds-edge
+    relaxation, so outputs match bit-for-bit either way. All costs are
+    exact integers (integer division, integer sums): no float-sum
+    ordering hazard.
+
+    Shape per round: one join of the V-row distance table to the
+    adjacency + one min-combined agg; eager localCheckpoint keeps
+    lineage O(1); the weighted adjacency operand is materialized once
+    and reused every round."""
+    if not seeds:
+        raise ValueError("sssp: empty seed list")
+    if rounds < 1:
+        raise ValueError("sssp: rounds must be >= 1")
+    spark = edges.sparkSession
+    cost = F.expr(f"{SSSP_UNIT} div {weight}")
+    uw = (
+        edges.select(
+            F.least(src, dst).alias("va"), F.greatest(src, dst).alias("vb"),
+            cost.cast("bigint").alias("cost"),
+        )
+        .where(F.col("va") != F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.min("cost").alias("cost"))
+    )
+    adj = uw.unionByName(
+        uw.select(
+            F.col("vb").alias("va"), F.col("va").alias("vb"), "cost"
+        )
+    ).select(F.col("va").alias("v"), F.col("vb").alias("nbr"), "cost")
+    adj = adj.localCheckpoint()
+    dist = (
+        spark.createDataFrame([(s,) for s in sorted(set(seeds))], "surface string")
+        .withColumn("cost_u", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relax = (
+            dist.join(adj, dist.surface == adj.v)
+            .select(F.col("nbr").alias("surface"),
+                    (F.col("cost_u") + F.col("cost")).alias("cost_u"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("surface")
+            .agg(F.min("cost_u").alias("cost_u"))
+            .localCheckpoint()
+        )
+    return dist

@@ -856,3 +856,43 @@ def kcore_sql(rel: str = "documents", k: int = 2, rounds: int = 6) -> str:
           UNION ALL SELECT vb FROM e{rounds})
         GROUP BY 1
     """
+
+
+def sssp_sql(rel: str = "documents", rounds: int = 8) -> str:
+    """graph_analytics.sssp twin, seeded at the minimum vertex surface:
+    the fixed-round min-plus recurrence unrolled into MATERIALIZED
+    chained CTEs (d{i} references d{i-1} twice — plain-CTE inlining
+    would re-expand the base scan exponentially, the kcore_sql
+    lesson). Per-edge cost = 1e6 // n_obs with parallel edges
+    collapsed to their minimum; // and Spark's div agree on the
+    non-negative operands."""
+    unit = 10**6
+    body = f"""
+        WITH {_edges_cte(rel)},
+        uw AS MATERIALIZED (
+          SELECT least(src_surface, dst_surface) AS va,
+                 greatest(src_surface, dst_surface) AS vb,
+                 min({unit} // n_obs) AS cost
+          FROM edges WHERE src_surface <> dst_surface
+          GROUP BY 1, 2),
+        adj AS MATERIALIZED (
+          SELECT va AS v, vb AS nbr, cost FROM uw
+          UNION ALL SELECT vb, va, cost FROM uw),
+        verts AS (
+          SELECT DISTINCT surface FROM (
+            SELECT src_surface AS surface FROM edges
+            UNION ALL SELECT dst_surface FROM edges)),
+        seed AS (SELECT min(surface) AS surface FROM verts),
+        d0 AS MATERIALIZED (SELECT surface, 0 AS cost_u FROM seed)"""
+    for i in range(1, rounds + 1):
+        body += f""",
+        d{i} AS MATERIALIZED (
+          SELECT surface, min(cost_u) AS cost_u FROM (
+            SELECT surface, cost_u FROM d{i-1}
+            UNION ALL
+            SELECT adj.nbr AS surface, d{i-1}.cost_u + adj.cost AS cost_u
+            FROM d{i-1} JOIN adj ON adj.v = d{i-1}.surface)
+          GROUP BY 1)"""
+    return body + f"""
+        SELECT surface, CAST(cost_u AS BIGINT) AS cost_u FROM d{rounds}
+    """

@@ -321,6 +321,27 @@ def kg_kcore(spark, sf_dir):
 _q("kg_edges_by_window", docs_kg.edges_by_window_sql())(docs_kg.edges_by_window)
 
 
+@_q("kg_sssp", docs_kg.sssp_sql())
+def kg_sssp(spark, sf_dir):
+    """Weighted shortest paths from the minimum vertex surface:
+    fixed-round min-plus propagation with exact integer edge costs
+    (1e6 div n_obs — well-attested edges are cheap), the
+    evidence-weighted companion of kg_bfs. Fixed rounds in BOTH
+    engines (the oracle unrolls the identical relaxation into
+    MATERIALIZED chained CTEs), so results match converged or not."""
+    from denrl_spark.operators.graph_analytics import sssp
+
+    e = docs_kg.edges_by_doc(spark, sf_dir).localCheckpoint()
+    seed = e.agg(
+        F.least(F.min("src_surface"), F.min("dst_surface")).alias("s")
+    ).collect()[0]["s"]
+    if seed is None:
+        return e.sparkSession.createDataFrame(
+            [], "surface string, cost_u bigint"
+        )
+    return sssp(e, [seed], rounds=8)
+
+
 # --------------------------------------------------------------------------
 # Relational operators on the TPC-H-ish tables (SURVEY.md §2.2/2.4-2.7)
 # --------------------------------------------------------------------------
@@ -671,6 +692,39 @@ def text_unigram_lm(spark, sf_dir):
     per-token floor-scaled log-probs summed as exact integers, so the
     aggregate is order-invariant and hash-oracle-able."""
     return textops.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_bigram_lm",
+    """
+    WITH t AS (SELECT doc_id,
+                      generate_subscripts(string_split(text, ' '), 1) AS pos,
+                      unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    bg AS (
+      SELECT doc_id, tok || ' ' || t1 AS bigram FROM (
+        SELECT doc_id, tok,
+               lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+        FROM t)
+      WHERE t1 IS NOT NULL),
+    c2 AS (SELECT bigram, count(*) AS cnt2 FROM bg GROUP BY 1),
+    c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(cnt2) AS cnt1
+           FROM c2 GROUP BY 1),
+    term AS (
+      SELECT bigram,
+             CAST(floor(10000 * ln(CAST(cnt2 AS DOUBLE) / cnt1)) AS BIGINT) AS term
+      FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1)
+    SELECT bg.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+           CAST(sum(term) AS BIGINT) AS lp2_e4
+    FROM bg JOIN term USING (bigram) GROUP BY 1
+    """,
+)
+def text_bigram_lm(spark, sf_dir):
+    """Corpus-bigram-LM document scoring: per-pair conditional
+    log-probs P(w2|w1), floor-scaled to integers BEFORE the sum —
+    order-invariant aggregate, hash-oracle-able. The word-order-aware
+    fluency filter the unigram scorer can't express."""
+    return textops.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
 _SHINGLE_SQL = """

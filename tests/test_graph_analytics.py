@@ -356,3 +356,61 @@ def test_kcore_matches_peel(edges):
     assert set(kcore(edges, k=3, rounds=6).toPandas()["surface"]) == {
         "a", "b", "c", "d",
     }
+
+
+def test_sssp_matches_bellman_ford(edges):
+    import heapq
+
+    from denrl_spark.operators.graph_analytics import SSSP_UNIT, sssp
+
+    # weighted undirected adjacency: min cost over parallel edges
+    cost: dict[frozenset, int] = {}
+    for s, _, o, w in EDGES:
+        if s != o:
+            e = frozenset((s, o))
+            c = SSSP_UNIT // w
+            cost[e] = min(cost.get(e, c), c)
+    nbrs: dict[str, dict[str, int]] = {}
+    for e, c in cost.items():
+        x, y = tuple(e)
+        nbrs.setdefault(x, {})[y] = c
+        nbrs.setdefault(y, {})[x] = c
+
+    def dijkstra(seeds):
+        dist = {s: 0 for s in seeds}
+        pq = [(0, s) for s in seeds]
+        while pq:
+            d, v = heapq.heappop(pq)
+            if d > dist.get(v, float("inf")):
+                continue
+            for n, c in nbrs.get(v, {}).items():
+                nd = d + c
+                if nd < dist.get(n, float("inf")):
+                    dist[n] = nd
+                    heapq.heappush(pq, (nd, n))
+        return dist
+
+    for seeds in (["a"], ["f"], ["a", "f"]):
+        got = {
+            r["surface"]: r["cost_u"]
+            for r in sssp(edges, seeds, rounds=8).collect()
+        }
+        assert got == dijkstra(seeds), seeds
+    # rounds below convergence = cheapest <=rounds-edge path (the fixed
+    # recurrence, NOT an error): 1 round from 'f' reaches only e
+    one = {r["surface"]: r["cost_u"] for r in sssp(edges, ["f"], rounds=1).collect()}
+    assert set(one) == {"f", "e"}
+    with pytest.raises(ValueError):
+        sssp(edges, [], rounds=8)
+    with pytest.raises(ValueError):
+        sssp(edges, ["a"], rounds=0)
+
+
+def test_sssp_prefers_cheap_strong_edges(edges):
+    from denrl_spark.operators.graph_analytics import SSSP_UNIT, sssp
+
+    # b-c has n_obs=5 (cost 200000) vs direct a-c n_obs=1 (cost
+    # 1000000): from a, the 2-edge path a-b-c (333333+200000) wins.
+    # a-b's parallel edges (w3, w1) collapse to their MIN cost 1e6//3.
+    got = {r["surface"]: r["cost_u"] for r in sssp(edges, ["a"]).collect()}
+    assert got["c"] == SSSP_UNIT // 3 + SSSP_UNIT // 5

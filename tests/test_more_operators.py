@@ -323,3 +323,49 @@ def test_approx_count_distinct_within_rsd(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("a")
     ).collect()[0]["a"]
     assert abs(approx - exact) / exact < 0.06  # 3x rsd headroom
+
+
+def test_bigram_lm_scores(spark):
+    """bigram_logprob vs a literal Python recomputation: per-pair
+    conditional P(w2|w1) from corpus counts, floor-scaled BEFORE the
+    sum; docs with < 2 tokens contribute no row."""
+    import math
+
+    from denrl_spark.functions.textops import bigram_logprob
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran"),
+        (2, "a dog sat on a mat"),
+        (3, "solo"),            # 1 token -> no bigrams -> no output row
+        (4, "the cat sat on the mat"),  # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lp2_e4"])
+        for r in bigram_logprob(docs).collect()
+    }
+    c2: dict[tuple[str, str], int] = {}
+    c1: dict[str, int] = {}
+    grams = {}
+    for doc_id, text in rows:
+        t = text.split(" ")
+        bgs = list(zip(t, t[1:]))
+        grams[doc_id] = bgs
+        for b in bgs:
+            c2[b] = c2.get(b, 0) + 1
+            c1[b[0]] = c1.get(b[0], 0) + 1
+    want = {}
+    for doc_id, bgs in grams.items():
+        if not bgs:
+            continue
+        lp = sum(
+            math.floor(10_000 * math.log(c2[b] / c1[b[0]])) for b in bgs
+        )
+        want[doc_id] = (len(bgs), lp)
+    assert got == want
+    assert 3 not in got
+    assert got[0] == got[4]  # identical docs score identically
+    # a common continuation ("the cat": 3/5 of 'the') outranks a rare
+    # one per-term; sanity: every term is <= 0 (probabilities <= 1)
+    assert all(lp <= 0 for _, lp in got.values())
