@@ -253,12 +253,31 @@ def stream_graph_deltas(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # eager cache: the three delta writes below are three actions
+        # eager cache: the delta writes below are separate actions
         # over the same extraction — uncached, each re-runs the full
-        # Arrow instance-building + triple assembly (3x the hot-path
+        # Arrow instance-building + triple assembly (4x the hot-path
         # cost per micro-batch); released before returning
-        trips = assemble_triples(build_instances(batch_df, kb)).cache()
+        ins = build_instances(batch_df, kb).cache()
+        trips = assemble_triples(ins).cache()
         trips.count()
+        # sentence timestamp map (``sents/batch_id=N``): one row per
+        # sentence with its turn's epoch-second ts — the operand the
+        # windowed compaction view needs (edge deltas are sentence
+        # grain, so joining this map recovers each observation's
+        # window). Distinct by construction: a sentence lives in one
+        # turn.
+        sents = (
+            ins.select("conv_id", "turn_idx", "sent_id")
+            .distinct()
+            .join(
+                batch_df.select(
+                    "conv_id", "turn_idx",
+                    F.unix_timestamp("ts").cast("bigint").alias("ts"),
+                ),
+                ["conv_id", "turn_idx"],
+            )
+            .select("sent_id", "ts")
+        )
         rel = trips.where(F.col("ent2_tag").contains("/"))
         edges = rel.groupBy(
             "ent1", F.col("ent2_tag").alias("pred"), "ent2", "sent_id"
@@ -291,7 +310,11 @@ def stream_graph_deltas(
         mentions.write.mode("overwrite").parquet(
             f"{sink_dir}/mentions/batch_id={batch_id}"
         )
+        sents.write.mode("overwrite").parquet(
+            f"{sink_dir}/sents/batch_id={batch_id}"
+        )
         trips.unpersist()
+        ins.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -383,6 +406,50 @@ def graph_vertices_view(spark: SparkSession, sink_dir: str) -> DataFrame:
     return out
 
 
+def graph_edges_by_window_view(
+    spark: SparkSession, sink_dir: str, window_s: int = 3600
+) -> DataFrame:
+    """Tumbling-window temporal rollup compacted from the delta log:
+    per (win_start, src_surface, pred, dst_surface), the observation
+    count inside that window — the streaming twin of the batch
+    ``docs_kg.edges_by_window`` surface (versioned-KG snapshot diffs,
+    maintained incrementally). The edge deltas are SENTENCE grain, so
+    joining the per-batch sentence→ts map (``sents/``) recovers each
+    observation's window exactly; win_start = ts div W * W in integer
+    epoch seconds. Canonicalization happens at READ time from the full
+    accumulated mention set (same property as the other views: a
+    late-arriving alias surface retroactively merges its history into
+    the canonical edge, exactly as the batch job over the full corpus
+    would)."""
+    cmap = _delta_canonical_map(spark, sink_dir)
+    edges = spark.read.parquet(f"{sink_dir}/edges")
+    sents = spark.read.parquet(f"{sink_dir}/sents").distinct()
+    src = (
+        cmap.withColumnRenamed("surface", "ent1")
+        .withColumnRenamed("canonical_surface", "src_surface")
+        .select("ent1", "src_surface")
+    )
+    dst = (
+        cmap.withColumnRenamed("surface", "ent2")
+        .withColumnRenamed("canonical_surface", "dst_surface")
+        .select("ent2", "dst_surface")
+    )
+    out = (
+        edges.join(sents, "sent_id")
+        .join(src, "ent1")
+        .join(dst, "ent2")
+        .withColumn(
+            "win_start",
+            F.expr(f"CAST(ts div {window_s} * {window_s} AS BIGINT)"),
+        )
+        .groupBy("win_start", "src_surface", "pred", "dst_surface")
+        .agg(F.sum("n_obs").alias("n_obs"))
+        .localCheckpoint()
+    )
+    cmap.unpersist()
+    return out
+
+
 def graph_views(spark: SparkSession, sink_dir: str) -> tuple[DataFrame, DataFrame]:
     """(vertices, edges) compacted from the delta log over ONE shared
     canonical map — the refresh entry point for consumers that read
@@ -443,6 +510,9 @@ def compact_graph_deltas(spark: SparkSession, sink_dir: str) -> int:
         ),
         ("vertices", ["surface", "etype"], [F.sum("cnt").alias("cnt")]),
         ("mentions", ["surface"], None),
+        # sentence->ts map folds by distinct: a sentence has ONE ts, so
+        # re-observations across batches are exact duplicates
+        ("sents", ["sent_id", "ts"], None),
     ):
         folded += _compact_log_part(spark, sink_dir, part, keys, aggs)
     return folded

@@ -362,7 +362,7 @@ def test_stream_graph_deltas_view_equals_batch_graph(spark, transcript_dir, tmp_
     folded = compact_graph_deltas(spark, sink)
     # replay safety: the newest batch dir is never folded (it is the only
     # one a restarted stream can replay; folding it would double-count)
-    assert folded == 3 * (n_batches - 1)  # edges + vertices + mentions
+    assert folded == 4 * (n_batches - 1)  # edges + vertices + mentions + sents
     for part in ("edges", "vertices", "mentions"):
         dirs = sorted(
             [d for d in os.listdir(f"{sink}/{part}") if d.startswith("batch_id=")],
@@ -691,3 +691,87 @@ def test_stream_near_dedup_restart_after_compaction(spark, tmp_path):
     assert got == want
     assert ("c2", 0) not in got   # duplicate of A, suppressed via folded base
     assert ("c2", 1) in got       # genuinely new content survives
+
+
+def test_stream_windowed_edges_view_equals_batch(spark, transcript_dir, tmp_path):
+    """The windowed compaction view over the streamed delta log equals
+    the batch windowed rollup (canonicalize + link + window-group over
+    the full corpus) — the temporal-KG surface is maintained
+    incrementally without semantic drift, including after claims-log
+    compaction."""
+    from denrl_spark.operators.graph import link_canonical
+    from denrl_spark.operators.linking import canonicalize
+    from denrl_spark.operators.spans import assemble_triples
+    from denrl_spark.operators.tagging import build_instances
+    from denrl_spark.sources.kb import KB
+    from denrl_spark.streaming.ingest import (
+        compact_graph_deltas,
+        graph_edges_by_window_view,
+        stream_graph_deltas,
+        stream_transcripts,
+    )
+
+    kb = KB.default()
+    win_s = 600
+    sink = str(tmp_path / "gw_deltas")
+    ck = str(tmp_path / "gw_ck")
+    q = stream_graph_deltas(
+        stream_transcripts(spark, transcript_dir, max_files_per_trigger=2),
+        sink, ck, kb,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def view_rows():
+        return {
+            tuple(r)
+            for r in graph_edges_by_window_view(spark, sink, window_s=win_s)
+            .select("win_start", "src_surface", "pred", "dst_surface", "n_obs")
+            .collect()
+        }
+
+    got = view_rows()
+
+    batch = spark.read.parquet(transcript_dir)
+    ins = build_instances(batch, kb).cache()
+    trips = assemble_triples(ins).cache()
+    trips.count()
+    mmap = canonicalize(trips).select("surface", "canonical_surface").cache()
+    mmap.count()
+    sents = (
+        ins.select("conv_id", "turn_idx", "sent_id").distinct()
+        .join(
+            batch.select(
+                "conv_id", "turn_idx",
+                F.unix_timestamp("ts").cast("bigint").alias("ts"),
+            ),
+            ["conv_id", "turn_idx"],
+        )
+        .select("sent_id", "ts")
+    )
+    expect = {
+        tuple(r)
+        for r in link_canonical(trips, mmap)
+        .join(sents, "sent_id")
+        .withColumn(
+            "win_start", F.expr(f"CAST(ts div {win_s} * {win_s} AS BIGINT)")
+        )
+        .groupBy(
+            "win_start", "src_surface", F.col("ent2_tag").alias("pred"),
+            "dst_surface",
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .collect()
+    }
+    mmap.unpersist()
+    trips.unpersist()
+    ins.unpersist()
+    assert len(got) > 1 and got == expect
+    # multiple windows genuinely exercised (ts spacing vs win_s)
+    assert len({w for w, *_ in got}) > 1
+
+    # compaction folds the sents part too and preserves the view
+    assert compact_graph_deltas(spark, sink) > 0
+    assert view_rows() == expect
