@@ -896,3 +896,229 @@ def sssp_sql(rel: str = "documents", rounds: int = 8) -> str:
     return body + f"""
         SELECT surface, CAST(cost_u AS BIGINT) AS cost_u FROM d{rounds}
     """
+
+
+def alias_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization audit surface: the full (surface ->
+    canonical_surface) alias map over every mention in the gold
+    triples — the table a KG consumer joins to resolve raw mentions,
+    and the artifact reviewers inspect to audit merge decisions. One
+    canonicalize pass (star fast path: one window over the distinct
+    mention set), engine-internal ids dropped so the output is
+    cross-engine hashable."""
+    from denrl_spark.operators.linking import canonicalize
+
+    trips = gold_triples_by_doc(spark, sf_dir).cache()
+    trips.count()
+    out = (
+        canonicalize(trips)
+        .select("surface", "canonical_surface")
+        .localCheckpoint()
+    )
+    trips.unpersist()
+    return out
+
+
+def alias_map_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()}
+        SELECT surface, canonical_surface FROM canon
+    """
+
+
+def triples_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-grain extraction rollup — the transcript-native
+    accounting view (docs fold 4-to-1 into conversations, the same
+    mapping transcripts_from_documents uses): per conv_id, the total
+    gold triples, the relation triples (pred carries '/'), and the
+    distinct turns that produced any. The per-source yield metric a
+    10^12-turn ingest run monitors for drift."""
+    g = gold_triples_by_doc(spark, sf_dir)
+    return (
+        g.withColumn(
+            "conv_id",
+            F.format_string("conv-%08d", (F.col("doc_id") / 4).cast("long")),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.sum(
+                F.when(F.col("ent2_tag").contains("/"), 1).otherwise(0)
+            ).cast("bigint").alias("n_rel_triples"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def triples_per_conv_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)}
+        SELECT printf('conv-%08d', doc_id // 4) AS conv_id,
+               count(*) AS n_triples,
+               CAST(sum(CASE WHEN ent2_tag LIKE '%/%' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rel_triples,
+               count(DISTINCT doc_id) AS n_docs
+        FROM gold GROUP BY 1
+    """
+
+
+def edge_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge association strength: per canonical edge, the pointwise
+    mutual information of its endpoints under the edge-observation
+    distribution, floor-scaled to integer 1e-4 units — the confidence
+    score consumers use to rank KG facts above co-occurrence noise.
+
+    Exactness discipline: pmi = ln((n_obs * total) / (src_tot *
+    dst_tot)) is computed as ONE double division of two exactly-
+    representable integer products (both < 2^53 at any per-aggregate
+    scale that fits a bigint tally), so both engines see the identical
+    double and the identical floor — the same trick as the LM scorers.
+    Totals are one scalar action + two vertex-keyed aggregates over the
+    edge table (E rows), joined back; no window over a single
+    partition."""
+    e = edges_by_doc(spark, sf_dir).select(
+        "src_surface", "pred", "dst_surface", "n_obs"
+    ).localCheckpoint()
+    total = e.agg(F.sum("n_obs")).collect()[0][0] or 0
+    if total == 0:
+        return e.sparkSession.createDataFrame(
+            [],
+            "src_surface string, pred string, dst_surface string, "
+            "n_obs bigint, pmi_e4 bigint",
+        )
+    s = e.groupBy("src_surface").agg(F.sum("n_obs").alias("src_tot"))
+    d = e.groupBy("dst_surface").agg(F.sum("n_obs").alias("dst_tot"))
+    return (
+        e.join(s, "src_surface")
+        .join(d, "dst_surface")
+        .select(
+            "src_surface", "pred", "dst_surface", "n_obs",
+            F.floor(
+                10_000
+                * F.log(
+                    (F.col("n_obs") * F.lit(int(total))).cast("double")
+                    / (F.col("src_tot") * F.col("dst_tot"))
+                )
+            ).cast("long").alias("pmi_e4"),
+        )
+    )
+
+
+def edge_pmi_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_edges_cte(rel)},
+        t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM edges),
+        s AS (SELECT src_surface, CAST(sum(n_obs) AS BIGINT) AS src_tot
+              FROM edges GROUP BY 1),
+        d AS (SELECT dst_surface, CAST(sum(n_obs) AS BIGINT) AS dst_tot
+              FROM edges GROUP BY 1)
+        SELECT e.src_surface, e.pred, e.dst_surface, e.n_obs,
+               CAST(floor(10000 * ln(
+                 CAST(e.n_obs * t.total AS DOUBLE)
+                   / (s.src_tot * d.dst_tot))) AS BIGINT) AS pmi_e4
+        FROM edges e
+        CROSS JOIN t
+        JOIN s USING (src_surface)
+        JOIN d USING (dst_surface)
+    """
+
+
+NEG_SLOTS = 2  # corrupted tails generated per positive edge
+
+
+def kg_edge_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (the
+    TransE-style corrupted-triple generator): per positive canonical
+    edge and slot k < NEG_SLOTS, replace the tail with a
+    pseudo-randomly chosen vertex — content-hash randomness (first 48
+    md5 bits of 'src|pred|dst|k', the weighted_sample trick), so the
+    sample is reproducible under any partitioning/cluster size AND
+    expressible in ANSI SQL for the oracle. 'Filtered' protocol:
+    candidates that collide with a REAL edge (same src, pred, tail)
+    or degenerate into a self-loop are dropped — the standard
+    link-prediction-eval rule, which is why output rows per positive
+    vary (documented, deterministic).
+
+    Shape: vertex ids come from the distributed 0-based rank
+    (functions/ranking.with_global_row_number — no SinglePartition
+    window), the tail lookup is a plain equi-join on the rank (V-row
+    side), and the filter is one left-anti join against the edge set.
+    One scalar action (the vertex count) on the driver."""
+    from denrl_spark.functions.ranking import with_global_row_number
+
+    e = edges_by_doc(spark, sf_dir).select(
+        "src_surface", "pred", "dst_surface"
+    ).localCheckpoint()
+    verts = (
+        e.select(F.col("src_surface").alias("surface"))
+        .unionByName(e.select(F.col("dst_surface").alias("surface")))
+        .distinct()
+    )
+    ranked = with_global_row_number(verts, [F.col("surface")], "rn")
+    n_v = ranked.count()
+    if n_v == 0:
+        return spark.createDataFrame(
+            [], "src_surface string, pred string, dst_neg string, slot int"
+        )
+    cand = e.withColumn(
+        "slot", F.explode(F.array(*[F.lit(k) for k in range(NEG_SLOTS)]))
+    ).withColumn(
+        "tail_idx",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", "src_surface", "pred", "dst_surface",
+                        F.col("slot").cast("string"),
+                    )
+                ),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long") % F.lit(int(n_v)),
+    )
+    neg = (
+        cand.join(ranked, cand.tail_idx == ranked.rn)
+        .select(
+            "src_surface", "pred", F.col("surface").alias("dst_neg"), "slot"
+        )
+        .where(F.col("dst_neg") != F.col("src_surface"))
+    )
+    return neg.join(
+        e.withColumnRenamed("dst_surface", "dst_neg"),
+        ["src_surface", "pred", "dst_neg"],
+        "left_anti",
+    ).select("src_surface", "pred", "dst_neg", F.col("slot").cast("int").alias("slot"))
+
+
+def kg_edge_negatives_sql(rel: str = "documents") -> str:
+    slots = " UNION ALL ".join(f"SELECT {k} AS slot" for k in range(NEG_SLOTS))
+    return f"""
+        WITH {_edges_cte(rel)},
+        verts AS (
+          SELECT DISTINCT surface FROM (
+            SELECT src_surface AS surface FROM edges
+            UNION ALL SELECT dst_surface FROM edges)),
+        ranked AS (
+          SELECT surface, row_number() OVER (ORDER BY surface) - 1 AS rn
+          FROM verts),
+        nv AS (SELECT count(*) AS n FROM verts),
+        slots AS ({slots}),
+        cand AS (
+          SELECT e.src_surface, e.pred, s.slot,
+                 CAST(('0x' || substr(md5(
+                     e.src_surface || '|' || e.pred || '|'
+                       || e.dst_surface || '|' || CAST(s.slot AS VARCHAR)),
+                   1, 12)) AS BIGINT) % (SELECT n FROM nv) AS tail_idx
+          FROM edges e CROSS JOIN slots s)
+        SELECT c.src_surface, c.pred, r.surface AS dst_neg,
+               CAST(c.slot AS INT) AS slot
+        FROM cand c
+        JOIN ranked r ON r.rn = c.tail_idx
+        WHERE r.surface <> c.src_surface
+          AND NOT EXISTS (
+            SELECT 1 FROM edges e2
+            WHERE e2.src_surface = c.src_surface AND e2.pred = c.pred
+              AND e2.dst_surface = r.surface)
+    """

@@ -320,6 +320,18 @@ def kg_kcore(spark, sf_dir):
 # temporal tumbling-window rollup of the canonical KG (docs_kg.edges_by_window)
 _q("kg_edges_by_window", docs_kg.edges_by_window_sql())(docs_kg.edges_by_window)
 
+# canonicalization audit: the (surface -> canonical_surface) alias map
+_q("kg_alias_map", docs_kg.alias_map_sql())(docs_kg.alias_map)
+
+# conversation-grain extraction yield rollup (transcript-native accounting)
+_q("kg_triples_per_conv", docs_kg.triples_per_conv_sql())(docs_kg.triples_per_conv)
+
+# edge association strength: integer-scaled PMI confidence per canonical edge
+_q("kg_edge_pmi", docs_kg.edge_pmi_sql())(docs_kg.edge_pmi)
+
+# filtered corrupted-tail negatives (TransE-style KG-embedding training data)
+_q("kg_negatives", docs_kg.kg_edge_negatives_sql())(docs_kg.kg_edge_negatives)
+
 
 @_q("kg_sssp", docs_kg.sssp_sql())
 def kg_sssp(spark, sf_dir):

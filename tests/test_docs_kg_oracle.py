@@ -132,3 +132,88 @@ def test_range_join_bucketed_equals_naive(spark):
         if len(c):
             want[(e["event_id"], e["user_id"])] = (len(c), int(c["t"].max()))
     assert got == want
+
+
+def test_edge_pmi_matches_python(spark):
+    """edge_pmi vs a literal recomputation from the edge table: PMI as
+    one double division of exact integer products, floor-scaled."""
+    import math
+
+    edges = docs_kg.edges_by_doc(spark, SF_DIR).toPandas()
+    got = {
+        (r["src_surface"], r["pred"], r["dst_surface"]): r["pmi_e4"]
+        for _, r in docs_kg.edge_pmi(spark, SF_DIR).toPandas().iterrows()
+    }
+    total = int(edges["n_obs"].sum())
+    s = edges.groupby("src_surface")["n_obs"].sum()
+    d = edges.groupby("dst_surface")["n_obs"].sum()
+    want = {
+        (r["src_surface"], r["pred"], r["dst_surface"]): math.floor(
+            10_000
+            * math.log(
+                (int(r["n_obs"]) * total)
+                / (int(s[r["src_surface"]]) * int(d[r["dst_surface"]]))
+            )
+        )
+        for _, r in edges.iterrows()
+    }
+    assert got == want and len(got) > 0
+    # PMI ranks attested pairs above promiscuous-endpoint noise: at
+    # least one edge scores positive (co-occurs above independence)
+    assert max(got.values()) > 0
+
+
+def test_triples_per_conv_accounts_for_every_triple(spark):
+    """The conversation rollup partitions the gold triples: sums match
+    the full table, conv grouping matches the 4-docs-per-conv rule."""
+    g = docs_kg.gold_triples_by_doc(spark, SF_DIR).toPandas()
+    per = docs_kg.triples_per_conv(spark, SF_DIR).toPandas()
+    assert per["n_triples"].sum() == len(g)
+    assert per["n_rel_triples"].sum() == g["ent2_tag"].str.contains("/").sum()
+    assert (per["n_docs"] <= 4).all()
+    g["conv"] = "conv-" + (g["doc_id"] // 4).astype(int).map("{:08d}".format)
+    want = g.groupby("conv").size()
+    got = per.set_index("conv_id")["n_triples"]
+    pd.testing.assert_series_equal(
+        got.sort_index(), want.sort_index(),
+        check_names=False, check_dtype=False,
+    )
+
+
+def test_alias_map_covers_all_mentions_and_is_idempotent(spark):
+    """Every gold mention resolves through the alias map; canonical
+    surfaces are fixed points of the map (canonicalizing a canonical
+    surface returns itself)."""
+    am = docs_kg.alias_map(spark, SF_DIR).toPandas()
+    g = docs_kg.gold_triples_by_doc(spark, SF_DIR).toPandas()
+    mentions = set(g["ent1"]) | set(g["ent2"]) - {""}
+    assert mentions <= set(am["surface"])
+    m = dict(zip(am["surface"], am["canonical_surface"]))
+    assert all(m[c] == c for c in set(am["canonical_surface"]))
+
+
+def test_kg_negatives_filtered_protocol(spark):
+    """Corrupted-tail negatives: deterministic (content-hash choice),
+    never colliding with a real edge, never a self-loop, bounded by
+    NEG_SLOTS per positive."""
+    edges = docs_kg.edges_by_doc(spark, SF_DIR).toPandas()
+    real = set(
+        zip(edges["src_surface"], edges["pred"], edges["dst_surface"])
+    )
+    neg = docs_kg.kg_edge_negatives(spark, SF_DIR).toPandas()
+    assert 0 < len(neg) <= docs_kg.NEG_SLOTS * len(edges)
+    assert not (
+        set(zip(neg["src_surface"], neg["pred"], neg["dst_neg"])) & real
+    )
+    assert (neg["src_surface"] != neg["dst_neg"]).all()
+    assert set(neg["slot"]) <= set(range(docs_kg.NEG_SLOTS))
+    # corrupted tails are drawn from the vertex set
+    verts = set(edges["src_surface"]) | set(edges["dst_surface"])
+    assert set(neg["dst_neg"]) <= verts
+    # determinism: a re-run yields the identical frame
+    again = docs_kg.kg_edge_negatives(spark, SF_DIR).toPandas()
+    key = ["src_surface", "pred", "dst_neg", "slot"]
+    pd.testing.assert_frame_equal(
+        neg.sort_values(key).reset_index(drop=True),
+        again.sort_values(key).reset_index(drop=True),
+    )
