@@ -671,11 +671,14 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     hash-oracle-able), the same discipline as the unigram scorer.
 
     Cost shape: one corpus scan to build bigrams (array HOFs in the
-    scan stage, no shuffle), ONE bigram-count aggregation
-    (map-side combined, checkpointed — it feeds both the prefix
-    rollup and the per-bigram term table, which are vocab²-sized, NOT
-    corpus-sized), then a broadcast term join back. Docs with < 2
-    tokens contribute no rows (no bigrams), matching the SQL twin's
+    scan stage, no shuffle), ONE bigram-count aggregation (map-side
+    combined, checkpointed — it feeds both the prefix rollup and the
+    per-bigram term table). The term join back is a PLAIN equi-join:
+    distinct bigrams grow with the corpus (Heaps' law), so unlike the
+    genuinely vocab-sized unigram table a forced broadcast would be an
+    unbounded-broadcast hazard at production scale — AQE promotes it
+    to a broadcast at test scale on its own. Docs with < 2 tokens
+    contribute no rows (no bigrams), matching the SQL twin's
     lead()-IS-NOT-NULL filter."""
     bg = docs.select(
         "doc_id", F.explode(ngram_array(_toks(), 2)).alias("bigram")
@@ -698,7 +701,7 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         )
     )
     return (
-        bg.join(F.broadcast(term), "bigram")
+        bg.join(term, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_bigrams"),

@@ -422,7 +422,8 @@ def bfs_distances(edges: DataFrame, seeds: list[str],
         .withColumn("dist", F.lit(0).cast("bigint"))
         .localCheckpoint()
     )
-    prev_n, prev_sum = _dist_fingerprint(dist)
+    # initial fingerprint is known statically: |seeds| rows, all dist 0
+    prev_n, prev_sum = len(set(seeds)), 0
     for _ in range(max_iter):
         hop = (
             dist.join(adj, dist.surface == adj.v)

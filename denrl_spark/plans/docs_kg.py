@@ -398,6 +398,29 @@ def edge_history_sql(rel: str = "documents") -> str:
     """
 
 
+def _linked_rel_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized relation rows at OBSERVATION grain (doc_id kept):
+    gold triples -> canonical map -> link_canonical, the shared prelude
+    of every provenance-dimension rollup (edges_by_role,
+    edges_by_window, and future per-observation groupings — one place
+    to evolve the cache/canonical-map discipline, per review). Returns
+    an eagerly-materialized frame (localCheckpoint) with every
+    internal cache released. canonicalize expects the engine's
+    (ent1/ent2) mention columns; doc_id passes through link_canonical
+    untouched."""
+    from denrl_spark.operators.graph import link_canonical
+    from denrl_spark.operators.linking import canonicalize
+
+    trips = gold_triples_by_doc(spark, sf_dir).cache()
+    trips.count()
+    mmap = canonicalize(trips).select("surface", "canonical_surface").cache()
+    mmap.count()
+    out = link_canonical(trips, mmap).localCheckpoint()
+    mmap.unpersist()
+    trips.unpersist()
+    return out
+
+
 def edges_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Speaker-role edge provenance — the transcript-native KG feature:
     per canonical edge AND asserting role (user/assistant), the
@@ -408,17 +431,8 @@ def edges_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 2), so the split is ANSI-SQL-reproducible. Same single
     canonical-map pass and the SAME linking step (graph.link_canonical)
     as the canonical edge table; only the final aggregate differs."""
-    from denrl_spark.operators.graph import link_canonical
-    from denrl_spark.operators.linking import canonicalize
-
-    trips = gold_triples_by_doc(spark, sf_dir).cache()
-    trips.count()
-    # canonicalize expects the engine's (ent1/ent2) mention columns;
-    # doc_id passes through link_canonical untouched
-    mmap = canonicalize(trips).select("surface", "canonical_surface").cache()
-    mmap.count()
-    out = (
-        link_canonical(trips, mmap)
+    return (
+        _linked_rel_rows(spark, sf_dir)
         .withColumn(
             "role",
             F.when(F.pmod("doc_id", F.lit(2)) == 0, "user").otherwise("assistant"),
@@ -427,11 +441,7 @@ def edges_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_surface", F.col("ent2_tag").alias("pred"), "dst_surface", "role"
         )
         .agg(F.count(F.lit(1)).alias("n_obs"))
-        .localCheckpoint()
     )
-    mmap.unpersist()
-    trips.unpersist()
-    return out
 
 
 def edges_by_role_sql(rel: str = "documents") -> str:
@@ -718,15 +728,8 @@ def edges_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping keys differ. At production scale this is the natural
     PARTITION BY column of the edge table (partition pruning turns a
     snapshot diff into a two-partition scan)."""
-    from denrl_spark.operators.graph import link_canonical
-    from denrl_spark.operators.linking import canonicalize
-
-    trips = gold_triples_by_doc(spark, sf_dir).cache()
-    trips.count()
-    mmap = canonicalize(trips).select("surface", "canonical_surface").cache()
-    mmap.count()
-    out = (
-        link_canonical(trips, mmap)
+    return (
+        _linked_rel_rows(spark, sf_dir)
         .withColumn(
             "ts", (F.lit(1735689600) + F.col("doc_id") * 7).cast("bigint")
         )
@@ -739,11 +742,7 @@ def edges_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst_surface",
         )
         .agg(F.count(F.lit(1)).alias("n_obs"))
-        .localCheckpoint()
     )
-    mmap.unpersist()
-    trips.unpersist()
-    return out
 
 
 def edges_by_window_sql(rel: str = "documents") -> str:

@@ -285,6 +285,16 @@ def kg_neighbor_jaccard(spark, sf_dir):
     return neighbor_jaccard(docs_kg.edges_by_doc(spark, sf_dir))
 
 
+def _min_vertex_seed(e):
+    """Deterministic traversal seed shared by kg_bfs / kg_sssp: the
+    minimum vertex surface of the edge table (one tiny scalar
+    aggregate; None on an empty graph — callers return the empty frame
+    their oracle produces)."""
+    return e.agg(
+        F.least(F.min("src_surface"), F.min("dst_surface")).alias("s")
+    ).collect()[0]["s"]
+
+
 @_q("kg_bfs", docs_kg.bfs_sql())
 def kg_bfs(spark, sf_dir):
     """Multi-source BFS hop distances from the minimum vertex surface
@@ -295,9 +305,7 @@ def kg_bfs(spark, sf_dir):
     from denrl_spark.operators.graph_analytics import bfs_distances
 
     e = docs_kg.edges_by_doc(spark, sf_dir).localCheckpoint()
-    seed = e.agg(
-        F.least(F.min("src_surface"), F.min("dst_surface")).alias("s")
-    ).collect()[0]["s"]
+    seed = _min_vertex_seed(e)
     if seed is None:  # empty graph -> empty result, same as the oracle
         return e.sparkSession.createDataFrame(
             [], "surface string, dist bigint"
@@ -344,9 +352,7 @@ def kg_sssp(spark, sf_dir):
     from denrl_spark.operators.graph_analytics import sssp
 
     e = docs_kg.edges_by_doc(spark, sf_dir).localCheckpoint()
-    seed = e.agg(
-        F.least(F.min("src_surface"), F.min("dst_surface")).alias("s")
-    ).collect()[0]["s"]
+    seed = _min_vertex_seed(e)
     if seed is None:
         return e.sparkSession.createDataFrame(
             [], "surface string, cost_u bigint"

@@ -423,7 +423,14 @@ def graph_edges_by_window_view(
     would)."""
     cmap = _delta_canonical_map(spark, sink_dir)
     edges = spark.read.parquet(f"{sink_dir}/edges")
-    sents = spark.read.parquet(f"{sink_dir}/sents").distinct()
+    # project BEFORE distinct: the partition discovery adds batch_id,
+    # and a (sent_id, ts, batch_id) distinct would keep one row per
+    # REDELIVERED batch — the sent_id join below would then fan out and
+    # over-count n_obs (same reason _delta_canonical_map projects to
+    # surface first)
+    sents = spark.read.parquet(f"{sink_dir}/sents").select(
+        "sent_id", "ts"
+    ).distinct()
     src = (
         cmap.withColumnRenamed("surface", "ent1")
         .withColumnRenamed("canonical_surface", "src_surface")

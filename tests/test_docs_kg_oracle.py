@@ -186,7 +186,7 @@ def test_alias_map_covers_all_mentions_and_is_idempotent(spark):
     surface returns itself)."""
     am = docs_kg.alias_map(spark, SF_DIR).toPandas()
     g = docs_kg.gold_triples_by_doc(spark, SF_DIR).toPandas()
-    mentions = set(g["ent1"]) | set(g["ent2"]) - {""}
+    mentions = (set(g["ent1"]) | set(g["ent2"])) - {""}
     assert mentions <= set(am["surface"])
     m = dict(zip(am["surface"], am["canonical_surface"]))
     assert all(m[c] == c for c in set(am["canonical_surface"]))

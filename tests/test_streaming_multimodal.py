@@ -772,6 +772,20 @@ def test_stream_windowed_edges_view_equals_batch(spark, transcript_dir, tmp_path
     # multiple windows genuinely exercised (ts spacing vs win_s)
     assert len({w for w, *_ in got}) > 1
 
+    # a redelivered sentence map (same rows under a second batch_id)
+    # must not fan out the sent_id join: the view projects to
+    # (sent_id, ts) BEFORE distinct, so it is idempotent under sents
+    # duplication (regression for the partition-column-in-distinct bug)
+    import shutil
+
+    src_dir = sorted(
+        d for d in __import__("os").listdir(f"{sink}/sents")
+        if d.startswith("batch_id=")
+    )[0]
+    shutil.copytree(f"{sink}/sents/{src_dir}", f"{sink}/sents/batch_id=97")
+    assert view_rows() == expect
+    shutil.rmtree(f"{sink}/sents/batch_id=97")
+
     # compaction folds the sents part too and preserves the view
     assert compact_graph_deltas(spark, sink) > 0
     assert view_rows() == expect
