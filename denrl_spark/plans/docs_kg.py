@@ -1121,3 +1121,41 @@ def kg_edge_negatives_sql(rel: str = "documents") -> str:
             WHERE e2.src_surface = c.src_surface AND e2.pred = c.pred
               AND e2.dst_surface = r.surface)
     """
+
+
+def ktruss_sql(rel: str = "documents", k: int = 3, rounds: int = 3) -> str:
+    """graph_analytics.ktruss twin: the fixed peel-round recurrence
+    unrolled into MATERIALIZED chained CTEs (each round's triangle
+    pass references the previous edge set three times — plain-CTE
+    inlining would re-expand the base scan exponentially, the
+    kcore_sql lesson)."""
+    def tri_support(i: int) -> str:
+        return f"""
+        tri{i} AS MATERIALIZED (
+          SELECT ab.va AS a, ab.vb AS b, bc.vb AS c
+          FROM e{i} ab
+          JOIN e{i} bc ON bc.va = ab.vb
+          JOIN e{i} ac ON ac.va = ab.va AND ac.vb = bc.vb),
+        sup{i} AS MATERIALIZED (
+          SELECT va, vb, count(*) AS support FROM (
+            SELECT a AS va, b AS vb FROM tri{i}
+            UNION ALL SELECT b, c FROM tri{i}
+            UNION ALL SELECT a, c FROM tri{i})
+          GROUP BY 1, 2)"""
+
+    body = f"""
+        WITH {_edges_cte(rel)},
+        {_und_cte()},
+        e0 AS MATERIALIZED (SELECT va, vb FROM u)"""
+    for i in range(rounds):
+        body += "," + tri_support(i) + f""",
+        e{i+1} AS MATERIALIZED (
+          SELECT e.va, e.vb FROM e{i} e
+          JOIN sup{i} s ON s.va = e.va AND s.vb = e.vb
+          WHERE s.support >= {k - 2})"""
+    body += "," + tri_support(rounds)
+    return body + f"""
+        SELECT e.va, e.vb, CAST(s.support AS BIGINT) AS support
+        FROM e{rounds} e
+        JOIN sup{rounds} s ON s.va = e.va AND s.vb = e.vb
+    """

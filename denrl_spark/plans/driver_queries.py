@@ -341,6 +341,18 @@ _q("kg_edge_pmi", docs_kg.edge_pmi_sql())(docs_kg.edge_pmi)
 _q("kg_negatives", docs_kg.kg_edge_negatives_sql())(docs_kg.kg_edge_negatives)
 
 
+@_q("kg_ktruss", docs_kg.ktruss_sql())
+def kg_ktruss(spark, sf_dir):
+    """k-truss (k=3, fixed 3 peel rounds): surviving edges with their
+    triangle support — the EDGE-density curation filter (keep relations
+    embedded in mutually-corroborating entity cliques). Fixed-round
+    recurrence in BOTH engines; the oracle unrolls the identical peel
+    into MATERIALIZED chained CTEs."""
+    from denrl_spark.operators.graph_analytics import ktruss
+
+    return ktruss(docs_kg.edges_by_doc(spark, sf_dir), k=3, rounds=3)
+
+
 @_q("kg_sssp", docs_kg.sssp_sql())
 def kg_sssp(spark, sf_dir):
     """Weighted shortest paths from the minimum vertex surface:

@@ -414,3 +414,36 @@ def test_sssp_prefers_cheap_strong_edges(edges):
     # a-b's parallel edges (w3, w1) collapse to their MIN cost 1e6//3.
     got = {r["surface"]: r["cost_u"] for r in sssp(edges, ["a"]).collect()}
     assert got["c"] == SSSP_UNIT // 3 + SSSP_UNIT // 5
+
+
+def test_ktruss_matches_peel(edges):
+    from denrl_spark.operators.graph_analytics import ktruss
+
+    def py_support(und):
+        sup: dict[frozenset, int] = {e: 0 for e in und}
+        verts = sorted({v for e in und for v in e})
+        for x, y, z in combinations(verts, 3):
+            tri = [frozenset((x, y)), frozenset((y, z)), frozenset((x, z))]
+            if all(e in und for e in tri):
+                for e in tri:
+                    sup[e] += 1
+        return sup
+
+    for k in (3, 4):
+        got = {
+            frozenset((r["va"], r["vb"])): r["support"]
+            for r in ktruss(edges, k=k, rounds=3).collect()
+        }
+        und = _und_pairs()
+        for _ in range(3):
+            sup = py_support(und)
+            und = {e for e, s in sup.items() if s >= k - 2}
+        want = {e: s for e, s in py_support(und).items() if e in und}
+        assert got == want, k
+    # the {a,b,c,d} 4-clique is the 4-truss (every edge in 2 triangles);
+    # the rest of the graph peels away
+    truss4 = ktruss(edges, k=4, rounds=3).toPandas()
+    assert set(truss4["va"]) | set(truss4["vb"]) == {"a", "b", "c", "d"}
+    assert (truss4["support"] == 2).all() and len(truss4) == 6
+    with pytest.raises(ValueError):
+        ktruss(edges, k=2, rounds=3)
