@@ -128,6 +128,16 @@ def main() -> None:
     p0, p1 = pairs
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     md = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    # BENCH/BASELINE.md is hand-curated across rounds (methodology,
+    # control decomposition, sf1 table). Never clobber it: the
+    # auto-generated two-pair report goes to the side file unless
+    # BASELINE.md is absent or still carries the auto-generated marker.
+    if os.path.exists(md):
+        with open(md) as f:
+            head = f.read(4096)
+        if "Methodology" in head or "curated" in head:
+            md = os.path.join(ROOT, "BENCH", "scaling_last_run.md")
+            print(f"BASELINE.md is curated; writing auto report to {md}")
     with open(md, "w") as f:
         f.write(
             f"""# BENCH baseline — scaling evidence (N vs 4N parallelism)
