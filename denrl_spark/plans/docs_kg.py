@@ -712,7 +712,13 @@ def topk_patterns_docs_sql(rel: str = "documents") -> str:
     """
 
 
-EDGE_WINDOW_S = 3600  # tumbling temporal-rollup width (seconds)
+# Tumbling temporal-rollup width (seconds). 600 so the driver's check
+# corpora (500 docs x 7 s spacing = ~58 min of virtual time) spread
+# across ~6 windows — a 3600 s width would collapse them into ONE
+# window and the rollup/churn oracles would never discriminate window
+# math. Production deployments pick the width to match their snapshot
+# cadence; every consumer reads the constant, none hard-codes it.
+EDGE_WINDOW_S = 600
 
 
 def edges_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,4 +1164,53 @@ def ktruss_sql(rel: str = "documents", k: int = 3, rounds: int = 3) -> str:
         SELECT e.va, e.vb, CAST(s.support AS BIGINT) AS support
         FROM e{rounds} e
         JOIN sup{rounds} s ON s.va = e.va AND s.vb = e.vb
+    """
+
+
+def window_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff rollup over the windowed edge table: per tumbling
+    window, the edge count plus how many of those edges are NEW (no
+    observation in the immediately preceding window) — the KG-churn
+    drift monitor a versioned-graph consumer watches (sudden new-edge
+    spikes = extraction drift or corpus-mix change). Built entirely
+    from the edges_by_window output: one self left-anti-style join of
+    the rollup against itself shifted by one window width (equi-join
+    on the shifted key — at production scale both sides are
+    partition-pruned to two win_start partitions), then one aggregate.
+    Exact integers throughout."""
+    w = edges_by_window(spark, sf_dir).localCheckpoint()
+    key = ["src_surface", "pred", "dst_surface"]
+    prev = w.select(
+        (F.col("win_start") + EDGE_WINDOW_S).alias("win_start"),
+        *key,
+        F.lit(1).alias("had_prev"),
+    )
+    return (
+        w.join(prev, ["win_start", *key], "left")
+        .groupBy("win_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.col("n_obs")).cast("bigint").alias("n_obs"),
+            F.sum(
+                F.when(F.col("had_prev").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_new_edges"),
+        )
+    )
+
+
+def window_churn_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH w AS MATERIALIZED ({edges_by_window_sql(rel)})
+        SELECT w.win_start,
+               count(*) AS n_edges,
+               CAST(sum(w.n_obs) AS BIGINT) AS n_obs,
+               CAST(sum(CASE WHEN p.win_start IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new_edges
+        FROM w
+        LEFT JOIN w p
+          ON p.win_start = w.win_start - {EDGE_WINDOW_S}
+         AND p.src_surface = w.src_surface
+         AND p.pred = w.pred
+         AND p.dst_surface = w.dst_surface
+        GROUP BY 1
     """

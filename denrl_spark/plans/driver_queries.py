@@ -331,6 +331,9 @@ _q("kg_edges_by_window", docs_kg.edges_by_window_sql())(docs_kg.edges_by_window)
 # canonicalization audit: the (surface -> canonical_surface) alias map
 _q("kg_alias_map", docs_kg.alias_map_sql())(docs_kg.alias_map)
 
+# window-over-window snapshot churn (new-edge drift monitor)
+_q("kg_window_churn", docs_kg.window_churn_sql())(docs_kg.window_churn)
+
 # conversation-grain extraction yield rollup (transcript-native accounting)
 _q("kg_triples_per_conv", docs_kg.triples_per_conv_sql())(docs_kg.triples_per_conv)
 

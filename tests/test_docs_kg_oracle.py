@@ -217,3 +217,36 @@ def test_kg_negatives_filtered_protocol(spark):
         neg.sort_values(key).reset_index(drop=True),
         again.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_window_churn_consistency(spark):
+    """Churn rows reconcile with the windowed rollup: per-window edge
+    and observation sums match, the FIRST window is all-new, and
+    n_new_edges is bounded by n_edges; windows with a fully-repeated
+    edge set report fewer new edges than edges."""
+    w = docs_kg.edges_by_window(spark, SF_DIR).toPandas()
+    churn = docs_kg.window_churn(spark, SF_DIR).toPandas().sort_values(
+        "win_start"
+    )
+    assert len(churn) > 1  # multiple windows genuinely exercised
+    per_win = w.groupby("win_start").agg(
+        n_edges=("n_obs", "size"), n_obs=("n_obs", "sum")
+    )
+    for _, r in churn.iterrows():
+        assert r["n_edges"] == per_win.loc[r["win_start"], "n_edges"]
+        assert r["n_obs"] == per_win.loc[r["win_start"], "n_obs"]
+        assert 0 <= r["n_new_edges"] <= r["n_edges"]
+    first = churn.iloc[0]
+    assert first["n_new_edges"] == first["n_edges"]  # nothing precedes it
+    # python twin of the new-edge rule (absent from the PRECEDING window)
+    key = ["src_surface", "pred", "dst_surface"]
+    by_win = {
+        ws: set(map(tuple, g[key].values))
+        for ws, g in w.groupby("win_start")
+    }
+    for _, r in churn.iterrows():
+        prev = by_win.get(r["win_start"] - docs_kg.EDGE_WINDOW_S, set())
+        want_new = sum(
+            1 for e in by_win[r["win_start"]] if e not in prev
+        )
+        assert r["n_new_edges"] == want_new
