@@ -334,6 +334,35 @@ _q("kg_alias_map", docs_kg.alias_map_sql())(docs_kg.alias_map)
 # window-over-window snapshot churn (new-edge drift monitor)
 _q("kg_window_churn", docs_kg.window_churn_sql())(docs_kg.window_churn)
 
+
+@_q(
+    "kg_pred_stats",
+    f"""
+    WITH edges AS ({{edges_sql}})
+    SELECT pred, count(*) AS n_edges,
+           CAST(sum(n_obs) AS BIGINT) AS n_obs,
+           count(DISTINCT src_surface) AS n_src,
+           count(DISTINCT dst_surface) AS n_dst
+    FROM edges GROUP BY 1
+    """.format(edges_sql=docs_kg.edges_by_doc_sql()),
+)
+def kg_pred_stats(spark, sf_dir):
+    """Relation-type profile of the canonical KG: per predicate, edge
+    and observation counts plus distinct head/tail entity counts — the
+    schema-drift monitor (a predicate whose head fan-out explodes
+    signals extraction noise). One map-side-combined aggregate over
+    the edge table."""
+    return (
+        docs_kg.edges_by_doc(spark, sf_dir)
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("n_obs").cast("bigint").alias("n_obs"),
+            F.countDistinct("src_surface").alias("n_src"),
+            F.countDistinct("dst_surface").alias("n_dst"),
+        )
+    )
+
 # conversation-grain extraction yield rollup (transcript-native accounting)
 _q("kg_triples_per_conv", docs_kg.triples_per_conv_sql())(docs_kg.triples_per_conv)
 
@@ -618,6 +647,43 @@ def rel_sessionize(spark, sf_dir):
 )
 def text_token_stats(spark, sf_dir):
     return textops.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_length_histogram",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
+    SELECT CAST(length(bin(n)) - 1 AS INT) AS log2_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(min(n) AS INT) AS min_len, CAST(max(n) AS INT) AS max_len
+    FROM t WHERE n > 0 GROUP BY 1
+    """,
+)
+def text_length_histogram(spark, sf_dir):
+    """Log2-bucketed document-length histogram — the curation staple
+    for choosing packing bin sizes and length cutoffs. The bucket is
+    EXACT integer log2 via the binary-representation length
+    (length(bin(n)) - 1): floor(ln(n)/ln(2)) in floats misbuckets
+    exact powers of two (ln(8)/ln(2) = 2.9999999999999996), and both
+    engines' bin() agree on positive integers. One scan, one
+    map-side-combined aggregate."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    ).where(F.col("n") > 0)
+    return (
+        t.withColumn(
+            "log2_bucket", (F.length(F.bin("n")) - 1).cast("int")
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.min("n").cast("int").alias("min_len"),
+            F.max("n").cast("int").alias("max_len"),
+        )
+    )
 
 
 @_q(

@@ -369,3 +369,53 @@ def test_bigram_lm_scores(spark):
     # a common continuation ("the cat": 3/5 of 'the') outranks a rare
     # one per-term; sanity: every term is <= 0 (probabilities <= 1)
     assert all(lp <= 0 for _, lp in got.values())
+
+
+def test_length_histogram_exact_log2_buckets(spark):
+    """The binary-length bucket puts exact powers of two in the RIGHT
+    bucket (float log2 would misbucket 8 as bucket 2) and reconciles
+    with the raw lengths."""
+    from denrl_spark.plans.driver_queries import text_length_histogram
+
+    rows = [
+        (0, "a"),                    # n=1  -> bucket 0
+        (1, "a b"),                  # n=2  -> bucket 1
+        (2, "a b c"),                # n=3  -> bucket 1
+        (3, "a b c d"),              # n=4  -> bucket 2
+        (4, " ".join("x" * 1 for _ in range(8))),   # n=8  -> bucket 3
+        (5, " ".join("x" for _ in range(1024))),    # n=1024 -> bucket 10
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = {
+            r["log2_bucket"]: (r["n_docs"], r["n_tokens"], r["min_len"], r["max_len"])
+            for r in text_length_histogram(spark, d).collect()
+        }
+    assert got == {
+        0: (1, 1, 1, 1),
+        1: (2, 5, 2, 3),
+        2: (1, 4, 4, 4),
+        3: (1, 8, 8, 8),
+        10: (1, 1024, 1024, 1024),
+    }
+
+
+def test_kg_pred_stats_reconciles_with_edges(spark):
+    from denrl_spark.plans.docs_kg import edges_by_doc
+    from denrl_spark.plans.driver_queries import kg_pred_stats
+
+    sf = "/root/testdata/sf0.001"
+    e = edges_by_doc(spark, sf).toPandas()
+    got = kg_pred_stats(spark, sf).toPandas().set_index("pred")
+    for pred, g in e.groupby("pred"):
+        r = got.loc[pred]
+        assert r["n_edges"] == len(g)
+        assert r["n_obs"] == g["n_obs"].sum()
+        assert r["n_src"] == g["src_surface"].nunique()
+        assert r["n_dst"] == g["dst_surface"].nunique()
+    assert set(got.index) == set(e["pred"])
