@@ -617,4 +617,16 @@ def ktruss(edges: DataFrame, k: int = 3, rounds: int = 3,
         sup = support(und)
         keep = sup.where(F.col("support") >= k - 2).select("va", "vb")
         und = und.join(keep, ["va", "vb"], "left_semi").localCheckpoint()
-    return und.join(support(und), ["va", "vb"]).select("va", "vb", "support")
+    # LEFT join + coalesce: an edge can pass the last round's filter
+    # (support >= k-2 in the round INPUT) yet end with zero triangles
+    # in the final edge set once its co-members peel — it is still a
+    # survivor of the fixed-round recurrence and must be reported with
+    # support 0, not silently dropped (review finding; peel-cascade
+    # regression in test_ktruss_zero_support_survivor).
+    return (
+        und.join(support(und), ["va", "vb"], "left")
+        .select(
+            "va", "vb",
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+        )
+    )

@@ -725,7 +725,8 @@ def edges_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window temporal rollup of the canonical KG: per
     (window_start, src, pred, dst), the observation count inside that
     window — the versioned-KG surface consumers use to diff graph
-    snapshots over time ("what did this edge look like each hour").
+    snapshots over time ("what did this edge look like in each
+    EDGE_WINDOW_S-second window" — 600 s here, see the constant).
     Window math is exact integer epoch-seconds (ts = 1735689600 +
     doc_id*7 per transcripts_from_documents; win_start = ts div W * W
     on non-negative operands, where Spark's `div` and DuckDB's `//`
@@ -1160,10 +1161,14 @@ def ktruss_sql(rel: str = "documents", k: int = 3, rounds: int = 3) -> str:
           JOIN sup{i} s ON s.va = e.va AND s.vb = e.vb
           WHERE s.support >= {k - 2})"""
     body += "," + tri_support(rounds)
+    # LEFT join + coalesce, mirroring the operator: a survivor of the
+    # last filter round can have zero triangles in the FINAL edge set
+    # and must be reported with support 0 (see ktruss).
     return body + f"""
-        SELECT e.va, e.vb, CAST(s.support AS BIGINT) AS support
+        SELECT e.va, e.vb,
+               CAST(COALESCE(s.support, 0) AS BIGINT) AS support
         FROM e{rounds} e
-        JOIN sup{rounds} s ON s.va = e.va AND s.vb = e.vb
+        LEFT JOIN sup{rounds} s ON s.va = e.va AND s.vb = e.vb
     """
 
 

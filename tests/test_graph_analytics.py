@@ -447,3 +447,23 @@ def test_ktruss_matches_peel(edges):
     assert (truss4["support"] == 2).all() and len(truss4) == 6
     with pytest.raises(ValueError):
         ktruss(edges, k=2, rounds=3)
+
+
+def test_ktruss_zero_support_survivor(spark):
+    """An edge that passes the last peel round's filter can end with
+    ZERO triangles once its co-members peel in the same round — it is
+    a survivor of the fixed-round recurrence and must be reported with
+    support 0, not dropped (review regression). Graph: triangles
+    {a,b,c} and {b,c,d} share edge (b,c); at k=4 (support >= 2) only
+    (b,c) survives round 1, and alone it closes no triangle."""
+    from denrl_spark.operators.graph_analytics import ktruss
+
+    g = spark.createDataFrame(
+        [("a", "p", "b", 1), ("a", "p", "c", 1), ("b", "p", "c", 1),
+         ("b", "p", "d", 1), ("c", "p", "d", 1)],
+        "src_surface string, pred string, dst_surface string, n_obs long",
+    )
+    got = [tuple(r) for r in ktruss(g, k=4, rounds=1).collect()]
+    assert got == [("b", "c", 0)]
+    # a second round peels it away entirely (support 0 < k-2)
+    assert ktruss(g, k=4, rounds=2).count() == 0
