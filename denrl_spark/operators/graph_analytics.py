@@ -630,3 +630,44 @@ def ktruss(edges: DataFrame, k: int = 3, rounds: int = 3,
             F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
         )
     )
+
+
+def clustering_coefficients(edges: DataFrame, src: str = "src_surface",
+                            dst: str = "dst_surface") -> DataFrame:
+    """Local clustering coefficient per vertex (deg >= 2 only):
+    (surface, n_tri, deg, cc_u6) with cc_u6 = the standard
+    2*tri/(deg*(deg-1)) in integer 1e-6 units (integer division —
+    order-independent, hash-oracle-able). The how-clique-like-is-this-
+    entity's-neighborhood diagnostic: canonical entities with high
+    degree but near-zero clustering are hub/boilerplate suspects.
+
+    Shape: one compact-forward triangle pass (each triangle charges
+    its three vertices via one explode), one degree aggregate over the
+    distinct undirected adjacency, one join — all map-side
+    combinable."""
+    und = undirected_edges(edges, src, dst)
+    tri_v = (
+        triangles(edges, src, dst)
+        .select(F.explode(F.array("va", "vb", "vc")).alias("surface"))
+        .groupBy("surface")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    deg = (
+        und.select(F.col("va").alias("surface"))
+        .unionByName(und.select(F.col("vb").alias("surface")))
+        .groupBy("surface")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri_v, "surface", "left")
+        .select(
+            "surface",
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            "deg",
+            F.expr(
+                f"CAST({JACCARD_UNIT} * 2 * coalesce(n_tri, 0)"
+                " div (deg * (deg - 1)) AS BIGINT)"
+            ).alias("cc_u6"),
+        )
+    )

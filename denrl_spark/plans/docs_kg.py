@@ -1219,3 +1219,52 @@ def window_churn_sql(rel: str = "documents") -> str:
          AND p.dst_surface = w.dst_surface
         GROUP BY 1
     """
+
+
+def clustering_sql(rel: str = "documents") -> str:
+    """graph_analytics.clustering_coefficients twin."""
+    unit = 10**6
+    return f"""
+        WITH {_edges_cte(rel)},
+        {_und_cte()},
+        tri AS (
+          SELECT ab.va AS a, ab.vb AS b, bc.vb AS c
+          FROM u ab
+          JOIN u bc ON bc.va = ab.vb
+          JOIN u ac ON ac.va = ab.va AND ac.vb = bc.vb),
+        tri_v AS (
+          SELECT surface, count(*) AS n_tri FROM (
+            SELECT a AS surface FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY 1),
+        deg AS (
+          SELECT surface, count(*) AS deg FROM (
+            SELECT va AS surface FROM u UNION ALL SELECT vb FROM u)
+          GROUP BY 1)
+        SELECT d.surface,
+               CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+               CAST(d.deg AS BIGINT) AS deg,
+               CAST(({unit} * 2 * COALESCE(t.n_tri, 0))
+                    // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_u6
+        FROM deg d LEFT JOIN tri_v t USING (surface)
+        WHERE d.deg >= 2
+    """
+
+
+def reciprocity_sql(rel: str = "documents") -> str:
+    """kg_reciprocity twin (integer 1e-6 units)."""
+    unit = 10**6
+    return f"""
+        WITH {_edges_cte(rel)},
+        e AS (SELECT DISTINCT src_surface AS s, pred, dst_surface AS d
+              FROM edges WHERE src_surface <> dst_surface)
+        SELECT e.pred, count(*) AS n_edges,
+               CAST(sum(CASE WHEN r.s IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_recip,
+               CAST(({unit} * sum(CASE WHEN r.s IS NULL THEN 0 ELSE 1 END))
+                    // count(*) AS BIGINT) AS recip_u6
+        FROM e
+        LEFT JOIN e r ON r.pred = e.pred AND r.s = e.d AND r.d = e.s
+        GROUP BY 1
+    """

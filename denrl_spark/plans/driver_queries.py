@@ -335,6 +335,51 @@ _q("kg_alias_map", docs_kg.alias_map_sql())(docs_kg.alias_map)
 _q("kg_window_churn", docs_kg.window_churn_sql())(docs_kg.window_churn)
 
 
+@_q("kg_clustering", docs_kg.clustering_sql())
+def kg_clustering(spark, sf_dir):
+    """Local clustering coefficient per vertex (deg >= 2): triangle
+    membership over wedge count in integer 1e-6 units — the
+    hub-vs-community diagnostic (high degree + near-zero clustering =
+    boilerplate-hub suspect). One triangle pass + one degree agg."""
+    from denrl_spark.operators.graph_analytics import clustering_coefficients
+
+    return clustering_coefficients(docs_kg.edges_by_doc(spark, sf_dir))
+
+
+@_q("kg_reciprocity", docs_kg.reciprocity_sql())
+def kg_reciprocity(spark, sf_dir):
+    """Per-predicate reciprocity: the fraction of directed edges whose
+    reverse edge exists under the SAME predicate (integer 1e-6 units)
+    — symmetric predicates score high, functional ones ~0; drift in a
+    predicate's reciprocity flags extraction-direction errors. One
+    reversed-key self-join + one aggregate; self-loops excluded."""
+    e = (
+        docs_kg.edges_by_doc(spark, sf_dir)
+        .select(
+            F.col("src_surface").alias("s"), "pred",
+            F.col("dst_surface").alias("d"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("d").alias("s"), "pred", F.col("s").alias("d"),
+        F.lit(1).alias("has_rev"),
+    )
+    return (
+        e.join(rev, ["s", "pred", "d"], "left")
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.coalesce("has_rev", F.lit(0))).cast("bigint").alias("n_recip"),
+            F.expr(
+                "CAST(1000000 * sum(coalesce(has_rev, 0))"
+                " div count(1) AS BIGINT)"
+            ).alias("recip_u6"),
+        )
+    )
+
+
 @_q(
     "kg_pred_stats",
     f"""

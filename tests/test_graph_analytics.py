@@ -467,3 +467,37 @@ def test_ktruss_zero_support_survivor(spark):
     assert got == [("b", "c", 0)]
     # a second round peels it away entirely (support 0 < k-2)
     assert ktruss(g, k=4, rounds=2).count() == 0
+
+
+def test_clustering_coefficients_match_bruteforce(edges):
+    from denrl_spark.operators.graph_analytics import (
+        JACCARD_UNIT,
+        clustering_coefficients,
+    )
+
+    got = {
+        r["surface"]: (r["n_tri"], r["deg"], r["cc_u6"])
+        for r in clustering_coefficients(edges).collect()
+    }
+    und = _und_pairs()
+    nbrs = _nbrs()
+    verts = sorted(nbrs)
+    tris = {
+        (x, y, z)
+        for x, y, z in combinations(verts, 3)
+        if {frozenset((x, y)), frozenset((y, z)), frozenset((x, z))} <= und
+    }
+    want = {}
+    for v in verts:
+        deg = len(nbrs[v])
+        if deg < 2:
+            continue
+        nt = sum(1 for t in tris if v in t)
+        want[v] = (nt, deg, JACCARD_UNIT * 2 * nt // (deg * (deg - 1)))
+    assert got == want
+    # a,b,c,d form a clique: every pair of their 3 clique-neighbors is
+    # linked, but a/c/d also touch outside vertices, so only b (whose
+    # whole neighborhood is the clique) scores exactly 1.0
+    assert got["b"][2] == JACCARD_UNIT
+    # deg-1 vertices (f) are excluded: coefficient undefined
+    assert "f" not in got
