@@ -251,6 +251,36 @@ def test_partition_invariance(edges, spark):
         assert a == b and len(a) > 0, op.__name__
 
 
+def test_partition_invariance_round4_ops(edges, spark):
+    """Same property for the round-4 operators (similarity, traversal,
+    peel, clustering): pure functions of the edge set."""
+    from functools import partial
+
+    from denrl_spark.operators.graph_analytics import (
+        bfs_distances,
+        clustering_coefficients,
+        kcore,
+        ktruss,
+        neighbor_jaccard,
+        sssp,
+    )
+
+    shuffled = edges.repartition(7)
+    ops = (
+        neighbor_jaccard,
+        clustering_coefficients,
+        partial(bfs_distances, seeds=["a"]),
+        partial(sssp, seeds=["a"], rounds=6),
+        partial(kcore, k=2, rounds=4),
+        partial(ktruss, k=3, rounds=2),
+    )
+    for op in ops:
+        a = sorted(map(tuple, op(edges).collect()))
+        b = sorted(map(tuple, op(shuffled).collect()))
+        name = getattr(op, "__name__", getattr(getattr(op, "func", None), "__name__", "?"))
+        assert a == b and len(a) > 0, name
+
+
 def _und_pairs():
     return {frozenset((s, o)) for s, _, o, _ in EDGES if s != o}
 
