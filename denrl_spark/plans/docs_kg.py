@@ -771,11 +771,16 @@ def edges_by_window_sql(rel: str = "documents") -> str:
     """
 
 
-def _und_cte() -> str:
+def _und_cte(materialized: bool = False) -> str:
     """Distinct low->high undirected pairs of the canonical graph —
     the graph_analytics.undirected_edges twin, shared by the
-    similarity / BFS / k-core oracles."""
-    return """u AS (
+    similarity / BFS / k-core oracles. Pass ``materialized=True`` when
+    the consuming twin references ``u`` (or a CTE built on it) more
+    than once: DuckDB inlines plain CTEs, re-expanding the full
+    extraction pipeline per reference (the kcore_sql fd-exhaustion
+    lesson)."""
+    mat = "MATERIALIZED " if materialized else ""
+    return f"""u AS {mat}(
           SELECT DISTINCT least(src_surface, dst_surface) AS va,
                  greatest(src_surface, dst_surface) AS vb
           FROM edges WHERE src_surface <> dst_surface)"""
@@ -787,8 +792,9 @@ def neighbor_jaccard_sql(rel: str = "documents") -> str:
     unit = 10**6
     return f"""
         WITH {_edges_cte(rel)},
-        {_und_cte()},
-        adj AS (SELECT va, vb FROM u UNION ALL SELECT vb, va FROM u),
+        {_und_cte(materialized=True)},
+        adj AS MATERIALIZED (
+          SELECT va, vb FROM u UNION ALL SELECT vb, va FROM u),
         deg AS (SELECT va AS v, count(*) AS deg FROM adj GROUP BY 1),
         common AS (
           SELECT a.va AS u_, b.va AS v_, count(*) AS n_common
@@ -812,10 +818,11 @@ def bfs_sql(rel: str = "documents", max_iter: int = 40) -> str:
     min distances are unique, so the two agree exactly."""
     return f"""
         WITH RECURSIVE {_edges_cte(rel)},
-        {_und_cte()},
-        und AS (SELECT va AS src, vb AS dst FROM u
-                UNION ALL SELECT vb, va FROM u),
-        verts AS (
+        {_und_cte(materialized=True)},
+        und AS MATERIALIZED (
+          SELECT va AS src, vb AS dst FROM u
+          UNION ALL SELECT vb, va FROM u),
+        verts AS MATERIALIZED (
           SELECT DISTINCT surface FROM (
             SELECT src_surface AS surface FROM edges
             UNION ALL SELECT dst_surface FROM edges)),
@@ -1226,8 +1233,8 @@ def clustering_sql(rel: str = "documents") -> str:
     unit = 10**6
     return f"""
         WITH {_edges_cte(rel)},
-        {_und_cte()},
-        tri AS (
+        {_und_cte(materialized=True)},
+        tri AS MATERIALIZED (
           SELECT ab.va AS a, ab.vb AS b, bc.vb AS c
           FROM u ab
           JOIN u bc ON bc.va = ab.vb
@@ -1257,8 +1264,9 @@ def reciprocity_sql(rel: str = "documents") -> str:
     unit = 10**6
     return f"""
         WITH {_edges_cte(rel)},
-        e AS (SELECT DISTINCT src_surface AS s, pred, dst_surface AS d
-              FROM edges WHERE src_surface <> dst_surface)
+        e AS MATERIALIZED (
+          SELECT DISTINCT src_surface AS s, pred, dst_surface AS d
+          FROM edges WHERE src_surface <> dst_surface)
         SELECT e.pred, count(*) AS n_edges,
                CAST(sum(CASE WHEN r.s IS NULL THEN 0 ELSE 1 END)
                     AS BIGINT) AS n_recip,

@@ -407,7 +407,7 @@ def graph_vertices_view(spark: SparkSession, sink_dir: str) -> DataFrame:
 
 
 def graph_edges_by_window_view(
-    spark: SparkSession, sink_dir: str, window_s: int = 3600
+    spark: SparkSession, sink_dir: str, window_s: int | None = None
 ) -> DataFrame:
     """Tumbling-window temporal rollup compacted from the delta log:
     per (win_start, src_surface, pred, dst_surface), the observation
@@ -420,7 +420,14 @@ def graph_edges_by_window_view(
     accumulated mention set (same property as the other views: a
     late-arriving alias surface retroactively merges its history into
     the canonical edge, exactly as the batch job over the full corpus
-    would)."""
+    would). ``window_s`` defaults to the batch twin's EDGE_WINDOW_S so
+    the two surfaces stay diffable with default parameters (review
+    finding: a hard-coded default here silently diverged when the
+    constant changed)."""
+    if window_s is None:
+        from denrl_spark.plans.docs_kg import EDGE_WINDOW_S
+
+        window_s = EDGE_WINDOW_S
     cmap = _delta_canonical_map(spark, sink_dir)
     edges = spark.read.parquet(f"{sink_dir}/edges")
     # project BEFORE distinct: the partition discovery adds batch_id,
