@@ -1611,6 +1611,68 @@ def rel_asof_join(spark, sf_dir):
     ).select("event_id", "user_id", "last_click_t")
 
 
+@_q(
+    "rel_funnel",  # ordered-sequence funnel: view -> click -> error
+    """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events),
+    s1 AS (SELECT user_id, min(t) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.t) AS t2
+           FROM e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.t) AS t3
+           FROM e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'error' AND e.t > s2.t2 GROUP BY 1)
+    SELECT stage, count(*) AS n_users FROM (
+      SELECT 1 AS stage, user_id FROM s1
+      UNION ALL SELECT 2, user_id FROM s2
+      UNION ALL SELECT 3, user_id FROM s3)
+    GROUP BY 1
+    """,
+)
+def rel_funnel(spark, sf_dir):
+    """Ordered-sequence funnel (the event-analytics staple Spark has
+    no native operator for): per user, the earliest 'view', the
+    earliest 'click' STRICTLY AFTER it, the earliest 'error' strictly
+    after that; output = users surviving each stage. Shape: one
+    conditional min-aggregate per stage chained through equi-joins on
+    the user key (stage frames shrink monotonically) — never a
+    per-user sort or a window over the whole event stream; each stage
+    is map-side combinable and reuses the same shuffle key."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+    )
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("t") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "error")
+        .join(s2, "user_id")
+        .where(F.col("t") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("t").alias("t3"))
+    )
+    # tall (stage, user) union + groupBy(stage): map-side-combined
+    # partial counts merged per stage key — NOT a global agg per stage,
+    # which would plan an Exchange SinglePartition (the hygiene sweep
+    # rejects that shape; caught there)
+    tall = (
+        s1.select(F.lit(1).alias("stage"), "user_id")
+        .unionByName(s2.select(F.lit(2).alias("stage"), "user_id"))
+        .unionByName(s3.select(F.lit(3).alias("stage"), "user_id"))
+    )
+    return tall.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 RANGE_JOIN_W = 300  # attribution window width (seconds)
 
 

@@ -419,3 +419,47 @@ def test_kg_pred_stats_reconciles_with_edges(spark):
         assert r["n_src"] == g["src_surface"].nunique()
         assert r["n_dst"] == g["dst_surface"].nunique()
     assert set(got.index) == set(e["pred"])
+
+
+def test_funnel_strict_ordering(spark, tmp_path):
+    """rel_funnel's stage semantics on a crafted fixture: clicks BEFORE
+    the first view don't advance a user, ties (same second) don't
+    advance (strictly-after), and each stage needs the previous one."""
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_funnel
+
+    base = 1_700_000_000
+
+    def ev(eid, uid, off, typ):
+        import datetime
+
+        return (
+            eid, datetime.datetime.utcfromtimestamp(base + off),
+            uid, typ, 0.0, "{}",
+        )
+
+    rows = [
+        # u1: full funnel in order
+        ev(1, 1, 0, "view"), ev(2, 1, 10, "click"), ev(3, 1, 20, "error"),
+        # u2: click BEFORE first view -> stuck at stage 1
+        ev(4, 2, 0, "click"), ev(5, 2, 10, "view"),
+        # u3: click at the SAME second as the view -> strictly-after fails
+        ev(6, 3, 0, "view"), ev(7, 3, 0, "click"),
+        # u4: error without a prior click -> stage 1 only
+        ev(8, 4, 0, "view"), ev(9, 4, 5, "error"),
+        # u5: never views -> appears in no stage
+        ev(10, 5, 0, "click"), ev(11, 5, 5, "error"),
+        # u6: view -> click, error earlier than the click -> stage 2
+        ev(12, 6, 0, "view"), ev(13, 6, 3, "error"), ev(14, 6, 8, "click"),
+    ]
+    d = str(tmp_path / "funnel")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["stage"]: r["n_users"] for r in rel_funnel(spark, d).collect()}
+    # stage 1: u1,u2,u3,u4,u6 viewed; stage 2: u1,u6 clicked after view;
+    # stage 3: u1 only
+    assert got == {1: 5, 2: 2, 3: 1}
