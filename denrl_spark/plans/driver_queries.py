@@ -1673,6 +1673,45 @@ def rel_funnel(spark, sf_dir):
     return tall.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+@_q(
+    "rel_retention",  # daily-cohort retention triangle
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events),
+    first AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+    act AS (SELECT DISTINCT user_id, day FROM e)
+    SELECT f.cohort AS cohort_day,
+           CAST(a.day - f.cohort AS BIGINT) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def rel_retention(spark, sf_dir):
+    """Daily-cohort retention triangle: users grouped by first-seen
+    day, counted per (cohort, day-offset) of later activity — the
+    other event-analytics staple beside the funnel. All math is exact
+    integer epoch-days. Shape: one min-aggregate for the cohort map,
+    one distinct-activity projection, one equi-join on the user key,
+    one map-side-combinable count-distinct — no windows, no per-user
+    sort; at production scale the cohort map is the small side."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400").alias("day"),
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    act = e.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_day"),
+            (F.col("day") - F.col("cohort")).cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 RANGE_JOIN_W = 300  # attribution window width (seconds)
 
 

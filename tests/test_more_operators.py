@@ -463,3 +463,44 @@ def test_funnel_strict_ordering(spark, tmp_path):
     # stage 1: u1,u2,u3,u4,u6 viewed; stage 2: u1,u6 clicked after view;
     # stage 3: u1 only
     assert got == {1: 5, 2: 2, 3: 1}
+
+
+def test_retention_triangle_semantics(spark, tmp_path):
+    """rel_retention on a crafted fixture: cohort = first-seen day,
+    offsets count distinct users, multiple same-day events collapse."""
+    import datetime
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_retention
+
+    day = 86400
+
+    def ev(eid, uid, day_n, sec=0):
+        return (
+            eid,
+            datetime.datetime.utcfromtimestamp(day_n * day + sec),
+            uid, "view", 0.0, "{}",
+        )
+
+    rows = [
+        ev(1, 1, 100), ev(2, 1, 100, 60), ev(3, 1, 101), ev(4, 1, 103),
+        ev(5, 2, 100), ev(6, 2, 103),
+        ev(7, 3, 101),
+    ]
+    d = str(tmp_path / "ret")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in rel_retention(spark, d).collect()
+    }
+    # cohort 100 = {u1,u2}: both day 0, u1 at offset 1, both at offset 3
+    # cohort 101 = {u3}: day 0 only; u1's day-101 event counts toward
+    # COHORT 100 offset 1, not cohort 101 (first-seen wins)
+    assert got == {
+        (100, 0): 2, (100, 1): 1, (100, 3): 2,
+        (101, 0): 1,
+    }
