@@ -130,8 +130,10 @@ def _pre_tokenize_fallback(text: str) -> list[str]:
     NOT ``str.isspace()``, which additionally counts the separator
     controls \\x1c-\\x1f. Known limit: the ``regex`` module may carry a
     newer Unicode table than the stdlib, so codepoints assigned as
-    letters/numbers only in the newer standard (supplementary-plane
-    additions) can classify differently between the two paths; the
+    letters/numbers only in the newer standard can classify
+    differently between the two paths — INCLUDING inside the BMP
+    (Hypothesis found U+0CDC, a Unicode-15 Kannada letter, unassigned
+    in Python 3.11's table); the
     property test pins equality over the BMP."""
 
     def is_ws(c: str) -> bool:

@@ -127,13 +127,24 @@ def test_pre_tokenize_round_trips_any_text(t):
     assert "".join(gpt2_pre_tokenize(t)) == t
 
 
-@given(st.text(alphabet=st.characters(max_codepoint=0xFFFF), max_size=80))
+@given(
+    st.text(
+        alphabet=st.characters(
+            max_codepoint=0xFFFF,
+            # exclude codepoints UNASSIGNED in the stdlib's Unicode
+            # table: the regex module can carry a newer table that
+            # assigns them (e.g. U+0CDC, Unicode 15, found by
+            # Hypothesis INSIDE the BMP), so the two engines
+            # legitimately classify them differently — the same
+            # table-skew rationale as the supplementary-plane scoping
+            # (documented in _pre_tokenize_fallback)
+            exclude_categories=("Cn",),
+        ),
+        max_size=80,
+    )
+)
 @settings(max_examples=200, deadline=None)
 def test_pre_tokenize_fallback_matches_regex_any_text(t):
-    # BMP-scoped: the regex module can carry a newer Unicode table than
-    # the stdlib, so supplementary-plane codepoints assigned only in the
-    # newer standard legitimately classify differently (documented in
-    # _pre_tokenize_fallback)
     assert _pre_tokenize_fallback(t) == gpt2_pre_tokenize(t)
 
 
