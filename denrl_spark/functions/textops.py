@@ -131,12 +131,148 @@ def pii_scan(docs: DataFrame) -> DataFrame:
     return out.withColumn("has_pii", flag.cast("int"))
 
 
+REDACT_TOKENS = {"emails": "<EMAIL>", "phones": "<PHONE>", "ssns": "<SSN>"}
+# fixed application order — counts are taken on the text as it stands
+# BEFORE each pattern's replacement, so the oracle can chain the exact
+# same rewrite sequence (ordering matters only when patterns overlap;
+# the replacement tokens contain no digits or '@', so a rewrite can
+# never create a fresh match for a later pattern)
+REDACT_ORDER = ("emails", "phones", "ssns")
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, n_redactions): the transform companion of
+    ``pii_scan`` — one JVM expression chain replaces every email /
+    phone / SSN match with a typed placeholder token and counts the
+    rewrites, producing the redacted corpus a training-data pipeline
+    actually ships (the scan only counts). URLs are left in place:
+    boilerplate signal, not PII (same rule as ``pii_scan``).
+
+    Shape: pure whole-stage-codegen string expressions over a single
+    scan — no shuffle, no UDF; scales like any projection. The
+    redacted text re-scans to ZERO hits for the three PII patterns
+    (pytest property)."""
+    cur = F.col("text")
+    counts = []
+    for name in REDACT_ORDER:
+        pat = PII_PATTERNS[name]
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"_c_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, REDACT_TOKENS[name])
+    out = docs.select("doc_id", cur.alias("clean_text"), *counts)
+    total = sum(
+        (F.col(f"_c_{name}") for name in REDACT_ORDER), F.lit(0)
+    )
+    return out.select(
+        "doc_id", "clean_text", total.cast("int").alias("n_redactions")
+    )
+
+
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """(text_hash=md5, rep_doc_id, n_dups): exact dedup by content."""
     return (
         docs.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
     )
+
+
+SUBDUP_K = 5  # substring-dedup shingle width (tokens)
+
+
+def substring_dedup_spans(docs: DataFrame, k: int = SUBDUP_K) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    the ExactSubstr pass): (doc_id, span_start, span_end, n_shingles)
+    = the MAXIMAL token spans of each document whose every k-token
+    window also occurs elsewhere in the corpus (another document OR
+    another position of the same document). These are the per-doc
+    REMOVAL OFFSETS (token units, start inclusive / end exclusive) a
+    pipeline cuts before training: doc-level dedup (MinHash / SimHash /
+    embedding) cannot catch a shared 200-token license block inside two
+    otherwise-distinct documents — this operator bounds it exactly.
+
+    Algorithm (the distributed-friendly shingle-chain equivalent of the
+    paper's suffix array): k-token shingles with positions -> global
+    duplicated-shingle set (count > 1) -> per-doc covered positions ->
+    merge runs whose k-windows overlap or touch (next_pos <= pos + k)
+    into maximal spans.
+
+    Shape at 100 TB: one HOF shingle build in the scan (no explode
+    until positions are needed), ONE map-side-combined groupBy for the
+    duplicate set, one semi-join back (both sides keyed by the 8-byte
+    xxhash64 of the shingle — shuffling ~k-token shingle STRINGS would
+    multiply shuffle bytes by ~k; collision contract: two distinct
+    shingles sharing a 64-bit hash would over-mark a span, expected
+    collisions ~n^2/2^65 — <1e-4 even at 10^9 distinct shingles, and a
+    span is only ever extended, never missed), then per-DOC windows
+    (lag + running sum islands — partitioned by doc_id, never a global
+    sort). The oracle twin groups by the shingle string itself, exact
+    at check scale."""
+    t = docs.select("doc_id", _toks().alias("toks")).where(F.size("toks") >= k)
+    pos = t.select(
+        "doc_id", F.posexplode(ngram_array(F.col("toks"), k)).alias("pos", "shingle")
+    ).select("doc_id", "pos", F.xxhash64("shingle").alias("sh"))
+    dup = (
+        pos.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("sh")
+    )
+    cov = pos.join(dup, "sh", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k),
+        1,
+    ).otherwise(0)
+    isl = cov.select(
+        "doc_id", "pos",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("island"),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + k).cast("int").alias("span_end"),
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_shingles")
+    )
+
+
+def substring_dedup_sql(rel: str = "documents", k: int = SUBDUP_K) -> str:
+    """DuckDB twin of substring_dedup_spans (1-based subscripts mapped
+    to the operator's 0-based token offsets; duplicate set keyed by the
+    shingle STRING — exact, the right choice at check scale)."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM {rel}
+          WHERE len(string_split(text, ' ')) >= {k}),
+        sh AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i : i + {k - 1}], ' ') AS shingle
+          FROM (SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - {k} + 2)) AS i
+                FROM t)),
+        dup AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 1),
+        cov AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (shingle)),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos > lag(pos) OVER w + {k}
+                        THEN 1 ELSE 0 END AS brk
+            FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)))
+        SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+               CAST(max(pos) + {k} AS INT) AS span_end,
+               CAST(count(*) AS INT) AS n_shingles
+        FROM isl GROUP BY doc_id, island
+    """
 
 
 def build_vocab(docs: DataFrame, max_size: int = 1_000_000) -> DataFrame:

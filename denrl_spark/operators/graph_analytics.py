@@ -632,6 +632,66 @@ def ktruss(edges: DataFrame, k: int = 3, rounds: int = 3,
     )
 
 
+LPA_ROUNDS = 4  # fixed synchronous label-propagation rounds
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS,
+                      src: str = "src_surface",
+                      dst: str = "dst_surface") -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected canonical graph: (surface, community). Init label(v) = v;
+    each round every vertex adopts the MOST FREQUENT label among its
+    neighbors, ties broken by MINIMUM label — the deterministic LPA
+    variant (Raghavan et al. 2007 semi-synchronous LPA with the random
+    tie-break replaced by min-label so both engines agree bit-for-bit).
+    The KG-curation lens kcore/ktruss don't give: which entities form a
+    densely self-referential cluster (topic/boilerplate communities),
+    regardless of their absolute degree.
+
+    Determinism contract: the round count is FIXED in both this
+    operator and the SQL twin (same discipline as kcore / sssp /
+    pagerank_fixedpoint) — synchronous LPA can 2-cycle on bipartite
+    structures, and fixed rounds make the output well-defined and
+    engine-independent either way. Exact integer counts, lexicographic
+    ties: no float, no randomness.
+
+    Shape per round: one equi-join of the V-row label table to the
+    adjacency on the vertex key (AQE splits hot vertices) + one
+    map-side-combined (v, label) count + one per-VERTEX window
+    row_number (partitioned by v — never a global sort); eager
+    localCheckpoint keeps lineage O(1); the adjacency operand is
+    materialized once and reused every round. Every vertex of the edge
+    table has >= 1 neighbor, so no vertex ever drops out."""
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError("label_propagation: rounds must be >= 1")
+    und = undirected_edges(edges, src, dst)
+    adj = und.unionByName(
+        und.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+    ).select(F.col("va").alias("v"), F.col("vb").alias("nbr"))
+    adj = adj.localCheckpoint()
+    labels = (
+        adj.select("v").distinct().withColumn("label", F.col("v")).localCheckpoint()
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        cnt = (
+            adj.join(
+                labels.select(F.col("v").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("v", "label")
+            .localCheckpoint()
+        )
+    return labels.select(F.col("v").alias("surface"), F.col("label").alias("community"))
+
+
 def clustering_coefficients(edges: DataFrame, src: str = "src_surface",
                             dst: str = "dst_surface") -> DataFrame:
     """Local clustering coefficient per vertex (deg >= 2 only):

@@ -39,6 +39,15 @@ R_CONSUMES = "/tech/operator/consumes"
 R_PAIRS = "/tech/operator/pairs_with"
 R_FEEDS = "/tech/structure/feeds"
 
+# Synthetic turn-timestamp formula shared by EVERY producer and consumer:
+# ts = TS_EPOCH_BASE + doc_id * TS_SPACING_S (exact integer epoch
+# seconds). transcripts_from_documents stamps it; edge_history /
+# edges_by_window and their SQL twins re-derive it from doc_id. Single
+# source of truth so the batch rollups can never silently diverge from
+# the stream's ts-based windowed view (ADVICE r4).
+TS_EPOCH_BASE = 1735689600  # 2025-01-01T00:00:00Z
+TS_SPACING_S = 7
+
 DOC_TRIPLES: list[tuple[str, str, str]] = [
     ("spark", R_RUNS, "join"),
     ("spark", R_RUNS, "scan"),
@@ -106,7 +115,9 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.pmod("doc_id", F.lit(2)) == 0, "user").otherwise("assistant").alias("role"),
         F.col("text"),
         F.lit(None).cast("string").alias("tool"),
-        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 7).alias("ts"),
+        F.timestamp_seconds(
+            F.lit(TS_EPOCH_BASE) + F.col("doc_id") * TS_SPACING_S
+        ).alias("ts"),
     )
 
 
@@ -363,19 +374,22 @@ def edges_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def edge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal edge provenance: per canonical edge, the observation
     validity window (first_ts, last_ts as epoch seconds — exact integer
-    math over the turn timestamp stamp ts = 1735689600 + doc_id*7,
-    transcripts_from_documents) and the observation count — the
+    math over the turn timestamp stamp ts = TS_EPOCH_BASE +
+    doc_id*TS_SPACING_S, transcripts_from_documents) and the
+    observation count — the
     temporal-KG surface consumers use to expire or version edges.
     first/last ride the SAME edges aggregate (materialize_graph carries
     both bounds), so this costs no extra pass over the triples."""
-    base = F.lit(1735689600)
+    base = F.lit(TS_EPOCH_BASE)
     return _canonical_edges(spark, sf_dir).select(
         "src_surface",
         "pred",
         "dst_surface",
         "n_obs",
-        (base + F.col("first_sent_id") * 7).cast("bigint").alias("first_ts"),
-        (base + F.col("last_sent_id") * 7).cast("bigint").alias("last_ts"),
+        (base + F.col("first_sent_id") * TS_SPACING_S)
+        .cast("bigint").alias("first_ts"),
+        (base + F.col("last_sent_id") * TS_SPACING_S)
+        .cast("bigint").alias("last_ts"),
     )
 
 
@@ -392,8 +406,8 @@ def edge_history_sql(rel: str = "documents") -> str:
           WHERE g.ent2_tag LIKE '%/%')
         SELECT src_surface, pred, dst_surface,
                count(*) AS n_obs,
-               1735689600 + min(doc_id) * 7 AS first_ts,
-               1735689600 + max(doc_id) * 7 AS last_ts
+               {TS_EPOCH_BASE} + min(doc_id) * {TS_SPACING_S} AS first_ts,
+               {TS_EPOCH_BASE} + max(doc_id) * {TS_SPACING_S} AS last_ts
         FROM rel_rows GROUP BY 1, 2, 3
     """
 
@@ -727,8 +741,9 @@ def edges_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — the versioned-KG surface consumers use to diff graph
     snapshots over time ("what did this edge look like in each
     EDGE_WINDOW_S-second window" — 600 s here, see the constant).
-    Window math is exact integer epoch-seconds (ts = 1735689600 +
-    doc_id*7 per transcripts_from_documents; win_start = ts div W * W
+    Window math is exact integer epoch-seconds (ts = TS_EPOCH_BASE +
+    doc_id*TS_SPACING_S per transcripts_from_documents; win_start =
+    ts div W * W
     on non-negative operands, where Spark's `div` and DuckDB's `//`
     agree), so the rollup is hash-oracle-able. Same single
     canonical-map pass + linking step as edges_by_role; only the
@@ -738,7 +753,9 @@ def edges_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _linked_rel_rows(spark, sf_dir)
         .withColumn(
-            "ts", (F.lit(1735689600) + F.col("doc_id") * 7).cast("bigint")
+            "ts",
+            (F.lit(TS_EPOCH_BASE) + F.col("doc_id") * TS_SPACING_S)
+            .cast("bigint"),
         )
         .withColumn(
             "win_start",
@@ -757,7 +774,7 @@ def edges_by_window_sql(rel: str = "documents") -> str:
         WITH {_gold_triples_cte(rel)},
         {_canon_cte()},
         rel_rows AS (
-          SELECT ((1735689600 + g.doc_id * 7) // {EDGE_WINDOW_S})
+          SELECT (({TS_EPOCH_BASE} + g.doc_id * {TS_SPACING_S}) // {EDGE_WINDOW_S})
                    * {EDGE_WINDOW_S} AS win_start,
                  cs.canonical_surface AS src_surface,
                  g.ent2_tag AS pred, cd.canonical_surface AS dst_surface
@@ -815,7 +832,16 @@ def bfs_sql(rel: str = "documents", max_iter: int = 40) -> str:
     vertex surface: depth-bounded recursive closure (UNION-distinct on
     (node, d) caps rows at V * max_iter) + min distance per vertex.
     The Spark side runs min-label propagation to fixpoint; converged
-    min distances are unique, so the two agree exactly."""
+    min distances are unique, so the two agree exactly.
+
+    Failure-mode parity (ADVICE r4): the recursion explores ONE level
+    past max_iter, and any vertex whose min distance lands there proves
+    the graph's diameter exceeds max_iter (BFS layers are contiguous —
+    a node at distance > max_iter implies one at exactly max_iter+1),
+    so the final projection raises via DuckDB error() instead of
+    silently returning truncated distances — the same loud failure
+    bfs_distances raises on non-convergence (error() is verified lazy
+    inside CASE; it cannot constant-fold on converged graphs)."""
     return f"""
         WITH RECURSIVE {_edges_cte(rel)},
         {_und_cte(materialized=True)},
@@ -832,8 +858,12 @@ def bfs_sql(rel: str = "documents", max_iter: int = 40) -> str:
           UNION
           SELECT und.dst, reach.d + 1
           FROM reach JOIN und ON und.src = reach.node
-          WHERE reach.d < {max_iter})
-        SELECT node AS surface, CAST(min(d) AS BIGINT) AS dist
+          WHERE reach.d < {max_iter + 1})
+        SELECT node AS surface,
+               CAST(CASE WHEN min(d) > {max_iter}
+                         THEN CAST(error('bfs_sql: graph diameter exceeds '
+                                         || '{max_iter} rounds') AS BIGINT)
+                         ELSE min(d) END AS BIGINT) AS dist
         FROM reach GROUP BY 1
     """
 
@@ -908,6 +938,40 @@ def sssp_sql(rel: str = "documents", rounds: int = 8) -> str:
           GROUP BY 1)"""
     return body + f"""
         SELECT surface, CAST(cost_u AS BIGINT) AS cost_u FROM d{rounds}
+    """
+
+
+def communities_sql(rel: str = "documents", rounds: int = 4) -> str:
+    """graph_analytics.label_propagation twin: the fixed synchronous
+    min-tie-break LPA recurrence unrolled into MATERIALIZED chained
+    CTEs l0..l{rounds} (each round references the previous label table
+    once per adjacency side — plain-CTE inlining would re-expand the
+    base extraction per round, the kcore_sql lesson). Exact integer
+    neighbor-label counts, (count DESC, label ASC) tie-break — both
+    engines execute the identical finite recurrence, so outputs match
+    bit-for-bit, converged or 2-cycling alike."""
+    body = f"""
+        WITH {_edges_cte(rel)},
+        {_und_cte(materialized=True)},
+        adj AS MATERIALIZED (
+          SELECT va AS v, vb AS nbr FROM u
+          UNION ALL SELECT vb, va FROM u),
+        l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM adj)"""
+    for i in range(1, rounds + 1):
+        body += f""",
+        c{i} AS MATERIALIZED (
+          SELECT a.v, l.label, count(*) AS c
+          FROM adj a JOIN l{i-1} l ON l.v = a.nbr
+          GROUP BY 1, 2),
+        l{i} AS MATERIALIZED (
+          SELECT v, label FROM (
+            SELECT v, label,
+                   row_number() OVER (PARTITION BY v
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM c{i})
+          WHERE rn = 1)"""
+    return body + f"""
+        SELECT v AS surface, label AS community FROM l{rounds}
     """
 
 
@@ -1052,6 +1116,16 @@ def kg_edge_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     or degenerate into a self-loop are dropped — the standard
     link-prediction-eval rule, which is why output rows per positive
     vary (documented, deterministic).
+
+    Distribution note (ADVICE r4): taking a 48-bit md5 prefix mod n_v
+    carries the usual modulo bias toward low-rank vertices — relative
+    over-selection is at most n_v / 2^48 (< 4e-7 even at 100M canonical
+    vertices), far below anything a KG-embedding loss can resolve. If
+    the negative distribution ever becomes a quality gate, switch to
+    reject-and-rehash (redraw with k' = k + NEG_SLOTS while the prefix
+    falls in the final partial bucket [2^48 - 2^48 mod n_v, 2^48));
+    kept as-is because the oracle twin must stay expressible in ANSI
+    SQL and the bias is unmeasurable at these magnitudes.
 
     Shape: vertex ids come from the distributed 0-based rank
     (functions/ranking.with_global_row_number — no SinglePartition

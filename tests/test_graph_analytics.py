@@ -531,3 +531,64 @@ def test_clustering_coefficients_match_bruteforce(edges):
     assert got["b"][2] == JACCARD_UNIT
     # deg-1 vertices (f) are excluded: coefficient undefined
     assert "f" not in got
+
+
+def _lpa_bruteforce(nbrs, rounds):
+    """Direct transcription of the synchronous min-tie-break LPA
+    recurrence: every vertex adopts the most frequent neighbor label,
+    ties to the MINIMUM label, all reads from the previous round."""
+    labels = {v: v for v in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ns in nbrs.items():
+            counts: dict[str, int] = {}
+            for n in ns:
+                counts[labels[n]] = counts.get(labels[n], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_bruteforce(edges):
+    from denrl_spark.operators.graph_analytics import label_propagation
+
+    for rounds in (1, 2, 4):
+        got = {
+            r["surface"]: r["community"]
+            for r in label_propagation(edges, rounds=rounds).collect()
+        }
+        assert got == _lpa_bruteforce(_nbrs(), rounds), rounds
+
+
+def test_label_propagation_two_community_gadget(spark):
+    """Two 4-cliques {a..d} and {w..z} joined by one bridge d-w: after
+    4 rounds each clique collapses to its min label, and the bridge is
+    not enough to merge them — exactly the cluster split kcore/ktruss
+    can't express."""
+    from denrl_spark.operators.graph_analytics import label_propagation
+
+    rows = [
+        (x, "p", y, 1)
+        for grp in (("a", "b", "c", "d"), ("w", "x", "y", "z"))
+        for x, y in combinations(grp, 2)
+    ] + [("d", "p", "w", 1)]
+    g = spark.createDataFrame(
+        rows, "src_surface string, pred string, dst_surface string, n_obs long"
+    )
+    got = {
+        r["surface"]: r["community"]
+        for r in label_propagation(g, rounds=4).collect()
+    }
+    nbrs: dict[str, set[str]] = {}
+    for s, _, o, _ in rows:
+        nbrs.setdefault(s, set()).add(o)
+        nbrs.setdefault(o, set()).add(s)
+    assert got == _lpa_bruteforce(nbrs, 4)
+    assert got["a"] == got["b"] == got["c"] == got["d"] == "a"
+    assert got["w"] == got["x"] == got["y"] == got["z"] == "w"
+    # partition invariance: pure function of the edge set
+    got7 = {
+        r["surface"]: r["community"]
+        for r in label_propagation(g.repartition(7), rounds=4).collect()
+    }
+    assert got7 == got

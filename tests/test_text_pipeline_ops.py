@@ -242,3 +242,76 @@ def test_near_dedup_greedy_double_delivery_collapses(spark):
     kept, _ = near_dedup_greedy(df, ["ts", "doc_id"])
     got = sorted((r["ts"], r["doc_id"]) for r in kept.collect())
     assert got == [(1, "d1"), (2, "d2")]
+
+
+def test_pii_redact_rescans_clean(spark):
+    """pii_redact property: the redacted text re-scans to ZERO email/
+    phone/SSN hits, counts equal the scan's per-pattern counts, and
+    URLs survive untouched (boilerplate signal, not PII)."""
+    from denrl_spark.functions.textops import pii_redact, pii_scan
+
+    rows = [
+        (0, "mail me at a.user@example.com or b_x@sub.dom.org today"),
+        (1, "call +1 555-123-4567 or 555 987 6543 x22"),
+        (2, "ssn 123-45-6789 and a url https://ex.org/p?q=1 stay split"),
+        (3, "nothing sensitive here at all"),
+        (4, "combo a@b.co 111-22-3333 222-333-4444"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    red = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    clean = spark.createDataFrame(
+        [(d, red[d]["clean_text"]) for d, _ in rows], "doc_id long, text string"
+    )
+    rescan = {r["doc_id"]: r for r in pii_scan(clean).collect()}
+    for d, _ in rows:
+        assert rescan[d]["n_emails"] == 0
+        assert rescan[d]["n_phones"] == 0
+        assert rescan[d]["n_ssns"] == 0
+    assert "https://ex.org/p?q=1" in red[2]["clean_text"]
+    assert red[3]["clean_text"] == rows[3][1] and red[3]["n_redactions"] == 0
+    assert red[4]["n_redactions"] == 3
+    assert red[0]["clean_text"].count("<EMAIL>") == 2
+
+
+def test_substring_dedup_bounds_shared_block_exactly(spark):
+    """VERDICT r4 item 3 acceptance fixture: two otherwise-distinct
+    docs share a 200-token block; the operator finds it in BOTH docs
+    and bounds it exactly (start offset, start+200), with no spans in
+    an unrelated doc."""
+    from denrl_spark.functions.textops import SUBDUP_K, substring_dedup_spans
+
+    shared = " ".join(f"s{i}" for i in range(200))
+    doc_a = " ".join(f"a{i}" for i in range(10)) + " " + shared + " " + " ".join(
+        f"z{i}" for i in range(7)
+    )
+    doc_b = " ".join(f"b{i}" for i in range(25)) + " " + shared
+    doc_c = " ".join(f"c{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b), (2, doc_c)], "doc_id long, text string"
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_shingles"])
+        for r in substring_dedup_spans(df).collect()
+    )
+    n_sh = 200 - SUBDUP_K + 1
+    assert spans == [(0, 10, 210, n_sh), (1, 25, 225, n_sh)]
+
+
+def test_substring_dedup_within_doc_and_adjacent_runs(spark):
+    """Within-doc repetition counts as duplication, and two duplicated
+    runs separated by MORE than k unique tokens stay separate spans
+    while touching runs merge."""
+    from denrl_spark.functions.textops import substring_dedup_spans
+
+    k = 5
+    run1 = " ".join(f"r{i}" for i in range(k))      # 5 tokens, dup'd twice in doc 0
+    gap = " ".join(f"g{i}" for i in range(k + 3))   # > k unique tokens between
+    doc0 = run1 + " " + gap + " " + run1
+    doc1 = " ".join(f"u{i}" for i in range(12))     # all unique
+    df = spark.createDataFrame([(0, doc0), (1, doc1)], "doc_id long, text string")
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dedup_spans(df, k=k).collect()
+    )
+    # doc0 tokens: run1 [0,5), gap [5,13), run1 [13,18)
+    assert spans == [(0, 0, 5), (0, 13, 18)]
