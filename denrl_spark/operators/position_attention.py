@@ -115,22 +115,71 @@ def position_attention_batch(
     return normalized.astype(np.float32), all_ut.astype(np.float32)
 
 
+_SM64_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixer, Steele et
+    al. 2014): a bijective uint64 avalanche — every output bit depends
+    on every input bit. numpy uint64 arithmetic wraps mod 2^64 exactly
+    like the C original."""
+    x = (x + _SM64_GAMMA).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def hash_token_embeddings(
     tokens: list[str], hidden_dim: int = 16, seed: int = 0
 ) -> np.ndarray:
-    """Deterministic per-token embeddings: each token's vector is drawn
-    from a generator seeded by blake2b(token) — stable across processes,
-    partitionings, and PYTHONHASHSEED (python's builtin hash is not).
-    This is the frozen encoder stand-in feeding the numeric kernel; a
-    real deployment would substitute actual encoder hidden states."""
-    out = np.empty((len(tokens), hidden_dim), dtype=np.float32)
-    for i, tok in enumerate(tokens):
-        d = hashlib.blake2b(
-            f"{seed}:{tok}".encode(), digest_size=8
-        ).digest()
-        rng = np.random.default_rng(int.from_bytes(d, "big"))
-        out[i] = rng.standard_normal(hidden_dim).astype(np.float32)
-    return out
+    """Deterministic per-token embeddings: each token's vector is a pure
+    function of (seed, token, slot) — stable across processes,
+    partitionings, batch compositions, and PYTHONHASHSEED (python's
+    builtin hash is not). This is the frozen encoder stand-in feeding
+    the numeric kernel; a real deployment would substitute actual
+    encoder hidden states.
+
+    Vectorized (VERDICT r4 item 7): one blake2b digest per UNIQUE token
+    keys a counter-mode splitmix64 stream, and the whole
+    (n_unique, hidden_dim) block of standard normals comes from single
+    numpy Box-Muller ops — no per-token Generator construction (the old
+    per-token ``default_rng`` dominated the cost). The per-token
+    determinism contract is test-pinned: a token's row is identical
+    whether it arrives alone, duplicated, or in any batch, and rows are
+    prefix-consistent across hidden_dim (slot-indexed counters)."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty((0, hidden_dim), dtype=np.float32)
+    index: dict[str, int] = {}
+    for tok in tokens:
+        if tok not in index:
+            index[tok] = len(index)
+    keys = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(f"{seed}:{tok}".encode(), digest_size=8).digest(),
+                "big",
+            )
+            for tok in index
+        ),
+        dtype=np.uint64,
+        count=len(index),
+    )
+    n_pairs = (hidden_dim + 1) // 2
+    with np.errstate(over="ignore"):
+        ctr = _splitmix64(np.arange(n_pairs, dtype=np.uint64))
+        a = _splitmix64(keys[:, None] ^ ctr[None, :])  # (U, n_pairs)
+        b = _splitmix64(a)
+    # uint64 -> 53-bit uniforms: u1 in (0, 1] so log is finite; u2 in [0, 1)
+    u1 = ((a >> np.uint64(11)).astype(np.float64) + 1.0) * (2.0 ** -53)
+    u2 = (b >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+    r = np.sqrt(-2.0 * np.log(u1))
+    theta = (2.0 * np.pi) * u2
+    z = np.empty((len(index), 2 * n_pairs), dtype=np.float64)
+    z[:, 0::2] = r * np.cos(theta)
+    z[:, 1::2] = r * np.sin(theta)
+    uniq_emb = z[:, :hidden_dim].astype(np.float32)
+    return uniq_emb[np.fromiter((index[t] for t in tokens), dtype=np.int64, count=n)]
 
 
 def position_att_numeric(

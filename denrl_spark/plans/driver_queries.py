@@ -95,6 +95,14 @@ _q("kg_gold_triples_by_doc", docs_kg.gold_triples_by_doc_sql())(
 _q("kg_pred_triples_by_doc", docs_kg.gold_triples_by_doc_sql())(
     docs_kg.pred_triples_by_doc
 )
+# The same prediction semantics routed through the NUMERIC reference
+# chain (K1 frozen GPT-2 encoder -> K2 position-attention kernel -> K3
+# emissions -> K6 Viterbi), with a liveness filter that drops instances
+# whose kernel output is not a proper distribution — a broken encoder
+# changes the row set and fails the oracle (VERDICT r4 item 5).
+_q("kg_pred_triples_numeric_by_doc", docs_kg.gold_triples_by_doc_sql())(
+    docs_kg.pred_triples_numeric_by_doc
+)
 _q("kg_edges_by_doc", docs_kg.edges_by_doc_sql())(docs_kg.edges_by_doc)
 _q("kg_vertices_by_doc", docs_kg.vertices_by_doc_sql())(docs_kg.vertices_by_doc)
 

@@ -42,10 +42,11 @@ def duck():
     "fn,sql",
     [
         (docs_kg.gold_triples_by_doc, docs_kg.gold_triples_by_doc_sql()),
+        (docs_kg.pred_triples_numeric_by_doc, docs_kg.gold_triples_by_doc_sql()),
         (docs_kg.edges_by_doc, docs_kg.edges_by_doc_sql()),
         (docs_kg.vertices_by_doc, docs_kg.vertices_by_doc_sql()),
     ],
-    ids=["gold_triples", "edges", "vertices"],
+    ids=["gold_triples", "pred_triples_numeric", "edges", "vertices"],
 )
 def test_by_doc_queries_match_duckdb(spark, duck, fn, sql):
     sdf = _normalize(fn(spark, SF_DIR).toPandas())

@@ -129,3 +129,35 @@ def test_score_instances_kernel_route_keeps_predictions(spark):
     # contextual hidden states actually change the attention
     some = next(i for i in e if len(e[i]["position_att"]) > 2)
     assert e[some]["position_att"] != k[some]["position_att"]
+
+
+def test_hash_embeddings_batch_invariant_and_generator_free(monkeypatch):
+    """The vectorized embedding path: (a) a token's row is identical
+    whether it arrives alone, duplicated, or in any batch; (b) rows are
+    prefix-consistent across hidden_dim (slot-indexed counters); (c) no
+    numpy Generator is ever constructed (VERDICT r4 item 7); (d) the
+    draws look standard-normal in the aggregate."""
+    toks = [f"tok{i}" for i in range(200)]
+    batch = hash_token_embeddings(toks + toks[:7], 16, seed=1)
+    for i in (0, 3, 199):
+        single = hash_token_embeddings([toks[i]], 16, seed=1)
+        np.testing.assert_array_equal(batch[i], single[0])
+    np.testing.assert_array_equal(batch[:7], batch[200:])  # dup rows
+    # prefix consistency over hidden_dim
+    np.testing.assert_array_equal(
+        hash_token_embeddings(toks, 8, seed=1), batch[:200, :8]
+    )
+    # odd hidden_dim exercises the half-pair slice
+    assert hash_token_embeddings(toks[:3], 5, seed=1).shape == (3, 5)
+    # empty input
+    assert hash_token_embeddings([], 16).shape == (0, 16)
+    # no Generator construction anywhere in the path
+    def boom(*a, **k):
+        raise AssertionError("default_rng constructed in embedding path")
+
+    monkeypatch.setattr(np.random, "default_rng", boom)
+    hash_token_embeddings(toks, 16, seed=1)
+    # aggregate distribution sanity: 3200 draws, mean ~ 0, std ~ 1
+    flat = batch[:200].ravel()
+    assert abs(float(flat.mean())) < 0.06
+    assert abs(float(flat.std()) - 1.0) < 0.05
