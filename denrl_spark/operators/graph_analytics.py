@@ -336,6 +336,69 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 3,
     )
 
 
+def hits_scores(edges: DataFrame, rounds: int = 2,
+                src: str = "src_surface",
+                dst: str = "dst_surface") -> DataFrame:
+    """Fixed-round HITS (Kleinberg 1999) over the DISTINCT directed
+    edge set: (surface, hub_u, auth_u). Init h0 = 1 per vertex; per
+    round a_k(v) = sum_{u->v} h_{k-1}(u) then h_k(u) = sum_{u->v}
+    a_k(v). Scores are UNNORMALIZED exact bigint sums: per-round
+    normalization is a positive scalar that rescales every score
+    identically, so the hub/authority RANKING — the thing HITS is for
+    — is unchanged, and omitting it keeps every aggregate an exact
+    integer (order-independent, bit-identical across engines and
+    partitionings; a float-normalized variant could flip an ULP at a
+    floor boundary). Magnitude bound: h_k <= V * Δ^(2k) with Δ = max
+    degree, so at the default rounds=2 an int64 is exact up to
+    Δ ~ 5*10^4 on a 10^6-vertex graph; past that, raise to
+    decimal(38,0) sums before widening rounds.
+
+    Shape per round: two equi-joins (edges x scores) each feeding a
+    map-side-combined sum agg, plus a left join back to the
+    checkpointed vertex set — no global sort, no SinglePartition; the
+    same O(1)-lineage eager-checkpoint loop as PageRank/BFS/SSSP.
+    Vertices with no in-edges (resp. out-edges) get authority (resp.
+    hub) 0, matching the recurrence over an empty sum."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint()
+    verts = (
+        e.select(F.col("src").alias("surface"))
+        .unionByName(e.select(F.col("dst").alias("surface")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = verts.withColumn("hub_u", F.lit(1).cast("bigint"))
+    auth = verts.withColumn("auth_u", F.lit(0).cast("bigint"))
+    for _ in range(rounds):
+        a_raw = (
+            e.join(hub, e.src == hub.surface)
+            .groupBy(F.col("dst").alias("surface"))
+            .agg(F.sum("hub_u").cast("bigint").alias("a"))
+        )
+        auth = (
+            verts.join(a_raw, "surface", "left")
+            .select(
+                "surface",
+                F.coalesce("a", F.lit(0)).cast("bigint").alias("auth_u"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auth, e.dst == auth.surface)
+            .groupBy(F.col("src").alias("surface"))
+            .agg(F.sum("auth_u").cast("bigint").alias("h"))
+        )
+        hub = (
+            verts.join(h_raw, "surface", "left")
+            .select(
+                "surface",
+                F.coalesce("h", F.lit(0)).cast("bigint").alias("hub_u"),
+            )
+            .localCheckpoint()
+        )
+    return hub.join(auth, "surface").select("surface", "hub_u", "auth_u")
+
+
 JACCARD_UNIT = 10**6  # neighborhood-Jaccard fixed-point unit (1e-6)
 
 

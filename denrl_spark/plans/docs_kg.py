@@ -767,6 +767,45 @@ def pagerank_sql(rel: str = "documents", iters: int = 3, damping_pct: int = 85) 
     """
 
 
+def hits_sql(rel: str = "documents", rounds: int = 2) -> str:
+    """graph_analytics.hits_scores twin: the fixed round count is
+    UNROLLED into chained CTEs h0 -> (a1, h1) -> ... — same h0 = 1
+    init, same unnormalized exact-bigint recurrence (sums of integers
+    only, so the aggregates are order-independent; DuckDB's HUGEINT
+    sum is CAST back to BIGINT at every step to match Spark). Missing
+    in-edges/out-edges coalesce to 0 exactly as the Spark left joins
+    do."""
+    body = f"""
+        WITH {_edges_cte(rel)},
+        e AS (SELECT DISTINCT src_surface AS src, dst_surface AS dst FROM edges),
+        verts AS (
+          SELECT DISTINCT surface FROM (
+            SELECT src AS surface FROM e UNION ALL SELECT dst FROM e)),
+        h0 AS (SELECT surface, CAST(1 AS BIGINT) AS hub_u FROM verts)"""
+    for i in range(1, rounds + 1):
+        body += f""",
+        a{i} AS (
+          SELECT v.surface,
+                 CAST(COALESCE(s.a, 0) AS BIGINT) AS auth_u
+          FROM verts v
+          LEFT JOIN (
+            SELECT e.dst AS surface, sum(h.hub_u) AS a
+            FROM e JOIN h{i-1} h ON h.surface = e.src
+            GROUP BY 1) s USING (surface)),
+        h{i} AS (
+          SELECT v.surface,
+                 CAST(COALESCE(s.h, 0) AS BIGINT) AS hub_u
+          FROM verts v
+          LEFT JOIN (
+            SELECT e.src AS surface, sum(a.auth_u) AS h
+            FROM e JOIN a{i} a ON a.surface = e.dst
+            GROUP BY 1) s USING (surface))"""
+    return body + f"""
+        SELECT h.surface, h.hub_u, a.auth_u
+        FROM h{rounds} h JOIN a{rounds} a USING (surface)
+    """
+
+
 def topk_patterns_docs_sql(rel: str = "documents") -> str:
     return f"""
         WITH counts AS ({patterns_between_sql(rel)}),

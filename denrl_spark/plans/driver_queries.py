@@ -281,6 +281,22 @@ def kg_pagerank(spark, sf_dir):
     return pagerank_fixedpoint(docs_kg.edges_by_doc(spark, sf_dir), iters=3)
 
 
+@_q("kg_hits", docs_kg.hits_sql())
+def kg_hits(spark, sf_dir):
+    """Fixed-round HITS hubs/authorities (2 rounds, h0 = 1) over the
+    canonical edge table — the directed-importance complement of
+    PageRank (a vertex can be a strong hub without being an authority,
+    which degree and PageRank both conflate). Unnormalized exact-bigint
+    recurrence: per-round normalization is a positive scalar that does
+    not change the ranking, and omitting it keeps every aggregate an
+    order-independent integer sum, so the DuckDB twin (same rounds
+    unrolled into chained CTEs) matches at hash level. Same
+    O(1)-lineage checkpoint loop as kg_pagerank."""
+    from denrl_spark.operators.graph_analytics import hits_scores
+
+    return hits_scores(docs_kg.edges_by_doc(spark, sf_dir), rounds=2)
+
+
 @_q("kg_neighbor_jaccard", docs_kg.neighbor_jaccard_sql())
 def kg_neighbor_jaccard(spark, sf_dir):
     """Neighborhood-Jaccard entity similarity (exact counts + integer

@@ -592,3 +592,47 @@ def test_label_propagation_two_community_gadget(spark):
         for r in label_propagation(g.repartition(7), rounds=4).collect()
     }
     assert got7 == got
+
+
+def test_hits_matches_bruteforce_loop(edges):
+    """2-round HITS vs a direct transcription of the recurrence over
+    the distinct edge set; the hub 'a' and the authority-heavy 'd'
+    separate the two scores (PageRank/degree conflate them)."""
+    from denrl_spark.operators.graph_analytics import hits_scores
+
+    got = {
+        r["surface"]: (r["hub_u"], r["auth_u"])
+        for r in hits_scores(edges, rounds=2).collect()
+    }
+    e = {(s, o) for s, _, o, _ in EDGES}
+    verts = sorted({v for pair in e for v in pair})
+    hub = {v: 1 for v in verts}
+    auth = {v: 0 for v in verts}
+    for _ in range(2):
+        auth = {v: sum(hub[s] for s, o in e if o == v) for v in verts}
+        hub = {v: sum(auth[o] for s, o in e if s == v) for v in verts}
+    assert got == {v: (hub[v], auth[v]) for v in verts}
+    # dangling f: no out-edges => hub 0; sources with no in-edges => auth 0
+    assert got["f"][0] == 0 and got["f"][1] > 0
+    # partition invariance: pure function of the edge set
+    got5 = {
+        r["surface"]: (r["hub_u"], r["auth_u"])
+        for r in hits_scores(edges.repartition(5), rounds=2).collect()
+    }
+    assert got5 == got
+
+
+def test_hits_empty_graph(spark):
+    from denrl_spark.operators.graph_analytics import hits_scores
+
+    empty = spark.createDataFrame(
+        [], "src_surface string, pred string, dst_surface string, n_obs long"
+    )
+    assert hits_scores(empty).count() == 0
+
+
+def test_hits_plan_has_no_single_partition(edges):
+    from denrl_spark.operators.graph_analytics import hits_scores
+
+    plan = hits_scores(edges, rounds=1)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
