@@ -920,13 +920,13 @@ def text_unigram_lm(spark, sf_dir):
     return textops.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
-@_q(
-    "text_bigram_lm",
-    """
-    WITH t AS (SELECT doc_id,
-                      generate_subscripts(string_split(text, ' '), 1) AS pos,
-                      unnest(string_split(text, ' ')) AS tok
-               FROM documents),
+# Shared CTE body: per-document corpus-bigram-LM score (doc_id,
+# n_bigrams, lp2_e4) — used by text_bigram_lm and text_quality_buckets.
+_BIGRAM_LM_CTES = """
+    t AS (SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
     bg AS (
       SELECT doc_id, tok || ' ' || t1 AS bigram FROM (
         SELECT doc_id, tok,
@@ -939,10 +939,19 @@ def text_unigram_lm(spark, sf_dir):
     term AS (
       SELECT bigram,
              CAST(floor(10000 * ln(CAST(cnt2 AS DOUBLE) / cnt1)) AS BIGINT) AS term
-      FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1)
-    SELECT bg.doc_id, CAST(count(*) AS INT) AS n_bigrams,
-           CAST(sum(term) AS BIGINT) AS lp2_e4
-    FROM bg JOIN term USING (bigram) GROUP BY 1
+      FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1),
+    lm AS (
+      SELECT bg.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+             CAST(sum(term) AS BIGINT) AS lp2_e4
+      FROM bg JOIN term USING (bigram) GROUP BY 1)
+"""
+
+
+@_q(
+    "text_bigram_lm",
+    f"""
+    WITH {_BIGRAM_LM_CTES}
+    SELECT doc_id, n_bigrams, lp2_e4 FROM lm
     """,
 )
 def text_bigram_lm(spark, sf_dir):
@@ -951,6 +960,64 @@ def text_bigram_lm(spark, sf_dir):
     order-invariant aggregate, hash-oracle-able. The word-order-aware
     fluency filter the unigram scorer can't express."""
     return textops.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_quality_buckets",
+    f"""
+    WITH {_BIGRAM_LM_CTES}
+    SELECT doc_id, lang, rn, n_lang,
+           CASE WHEN 3 * rn <= n_lang THEN 'head'
+                WHEN 3 * rn <= 2 * n_lang THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM (
+      SELECT lm.doc_id, d.lang,
+             CAST(row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY CAST(lm.lp2_e4 AS DOUBLE) / lm.n_bigrams DESC,
+                        lm.doc_id) AS INT) AS rn,
+             CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n_lang
+      FROM lm JOIN documents d USING (doc_id))
+    """,
+)
+def text_quality_buckets(spark, sf_dir):
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    rank each language's documents by mean bigram-LM log-prob and split
+    into head/middle/tail terciles — the standard curation move of
+    keeping/weighting the most-fluent fraction per language rather than
+    applying one global threshold that would starve low-resource
+    languages. Deterministic cross-engine: the ranking key is the
+    IEEE-exact double lp2_e4/n_bigrams (both engines divide the same
+    two integers; IEEE 754 division is correctly rounded, so the
+    doubles are bit-identical) with doc_id as total tie-break, and the
+    tercile rule 3*rn <= k*n_lang is pure integer arithmetic.
+
+    Scale note: the per-lang rank window sorts each language inside one
+    task — fine at check scale and for tail languages, skewed for the
+    head language at 100 TB. The production variant replaces the exact
+    rank with sampled tercile THRESHOLDS on the score (exactly what
+    CCNet does: bucket by comparing to precomputed per-lang quantiles,
+    one broadcast join, no window); the exact-rank form is registered
+    because sketch-based quantiles are not reproducible cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    lm = textops.bigram_logprob(docs)
+    scored = lm.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("lp2_e4").cast("double") / F.col("n_bigrams")).desc(),
+        F.col("doc_id"),
+    )
+    wc = Window.partitionBy("lang")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .withColumn("n_lang", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .select(
+            "doc_id", "lang", "rn", "n_lang",
+            F.when(3 * F.col("rn") <= F.col("n_lang"), "head")
+            .when(3 * F.col("rn") <= 2 * F.col("n_lang"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
 
 
 _SHINGLE_SQL = """
@@ -1355,6 +1422,63 @@ def dedup_embedding_pairs_lsh(spark, sf_dir):
     stays registered as the exact small-scale baseline the recall tests
     compare against."""
     return lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+# Semantic-dup threshold. Production SemDeDup uses ~0.9+ on real text
+# embeddings; the driver's synthetic embeddings are near-orthogonal
+# (max pairwise cos 0.512 at sf0.01), so the REGISTERED threshold is
+# 0.4 to keep the oracle sensitive to the clustering logic (at 0.9 the
+# keep-list would degenerate to everyone-is-their-own-rep and a broken
+# components pass could never fail the hash check).
+_SEMDEDUP_COS_E3 = 400
+
+
+@_q(
+    "dedup_semantic_keep",
+    f"""
+    WITH RECURSIVE pairs AS ({similarity.lsh_near_dup_pairs_sql(min_cos_e3=_SEMDEDUP_COS_E3)}),
+    verts AS (SELECT vec_id FROM embeddings),
+    und AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION
+      SELECT vec_b, vec_a FROM pairs),
+    reach(node, r) AS (
+      SELECT vec_id, vec_id FROM verts
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.node)
+    SELECT node AS vec_id, min(r) AS rep_vec_id,
+           CAST(CASE WHEN node = min(r) THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_semantic_keep(spark, sf_dir):
+    """SemDeDup-style semantic deduplication keep-list (Abbas et al.
+    2023): the EMBEDDING-space twin of dedup_clusters — paraphrases and
+    template re-renders that share no shingles but land at high
+    cosine collapse to one representative per semantic cluster. Pipeline:
+    LSH near-dup pairs (hyperplane buckets + multi-probe, no all-pairs
+    join) -> connected components over the thresholded-cosine graph (min-label
+    propagation) -> representative = min vec_id; vectors with no
+    semantic twin are their own representative. Approximate with the
+    same documented recall contract as dedup_embedding_pairs_lsh (pairs
+    beyond probe_bits Hamming distance are unseen — both engines use
+    identical literal hyperplanes, so the oracle matches exactly).
+
+    100 TB shape: bucketed joins + O(diameter) label rounds; semantic
+    clusters are cliques/short chains, and the production variant would
+    cap cluster fan-in exactly like the shingle-LSH bucket cap."""
+    from denrl_spark.operators.linking import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = lsh_near_dup_pairs(emb, min_cos_e3=_SEMDEDUP_COS_E3)
+    nodes = emb.select(F.col("vec_id").alias("node_id"))
+    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("node_id").alias("vec_id"),
+        F.col("component").alias("rep_vec_id"),
+        (F.col("node_id") == F.col("component")).cast("bigint").alias("is_rep"),
+    )
 
 
 # SimHash: 16-bit signature; bit j = sign of sum over tokens of

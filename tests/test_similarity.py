@@ -214,3 +214,43 @@ def test_quantize_int8_round_trip_and_edge_cases(spark):
         orig = np.array(v, dtype=np.float64)
         cos = deq @ orig / (np.linalg.norm(deq) * np.linalg.norm(orig))
         assert cos > 0.999, (i, cos)  # quantization barely moves direction
+
+
+def test_semantic_dedup_keep_list_clusters(spark, tmp_path):
+    """dedup_semantic_keep: two tight semantic clusters plus orthogonal
+    singletons collapse to min-id representatives; singletons keep
+    themselves. Runs the registered query end-to-end off parquet."""
+    from denrl_spark.plans.driver_queries import dedup_semantic_keep
+
+    rng = np.random.RandomState(3)
+    rows = []
+    vid = 0
+    cluster_of = {}
+    for c in range(2):
+        base = rng.randn(DIM)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + rng.randn(DIM) * 0.01
+            rows.append((vid, [float(x) for x in v], c))
+            cluster_of[vid] = c
+            vid += 1
+    # orthogonal singletons: distinct one-hot axes, cos = 0 to everything
+    for axis in (10, 30, 50):
+        v = [0.0] * DIM
+        v[axis] = 1.0
+        rows.append((vid, v, -1))
+        cluster_of[vid] = f"solo{vid}"
+        vid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    out = {r["vec_id"]: r for r in dedup_semantic_keep(spark, sf).collect()}
+    assert len(out) == vid  # every vector classified exactly once
+    # cluster members share the min-id rep; exactly one rep per cluster
+    assert {out[i]["rep_vec_id"] for i in range(3)} == {0}
+    assert {out[i]["rep_vec_id"] for i in range(3, 6)} == {3}
+    for i in (6, 7, 8):
+        assert out[i]["rep_vec_id"] == i and out[i]["is_rep"] == 1
+    assert [out[i]["is_rep"] for i in range(6)] == [1, 0, 0, 1, 0, 0]

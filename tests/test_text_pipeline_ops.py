@@ -315,3 +315,50 @@ def test_substring_dedup_within_doc_and_adjacent_runs(spark):
     )
     # doc0 tokens: run1 [0,5), gap [5,13), run1 [13,18)
     assert spans == [(0, 0, 5), (0, 13, 18)]
+
+
+def test_quality_buckets_terciles_and_determinism(spark, tmp_path):
+    """text_quality_buckets: per-lang tercile sizes follow the integer
+    rule (3*rn <= n / <= 2n), every doc gets exactly one bucket, the
+    head bucket really does hold the best mean-bigram-LM scores, and
+    the output is a pure function of the table (repartition-invariant)."""
+    import math
+
+    from denrl_spark.plans.driver_queries import (
+        text_bigram_lm,
+        text_quality_buckets,
+    )
+
+    rows = []
+    did = 0
+    for lang, n_docs in (("en", 7), ("fr", 3), ("zh", 1)):
+        for i in range(n_docs):
+            # vary fluency: more-repeated bigrams -> higher P(w2|w1)
+            body = " ".join(["alpha beta"] * (i + 2) + [f"rare{lang}{i}"])
+            rows.append((did, body, lang, "s", len(body)))
+            did += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = text_quality_buckets(spark, sf).toPandas()
+    assert len(out) == did and out["doc_id"].is_unique
+    for lang, grp in out.groupby("lang"):
+        n = len(grp)
+        sizes = grp["bucket"].value_counts().to_dict()
+        assert sizes.get("head", 0) == n // 3
+        assert sizes.get("middle", 0) == (2 * n) // 3 - n // 3
+        assert sizes.get("tail", 0) == n - (2 * n) // 3
+    # ranking actually follows the LM score: per lang, every head doc's
+    # mean bigram log-prob >= every tail doc's
+    lm = text_bigram_lm(spark, sf).toPandas()
+    lm["mean_lp"] = lm["lp2_e4"] / lm["n_bigrams"]
+    j = out.merge(lm, on="doc_id")
+    for lang, grp in j.groupby("lang"):
+        heads = grp[grp["bucket"] == "head"]["mean_lp"]
+        tails = grp[grp["bucket"] == "tail"]["mean_lp"]
+        if len(heads) and len(tails):
+            assert heads.min() >= tails.max()
+    # single-doc language: lone doc lands in tail (3*1 > 2*1)
+    assert out[out["lang"] == "zh"]["bucket"].tolist() == ["tail"]
