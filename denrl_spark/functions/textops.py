@@ -711,6 +711,82 @@ def jaccard_pairs(docs: DataFrame, min_j_e6: int = 200_000) -> DataFrame:
     return j.where(F.col("j_e6") >= min_j_e6).select("doc_a", "doc_b", "j_e6")
 
 
+CONTAINMENT_DF_CAP = 16
+
+
+def containment_pairs(
+    docs: DataFrame, min_c_e6: int = 500_000, df_cap: int = CONTAINMENT_DF_CAP
+) -> DataFrame:
+    """(doc_a, doc_b, shared, na, nb, cont_e6): shingle CONTAINMENT
+    pairs — cont = |A∩B| / min(|A|,|B|) over distinct 3-gram sets. The
+    asymmetric companion of Jaccard dedup: a short doc quoted wholesale
+    inside a much longer one (reply chains, license blocks re-wrapped
+    in new files, doc-in-doc crawl artifacts) has containment ~1 but
+    Jaccard ~|A|/|B| ~ 0, so MinHash-LSH (which approximates Jaccard)
+    structurally cannot surface it (Broder 1997 distinguishes exactly
+    these two resemblance notions).
+
+    Candidate generation therefore does NOT use MinHash: candidates are
+    pairs sharing at least one RARE shingle (document frequency in
+    [2, df_cap], inverted-index-with-df-cut). Cost is sum over rare
+    shingles of df^2 <= df_cap x total shingle occurrences — linear in
+    the corpus, never |docs|^2, and hot boilerplate shingles (df >
+    df_cap) generate no candidates. Recall contract: a pair is found
+    iff it shares >= 1 rare shingle. Contained documents share ALL of
+    the smaller doc's shingles, so any non-boilerplate line in the
+    quoted block suffices; pairs whose overlap is 100% corpus-wide
+    boilerplate are exactly the substring-dedup family's job
+    (text_substring_dedup). The verify stage re-scores candidates
+    exactly over FULL shingle sets (candidate-pruned joins, same
+    discipline as jaccard_verify_pairs).
+    """
+    sh = shingles(docs).distinct().localCheckpoint()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .select("shingle")
+    )
+    rsh = sh.join(rare, "shingle")
+    cand = (
+        rsh.alias("a")
+        .join(rsh.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"),
+            "doc_b",
+        )
+        .withColumn(
+            "cont_e6",
+            F.floor(1_000_000 * F.col("shared") / F.least("na", "nb")).cast("long"),
+        )
+    )
+    return out.where(F.col("cont_e6") >= min_c_e6).select(
+        "doc_a", "doc_b", F.col("shared").cast("bigint").alias("shared"),
+        F.col("na").cast("bigint").alias("na"), F.col("nb").cast("bigint").alias("nb"),
+        "cont_e6",
+    )
+
+
 def contamination_scan(train: DataFrame, benchmark: DataFrame) -> DataFrame:
     """Benchmark decontamination: per training doc, how many of its
     distinct 3-gram shingles appear anywhere in the benchmark (eval)

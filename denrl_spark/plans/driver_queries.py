@@ -1020,6 +1020,66 @@ def text_quality_buckets(spark, sf_dir):
     )
 
 
+@_q(
+    "text_source_mixture",
+    """
+    WITH per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    tot AS (
+      SELECT sum(n_tokens) AS total, count(*) AS n_sources FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(1000000 * n_tokens / tot.total) AS BIGINT) AS share_e6,
+           CAST(floor(1000000 * tot.total / (tot.n_sources * n_tokens))
+                AS BIGINT) AS weight_e6
+    FROM per_src, tot
+    """,
+)
+def text_source_mixture(spark, sf_dir):
+    """Domain-mixture table for training-data sampling: per source, doc
+    and whitespace-token counts, the source's actual token share, and
+    the resampling multiplier weight = total/(n_sources * n_tokens)
+    that flattens the mixture to uniform-over-sources (the static
+    reweighting move of Pile/CCNet-style curation; a non-uniform target
+    is the same formula with target_share/actual_share). Exact integer
+    math (floor to 1e-6) for cross-engine hash equality. The bigint
+    intermediates bound the corpus at 1e6 * total_tokens < 2^63, i.e.
+    ~9.2e12 tokens (~100 TB of text is the edge of that envelope); past
+    it, drop the share scale to 1e-3 or move the two multiplies to
+    decimal(38,0) — the floor semantics carry over.
+
+    Shape: one narrow scan computing size(split(text)) per doc (no
+    explode — the token ARRAY never materializes past the projection),
+    one map-side-combined groupBy over a handful of sources; the totals
+    come off the source-sized aggregate on the driver and return as
+    literals, so there is no Exchange SinglePartition and the corpus is
+    scanned exactly once. At 100 TB this is the cheapest query in the
+    curation suite: it shuffles |sources| rows."""
+    per_src = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .localCheckpoint()
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("s")
+    ).collect()[0]
+    total, n_sources = int(tot["t"]), int(tot["s"])
+    tot_l = F.lit(total).cast("bigint")
+    return per_src.select(
+        "source", "n_docs", "n_tokens",
+        F.floor(1_000_000 * F.col("n_tokens") / tot_l)
+        .cast("bigint").alias("share_e6"),
+        F.floor(1_000_000 * tot_l / (F.lit(n_sources).cast("bigint") * F.col("n_tokens")))
+        .cast("bigint").alias("weight_e6"),
+    )
+
+
 _SHINGLE_SQL = """
       SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle FROM (
         SELECT doc_id, tok,
@@ -1307,6 +1367,47 @@ def dedup_jaccard_pairs(spark, sf_dir):
     table is computed once and shared between the candidate and verify
     stages (textops.jaccard_pairs_pruned)."""
     return textops.jaccard_pairs_pruned(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_containment",
+    f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY 1
+      HAVING count(*) BETWEEN 2 AND {textops.CONTAINMENT_DF_CAP}),
+    rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rsh a JOIN rsh b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+           CAST(na.n_sh AS BIGINT) AS na, CAST(nb.n_sh AS BIGINT) AS nb,
+           CAST(floor(1000000 * shared / least(na.n_sh, nb.n_sh)) AS BIGINT)
+             AS cont_e6
+    FROM shared
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE floor(1000000 * shared / least(na.n_sh, nb.n_sh)) >= 500000
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Shingle-containment pairs (|A∩B| / min(|A|,|B|) >= 0.5): the
+    doc-in-doc detector MinHash cannot express — Broder's containment
+    vs resemblance distinction. Candidates come from shared RARE
+    shingles (df <= 16 inverted-index cut, linear cost) instead of
+    MinHash bands; exact re-score over full shingle sets. Both engines
+    run the identical rare-shingle candidate rule, so the oracle
+    matches exactly; the documented recall contract (pairs must share a
+    rare shingle) lives in textops.containment_pairs."""
+    return textops.containment_pairs(_t(spark, sf_dir, "documents"))
 
 
 @_q(

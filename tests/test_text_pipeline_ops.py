@@ -362,3 +362,62 @@ def test_quality_buckets_terciles_and_determinism(spark, tmp_path):
             assert heads.min() >= tails.max()
     # single-doc language: lone doc lands in tail (3*1 > 2*1)
     assert out[out["lang"] == "zh"]["bucket"].tolist() == ["tail"]
+
+
+def test_containment_pairs_doc_in_doc(spark):
+    """containment_pairs finds a short doc quoted inside a long one
+    (containment ~1, Jaccard far below the 0.2 dedup threshold), does
+    NOT pair docs that share only boilerplate above the df cap, and
+    reports exact shingle counts."""
+    from denrl_spark.functions.textops import containment_pairs, jaccard_pairs
+
+    quote = " ".join(f"quoted{i}" for i in range(12))  # 10 shingles
+    host = " ".join(f"body{i}" for i in range(80)) + " " + quote
+    boiler = "all rights reserved by the license holder of record"
+    rows = [
+        (0, quote),
+        (1, host),
+        # 20 docs sharing ONLY the boilerplate line (df=22 > cap=16):
+        # no rare shared shingle -> no candidate
+        *[(10 + i, f"unique{i}a unique{i}b unique{i}c " + boiler) for i in range(20)],
+        (99, boiler),  # boilerplate-only doc: also unpaired
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = containment_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(0, 1)]
+    r = out[0]
+    assert r["na"] == 10 and r["cont_e6"] == 1_000_000  # quote fully contained
+    assert r["shared"] == 10
+    # the same pair is invisible to Jaccard at the dedup threshold
+    j = jaccard_pairs(docs, min_j_e6=200_000).where(
+        "doc_a = 0 and doc_b = 1"
+    ).count()
+    assert j == 0
+
+
+def test_source_mixture_weights(spark, tmp_path):
+    """text_source_mixture: exact token counts per source, shares sum
+    to ~1, and the uniform-target weight inverts the share (a source
+    with half the tokens gets twice the multiplier)."""
+    from denrl_spark.plans.driver_queries import text_source_mixture
+
+    rows = [
+        (0, "a b c d", "web", "x", 1),      # 4 tokens
+        (1, "e f g h", "web", "x", 1),      # 4 tokens
+        (2, "i j", "books", "x", 1),        # 2 tokens
+        (3, "k l", "books", "x", 1),        # 2 tokens
+        (4, "m n o p", "code", "x", 1),     # 4 tokens
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r["source"]: r for r in text_source_mixture(spark, sf).collect()}
+    assert out["web"]["n_tokens"] == 8 and out["books"]["n_tokens"] == 4
+    assert sum(r["share_e6"] for r in out.values()) in range(999_998, 1_000_001)
+    # total=16, 3 sources: weight = 1e6 * 16 / (3 * n_tokens)
+    assert out["web"]["weight_e6"] == 666_666
+    assert out["books"]["weight_e6"] == 1_333_333
+    assert out["code"]["weight_e6"] == 1_333_333  # also 4 tokens
+    # the half-share source gets exactly twice the multiplier
+    assert out["books"]["weight_e6"] // 2 - out["web"]["weight_e6"] in (0, -1, 1)
