@@ -794,3 +794,80 @@ def clustering_coefficients(edges: DataFrame, src: str = "src_surface",
             ).alias("cc_u6"),
         )
     )
+
+
+def random_walks(edges: DataFrame, walk_len: int = 8,
+                 src: str = "src_surface", dst: str = "dst_surface") -> DataFrame:
+    """Deterministic DeepWalk corpus generation (Perozzi et al. 2014):
+    one walk of ``walk_len`` steps from EVERY vertex of the undirected
+    canonical graph, returning (start, step, surface) rows — the
+    random-walk "sentences" a skip-gram graph-embedding trainer
+    consumes. The reference materializes the triple/edge tables only;
+    walk-corpus generation is the immediate next stage of any
+    KG-embedding pipeline over them.
+
+    Determinism (the property that makes this hash-oracle-able AND
+    restart-idempotent at scale): the step-t transition from node u on
+    the walk started at s picks neighbor index
+    md5_48("s|t|u") mod deg(u) into the NEIGHBOR LIST SORTED BY
+    SURFACE — a hash-seeded choice, not an RNG, so both engines (and
+    any re-run after a failure) derive the identical corpus. Hash
+    quality stands in for uniformity exactly as in kg_edge_negatives
+    (same 48-bit md5-prefix family, same documented modulo bias).
+
+    Shape: the adjacency is aggregated ONCE into per-node sorted
+    neighbor arrays (one shuffle; rank assignment needs no window — the
+    array IS the rank order), then each of the walk_len rounds is one
+    equi-join of the V-row frontier against the V-row adjacency +
+    element_at: L joins of V rows total, never an E-row per-step
+    filter. Hub vertices make wide arrays (data skew, not compute
+    skew); at true web scale the standard move is capping the stored
+    neighbor list per node (uniform hash-sample of the adjacency),
+    which changes the walk distribution the same bounded way the LSH
+    bucket cap changes recall — documented, not silent. Driver-looped
+    lazy plans with per-round localCheckpoint (O(1) lineage, same
+    discipline as pagerank/bfs)."""
+    und = undirected_edges(edges, src, dst)
+    adj = (
+        und.unionByName(
+            und.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+        )
+        .groupBy(F.col("va").alias("node"))
+        .agg(F.array_sort(F.collect_set("vb")).alias("nbrs"))
+        .localCheckpoint()
+    )
+    cur = adj.select(F.col("node").alias("start"), F.col("node").alias("cur"))
+    out = cur.select(
+        "start", F.lit(0).cast("bigint").alias("step"),
+        F.col("cur").alias("surface"),
+    ).localCheckpoint()
+    for t in range(1, walk_len + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("start"), F.lit(str(t)), F.col("cur")
+                        )
+                    ),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("long")
+            % F.size("nbrs")
+        ).cast("int")
+        cur = (
+            cur.join(adj, cur.cur == adj.node)
+            .select(
+                "start",
+                F.element_at("nbrs", pick + 1).alias("cur"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            cur.select(
+                "start", F.lit(t).cast("bigint").alias("step"),
+                F.col("cur").alias("surface"),
+            )
+        )
+    return out

@@ -1446,3 +1446,39 @@ def reciprocity_sql(rel: str = "documents") -> str:
         LEFT JOIN e r ON r.pred = e.pred AND r.s = e.d AND r.d = e.s
         GROUP BY 1
     """
+
+
+def random_walks_sql(rel: str = "documents", walk_len: int = 8) -> str:
+    """graph_analytics.random_walks twin: the fixed-length walk loop
+    unrolled into chained CTEs w0..w{L}. Both engines index the SAME
+    sorted-distinct neighbor list with the SAME 48-bit md5-prefix
+    picker (hash-seeded transition, not an RNG), so the corpora are
+    identical row-for-row. DuckDB lists are 1-based like Spark
+    element_at; list(DISTINCT nbr ORDER BY nbr) mirrors
+    array_sort(collect_set(nbr)) under binary string collation."""
+    steps = []
+    for t in range(1, walk_len + 1):
+        steps.append(f"""
+        w{t} AS MATERIALIZED (
+          SELECT w.start,
+                 a.nbrs[CAST(CAST(('0x' || substr(md5(
+                     w.start || '|' || '{t}' || '|' || w.cur), 1, 12))
+                   AS BIGINT) % len(a.nbrs) + 1 AS INT)] AS cur
+          FROM w{t - 1} w JOIN adj a ON a.node = w.cur)""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT start, CAST({t} AS BIGINT) AS step, cur AS surface FROM w{t}"
+        for t in range(0, walk_len + 1)
+    )
+    return f"""
+        WITH {_edges_cte(rel)},
+        {_und_cte(materialized=True)},
+        both_dirs AS (
+          SELECT va AS node, vb AS nbr FROM u
+          UNION ALL SELECT vb, va FROM u),
+        adj AS MATERIALIZED (
+          SELECT node, list(DISTINCT nbr ORDER BY nbr) AS nbrs
+          FROM both_dirs GROUP BY 1),
+        w0 AS (SELECT node AS start, node AS cur FROM adj),
+        {",".join(steps)}
+        {unions}
+    """

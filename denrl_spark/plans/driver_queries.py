@@ -470,6 +470,20 @@ def kg_communities(spark, sf_dir):
     return label_propagation(docs_kg.edges_by_doc(spark, sf_dir), rounds=4)
 
 
+@_q("kg_random_walks", docs_kg.random_walks_sql())
+def kg_random_walks(spark, sf_dir):
+    """DeepWalk corpus generation: one 8-step hash-seeded walk from
+    every vertex of the undirected canonical graph — the random-walk
+    "sentences" a skip-gram KG-embedding trainer consumes, made
+    deterministic (md5-picked neighbor index into the sorted adjacency
+    list) so the corpus is hash-oracle-able and restart-idempotent.
+    One adjacency-array aggregation + 8 V-row equi-joins; the unrolled
+    CTE twin runs the identical recurrence."""
+    from denrl_spark.operators.graph_analytics import random_walks
+
+    return random_walks(docs_kg.edges_by_doc(spark, sf_dir))
+
+
 @_q("kg_sssp", docs_kg.sssp_sql())
 def kg_sssp(spark, sf_dir):
     """Weighted shortest paths from the minimum vertex surface:

@@ -636,3 +636,48 @@ def test_hits_plan_has_no_single_partition(edges):
 
     plan = hits_scores(edges, rounds=1)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_random_walks_match_python_transcription(edges):
+    """random_walks vs a direct Python transcription of the rule:
+    step-t choice from u on the walk started at s is
+    md5_48("s|t|u") mod deg(u) into the sorted neighbor list. Also:
+    every consecutive pair is a real undirected edge, every vertex
+    starts exactly one walk, every walk has walk_len+1 steps (the
+    gadget graph has no isolated vertices)."""
+    import hashlib
+    from collections import defaultdict
+
+    from denrl_spark.operators.graph_analytics import random_walks
+
+    L = 8
+    got = random_walks(edges, walk_len=L).collect()
+
+    nbrs = defaultdict(set)
+    for s, _, o, _ in EDGES:
+        if s != o:
+            nbrs[s].add(o)
+            nbrs[o].add(s)
+    adj = {v: sorted(ns) for v, ns in nbrs.items()}
+
+    def pick(start, t, cur):
+        h = int(hashlib.md5(f"{start}|{t}|{cur}".encode()).hexdigest()[:12], 16)
+        return adj[cur][h % len(adj[cur])]
+
+    expect = set()
+    for v in adj:
+        cur = v
+        expect.add((v, 0, v))
+        for t in range(1, L + 1):
+            cur = pick(v, t, cur)
+            expect.add((v, t, cur))
+
+    assert {(r["start"], r["step"], r["surface"]) for r in got} == expect
+    assert len(got) == len(adj) * (L + 1)
+    # consecutive steps ride real edges
+    by_walk = defaultdict(dict)
+    for r in got:
+        by_walk[r["start"]][r["step"]] = r["surface"]
+    for start, steps in by_walk.items():
+        for t in range(1, L + 1):
+            assert steps[t] in adj[steps[t - 1]]
