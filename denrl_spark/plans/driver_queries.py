@@ -816,6 +816,31 @@ def text_langid(spark, sf_dir):
 
 
 @_q(
+    "text_quality_linear",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    scored AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(CAST(('0x' || substr(md5(tok || '|w'), 1, 12))
+                           AS BIGINT) % 2001 - 1000) AS BIGINT) AS score
+      FROM t GROUP BY 1)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, score,
+           CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM scored
+    """,
+)
+def text_quality_linear(spark, sf_dir):
+    """Frozen-hash linear bag-of-words quality classifier (the
+    fastText-filter slot of CCNet/DCLM-style curation; frozen hash
+    weights stand in for the untrainable checkpoint — see
+    textops.hash_linear_score). Spark folds the score inside the scan
+    stage (HOF aggregate over split, no explode/shuffle/UDF); the twin
+    unnest+group-sums the same integer weights."""
+    return textops.hash_linear_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "text_fingerprint",
     """
     WITH t AS (

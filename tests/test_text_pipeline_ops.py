@@ -421,3 +421,27 @@ def test_source_mixture_weights(spark, tmp_path):
     assert out["code"]["weight_e6"] == 1_333_333  # also 4 tokens
     # the half-share source gets exactly twice the multiplier
     assert out["books"]["weight_e6"] // 2 - out["web"]["weight_e6"] in (0, -1, 1)
+
+
+def test_hash_linear_score_transcription_and_plan(spark):
+    """hash_linear_score equals a direct Python transcription of the
+    frozen-hash weight rule, and its plan has no shuffle (the fold
+    happens in the scan stage)."""
+    import hashlib
+
+    from denrl_spark.functions.textops import hash_linear_score
+
+    def w(tok):
+        return int(hashlib.md5(f"{tok}|w".encode()).hexdigest()[:12], 16) % 2001 - 1000
+
+    rows = [(0, "alpha beta gamma"), (1, "alpha"), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in hash_linear_score(docs).collect()}
+    for did, text in rows:
+        toks = text.split(" ")
+        exp = sum(w(t) for t in toks)
+        assert out[did]["score"] == exp
+        assert out[did]["n_tokens"] == len(toks)
+        assert out[did]["keep"] == int(exp >= 0)
+    plan = hash_linear_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
