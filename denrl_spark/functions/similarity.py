@@ -254,6 +254,129 @@ def quantize_int8(
     )
 
 
+def pq_codes(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011) — the
+    compression stage of an IVF-PQ index, the standard way a 100 TB
+    embedding table actually ships to serving: the vector splits into
+    ``n_sub`` subspaces and each sub-vector stores only the id of its
+    nearest sub-codebook centroid (64 dims x float32 -> n_sub bytes,
+    32x smaller than quantize_int8's output). Returns one row per
+    (vec_id, sub) with the assigned ``code`` and the subspace
+    quantization error ``dist_e6`` (floor(1e6 * squared L2)).
+
+    Codebooks are the HASH-ORDERED CORPUS SAMPLE (sub-vectors of the
+    same md5-ordered sample ivf_topk uses for centroids) rather than
+    Lloyd-trained — the deterministic zero-training pick that makes
+    the operator cross-engine hash-oracle-able; kmeans_centroids shows
+    the refinement loop and drops in per-subspace the same way. ADC
+    search (query-to-codebook lookup tables + code-indexed sums) is
+    the natural consumer and reuses these rows as-is.
+
+    Shape: the codebook is n_sub x n_codes x (dim/n_sub) literals
+    broadcast as a tiny frame; assignment is explode(n_sub) + an
+    equi-join on ``sub`` + a map-side-combined min(struct(dist, code))
+    groupBy — n_sub * n_codes arithmetic rows per vector, no window,
+    no shuffle beyond the vec-key groupBy, all JVM. Distances are
+    fixed-order index sums of doubles, so both engines produce
+    bit-identical values (IEEE)."""
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    samp = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_codes)
+        .collect()
+    )
+    if not samp:
+        return spark.createDataFrame(
+            [], "vec_id long, sub int, code int, dist_e6 bigint"
+        )
+    dim = len(samp[0]["v"])
+    d_sub = dim // n_sub
+    book = [
+        (m, c, [float(x) for x in r["v"][m * d_sub : (m + 1) * d_sub]])
+        for m in range(n_sub)
+        for c, r in enumerate(samp)
+    ]
+    cdf = F.broadcast(
+        spark.createDataFrame(book, "sub int, code int, cv array<double>")
+    )
+    subs = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+        F.col("v"),
+    ).select(
+        "vec_id", "sub",
+        F.slice("v", F.col("sub") * d_sub + 1, d_sub).alias("sv"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        subs.join(cdf, "sub")
+        .select("vec_id", "sub", F.struct(dist.alias("d"), F.col("code")).alias("dc"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min("dc").alias("dc"))
+    )
+    return best.select(
+        "vec_id",
+        "sub",
+        F.col("dc.code").alias("code"),
+        F.floor(1_000_000 * F.col("dc.d")).cast("bigint").alias("dist_e6"),
+    )
+
+
+def pq_codes_sql(
+    rel: str = "embeddings", n_sub: int = 8, n_codes: int = 8, dim: int = 64
+) -> str:
+    """DuckDB twin of pq_codes: same md5-ordered sample codebook, same
+    fixed-order squared-L2 index sums, same (dist, code) lexicographic
+    argmin (min over a packed struct mirrors Spark's min(struct))."""
+    d_sub = dim // n_sub
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {rel}),
+        samp AS (
+          SELECT v, CAST(row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+                 AS code
+          FROM (SELECT * FROM e
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {n_codes})),
+        book AS (
+          SELECT m.sub, samp.code,
+                 list_transform(range(1, {d_sub} + 1),
+                                i -> samp.v[m.sub * {d_sub} + i]) AS cv
+          FROM samp, (SELECT unnest(range(0, {n_sub})) AS sub) m),
+        subs AS (
+          SELECT vec_id, m.sub,
+                 list_transform(range(1, {d_sub} + 1),
+                                i -> v[m.sub * {d_sub} + i]) AS sv
+          FROM e, (SELECT unnest(range(0, {n_sub})) AS sub) m),
+        scored AS (
+          SELECT s.vec_id, s.sub, b.code,
+                 list_sum(list_transform(range(1, {d_sub} + 1),
+                   i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS d
+          FROM subs s JOIN book b ON b.sub = s.sub),
+        best AS (
+          SELECT vec_id, sub, min(struct_pack(d := d, code := code)) AS dc
+          FROM scored GROUP BY 1, 2)
+        SELECT vec_id, CAST(sub AS INT) AS sub,
+               CAST(dc.code AS INT) AS code,
+               CAST(floor(1000000 * dc.d) AS BIGINT) AS dist_e6
+        FROM best
+    """
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_centroids: int = 8,

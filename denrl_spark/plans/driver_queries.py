@@ -1723,6 +1723,19 @@ def sim_quantize_int8(spark, sf_dir):
     ).select("vec_id", "scale_e9", "dim", F.col("qval").cast("bigint").alias("qval"))
 
 
+@_q("sim_pq_codes", similarity.pq_codes_sql())
+def sim_pq_codes(spark, sf_dir):
+    """Product-quantization encode (the IVF-PQ compression stage —
+    vectors stored as n_sub one-byte codes, 32x smaller than int8):
+    per (vec_id, sub), the nearest sub-codebook centroid id and exact
+    integer-floored squared-L2 quantization error. Codebooks are the
+    deterministic md5-ordered corpus sample (the ivf_topk discipline:
+    the zero-training pick is the hash-oracle-able one; Lloyd
+    refinement drops in per subspace via kmeans_centroids). Broadcast
+    codebook join + min(struct) groupBy, no window, all JVM."""
+    return similarity.pq_codes(_t(spark, sf_dir, "embeddings"))
+
+
 @_q(
     "rel_weighted_sample",
     """

@@ -254,3 +254,48 @@ def test_semantic_dedup_keep_list_clusters(spark, tmp_path):
     for i in (6, 7, 8):
         assert out[i]["rep_vec_id"] == i and out[i]["is_rep"] == 1
     assert [out[i]["is_rep"] for i in range(6)] == [1, 0, 0, 1, 0, 0]
+
+
+def test_pq_codes_match_numpy_transcription(spark):
+    """pq_codes vs a direct numpy transcription: same md5-ordered
+    sample codebook, per-subspace squared-L2 argmin with (dist, code)
+    tie-break, exact floored errors; every vector emits exactly n_sub
+    rows and codes index the real codebook."""
+    import hashlib
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(DIM)]) for i in range(30)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from denrl_spark.functions.similarity import pq_codes
+
+    got = pq_codes(e).collect()
+    n_sub, n_codes, d_sub = 8, 8, DIM // 8
+
+    vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rows}
+    order = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    book = [vecs[i] for i in order[:n_codes]]
+
+    expect = {}
+    for i, v in vecs.items():
+        for m in range(n_sub):
+            sv = v[m * d_sub : (m + 1) * d_sub]
+            dists = [float(((sv - b[m * d_sub : (m + 1) * d_sub]) ** 2).sum())
+                     for b in book]
+            code = min(range(n_codes), key=lambda c: (dists[c], c))
+            expect[(i, m)] = (code, int(np.floor(1_000_000 * dists[code])))
+
+    assert len(got) == len(vecs) * n_sub
+    for r in got:
+        code, dist = expect[(r["vec_id"], r["sub"])]
+        assert (r["code"], r["dist_e6"]) == (code, dist), (r, code, dist)
+    # sampled codebook members encode themselves exactly in every subspace
+    for i in order[:n_codes]:
+        own = [r for r in got if r["vec_id"] == i]
+        assert all(r["dist_e6"] == 0 for r in own)
+
+
+def test_pq_codes_empty_corpus(spark):
+    from denrl_spark.functions.similarity import pq_codes
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert pq_codes(e).count() == 0
