@@ -336,15 +336,112 @@ def pq_codes(
     )
 
 
-def pq_codes_sql(
-    rel: str = "embeddings", n_sub: int = 8, n_codes: int = 8, dim: int = 64
-) -> str:
-    """DuckDB twin of pq_codes: same md5-ordered sample codebook, same
-    fixed-order squared-L2 index sums, same (dist, code) lexicographic
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_pred: str = "vec_id < 8",
+    k: int = 3,
+    n_sub: int = 8,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus —
+    the search half of IVF-PQ: each query builds an n_sub x n_codes
+    lookup table of exact sub-distances to the codebook, and a
+    candidate's approximate distance is the SUM OF TABLE LOOKUPS
+    indexed by its stored codes; the original vectors are never read
+    at query time. Returns (query_id, rank, neighbor_id, adist_e6),
+    rank by (adist asc, neighbor_id).
+
+    Determinism: each LUT entry is floored to integer e6 units BEFORE
+    the per-candidate sum, so the aggregate is an associative integer
+    sum (the float-order trap the unigram LM also avoids) and both
+    engines agree exactly. Approximation contract: adist is the
+    standard PQ distance bound — exact per-subspace distance to the
+    QUANTIZED candidate, not to the original vector (recall vs the
+    exact scan is the codebook's property, measured in tests).
+
+    Shape at 100 TB: ONE scan of the codes table (n_sub rows — really
+    n_sub BYTES — per vector), a broadcast LUT join (|queries| x n_sub
+    x n_codes rows), one map-side-combined (query, candidate) sum, one
+    per-query top-k window over Q partitions. The full-precision
+    corpus stays on disk; this is exactly why serving indexes ship
+    PQ."""
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    samp = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_codes)
+        .collect()
+    )
+    if not samp:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, adist_e6 bigint"
+        )
+    dim = len(samp[0]["v"])
+    d_sub = dim // n_sub
+    book = [
+        (m, c, [float(x) for x in r["v"][m * d_sub : (m + 1) * d_sub]])
+        for m in range(n_sub)
+        for c, r in enumerate(samp)
+    ]
+    cdf = F.broadcast(
+        spark.createDataFrame(book, "sub int, code int, cv array<double>")
+    )
+    codes = pq_codes(embeddings, n_sub, n_codes, id_col, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"), "sub", "code"
+    )
+    qsubs = (
+        e.where(query_pred)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+            "v",
+        )
+        .select(
+            "query_id", "sub",
+            F.slice("v", F.col("sub") * d_sub + 1, d_sub).alias("sv"),
+        )
+    )
+    sq_l2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qsubs.join(cdf, "sub").select(
+        "query_id", "sub", "code",
+        F.floor(1_000_000 * sq_l2).cast("long").alias("pd_e6"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd_e6").alias("adist_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_e6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"),
+            "neighbor_id", "adist_e6",
+        )
+    )
+
+
+def _pq_ctes(rel: str, n_sub: int, n_codes: int, dim: int) -> str:
+    """Shared CTE body (e, samp, book, subs, scored, best) for the PQ
+    twins: md5-ordered sample codebook, per-subspace slices,
+    fixed-order squared-L2 index sums, (dist, code) lexicographic
     argmin (min over a packed struct mirrors Spark's min(struct))."""
     d_sub = dim // n_sub
     return f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {rel}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {rel}),
         samp AS (
           SELECT v, CAST(row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
@@ -352,7 +449,7 @@ def pq_codes_sql(
           FROM (SELECT * FROM e
                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
                 LIMIT {n_codes})),
-        book AS (
+        book AS MATERIALIZED (
           SELECT m.sub, samp.code,
                  list_transform(range(1, {d_sub} + 1),
                                 i -> samp.v[m.sub * {d_sub} + i]) AS cv
@@ -369,11 +466,63 @@ def pq_codes_sql(
           FROM subs s JOIN book b ON b.sub = s.sub),
         best AS (
           SELECT vec_id, sub, min(struct_pack(d := d, code := code)) AS dc
-          FROM scored GROUP BY 1, 2)
+          FROM scored GROUP BY 1, 2)"""
+
+
+def pq_codes_sql(
+    rel: str = "embeddings", n_sub: int = 8, n_codes: int = 8, dim: int = 64
+) -> str:
+    """DuckDB twin of pq_codes (see _pq_ctes)."""
+    return f"""
+        WITH {_pq_ctes(rel, n_sub, n_codes, dim)}
         SELECT vec_id, CAST(sub AS INT) AS sub,
                CAST(dc.code AS INT) AS code,
                CAST(floor(1000000 * dc.d) AS BIGINT) AS dist_e6
         FROM best
+    """
+
+
+def pq_adc_sql(
+    rel: str = "embeddings",
+    query_pred: str = "vec_id < 8",
+    k: int = 3,
+    n_sub: int = 8,
+    n_codes: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of pq_adc_topk: same codes (shared _pq_ctes), same
+    per-entry integer-floored LUT, associative integer sums, same
+    (adist, neighbor) rank order."""
+    d_sub = dim // n_sub
+    return f"""
+        WITH {_pq_ctes(rel, n_sub, n_codes, dim)},
+        codes AS (SELECT vec_id AS neighbor_id, sub, dc.code AS code FROM best),
+        qsubs AS (
+          SELECT vec_id AS query_id, m.sub,
+                 list_transform(range(1, {d_sub} + 1),
+                                i -> v[m.sub * {d_sub} + i]) AS sv
+          FROM e, (SELECT unnest(range(0, {n_sub})) AS sub) m
+          WHERE {query_pred}),
+        lut AS (
+          SELECT s.query_id, s.sub, b.code,
+                 CAST(floor(1000000 * list_sum(list_transform(
+                   range(1, {d_sub} + 1),
+                   i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))))
+                 AS BIGINT) AS pd_e6
+          FROM qsubs s JOIN book b ON b.sub = s.sub),
+        adc_scored AS (
+          SELECT l.query_id, c.neighbor_id,
+                 CAST(sum(l.pd_e6) AS BIGINT) AS adist_e6
+          FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+          WHERE l.query_id <> c.neighbor_id
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbor_id, adist_e6,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY adist_e6 ASC, neighbor_id ASC) AS INT) AS rank
+          FROM adc_scored)
+        SELECT query_id, rank, neighbor_id, adist_e6
+        FROM ranked WHERE rank <= {k}
     """
 
 

@@ -1736,6 +1736,19 @@ def sim_pq_codes(spark, sf_dir):
     return similarity.pq_codes(_t(spark, sf_dir, "embeddings"))
 
 
+@_q("sim_pq_adc", similarity.pq_adc_sql())
+def sim_pq_adc(spark, sf_dir):
+    """ADC top-k search over the PQ-compressed corpus (the search half
+    of IVF-PQ): per-query lookup tables of exact sub-distances to the
+    codebook, candidate distance = integer sum of LUT entries indexed
+    by stored codes — one scan of the n_sub-bytes-per-vector codes
+    table, broadcast LUT join, map-side-combined sum; full-precision
+    vectors never read at query time. LUT entries are floored to
+    integers BEFORE summation so the aggregate is associative and the
+    engines agree exactly."""
+    return similarity.pq_adc_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @_q(
     "rel_weighted_sample",
     """
