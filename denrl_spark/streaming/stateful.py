@@ -18,7 +18,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
@@ -85,4 +85,86 @@ def running_conv_stats(stream: DataFrame, kb: KB | None = None) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+PACK_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", IntegerType()),
+        StructField("bin_idx", LongType()),
+        StructField("offset_tokens", LongType()),
+    ]
+)
+# used = -1 encodes "no bin opened yet" (NextFitPacker.used is None)
+PACK_STATE_SCHEMA = StructType(
+    [StructField("bin_idx", LongType()), StructField("used", LongType())]
+)
+
+
+def stream_pack_sequences(
+    docs_stream: DataFrame, capacity: int = 128, n_shards: int = 64
+) -> DataFrame:
+    """Streaming sequence packing: the cross-batch twin of
+    operators.packing.pack_sequences — curated documents arriving on a
+    stream are appended to fixed-capacity training bins CONTINUOUSLY,
+    with the open bin of every shard carried across micro-batches in
+    the state store. The placement recurrence is the SAME NextFitPacker
+    the batch operator and the property tests drive, so
+    streaming == batch equality is structural, not coincidental.
+
+    State per shard is two longs (open bin index, tokens used) —
+    O(n_shards) total regardless of corpus size; the per-micro-batch
+    group frame is bounded by the batch, so the unbounded-per-key
+    concat the BATCH packer avoids with mapInPandas cannot occur here
+    (each micro-batch's rows per shard stream through one call).
+
+    Ordering contract (any online packer's): rows are placed in doc_id
+    order WITHIN each micro-batch, and equality with the one-shot batch
+    packing additionally requires doc_id-increasing arrival across
+    batches — the natural order of a curation pipeline draining
+    upstream shards; out-of-order delivery changes bin assignments the
+    same way it would change any append-only layout."""
+    from denrl_spark.operators.packing import NextFitPacker
+
+    d = docs_stream.select(
+        F.pmod("doc_id", F.lit(n_shards)).cast("long").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (shard,) = key
+        packer = NextFitPacker(capacity)
+        if state.exists:
+            bin_idx, used = state.get
+            packer.bin_idx = int(bin_idx)
+            packer.used = None if used < 0 else int(used)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values("doc_id", ignore_index=True)
+            bins, offs = [], []
+            for n in pdf["n_tokens"]:
+                b, off = packer.place(int(n))
+                bins.append(b)
+                offs.append(off)
+            pdf["bin_idx"] = bins
+            pdf["offset_tokens"] = offs
+        state.update(
+            (packer.bin_idx, -1 if packer.used is None else packer.used)
+        )
+        if len(pdf):
+            yield pdf[
+                ["shard", "doc_id", "n_tokens", "bin_idx", "offset_tokens"]
+            ]
+
+    return d.groupBy("shard").applyInPandasWithState(
+        update,
+        PACK_OUT_SCHEMA,
+        PACK_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )

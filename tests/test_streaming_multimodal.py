@@ -789,3 +789,54 @@ def test_stream_windowed_edges_view_equals_batch(spark, transcript_dir, tmp_path
     # compaction folds the sents part too and preserves the view
     assert compact_graph_deltas(spark, sink) > 0
     assert view_rows() == expect
+
+
+def test_stream_pack_sequences_matches_batch(spark, tmp_path):
+    """Streaming packing == one-shot batch packing when docs arrive in
+    doc_id order across micro-batches: three sequential file drops form
+    three real micro-batches (processAllAvailable between writes), bins
+    straddle the batch boundaries via the state store, and the final
+    assignment table equals operators.packing.pack_sequences row-for-row."""
+    from denrl_spark.operators.packing import pack_sequences
+    from denrl_spark.streaming.stateful import stream_pack_sequences
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (i, " ".join("w" for _ in range(int(rng.randint(1, 40)))))
+        for i in range(90)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = sorted(
+        map(tuple, pack_sequences(docs, capacity=64, n_shards=4).collect())
+    )
+
+    d = str(tmp_path / "pack_in")
+    stream_schema = "doc_id long, text string"
+    # drop chunk 0 BEFORE starting so the dir exists with a schema
+    chunks = [rows[:30], rows[30:60], rows[60:]]
+    spark.createDataFrame(chunks[0], stream_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+
+    stream = spark.readStream.schema(stream_schema).parquet(d)
+    out = stream_pack_sequences(stream, capacity=64, n_shards=4)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("pack_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for chunk in chunks[1:]:
+            spark.createDataFrame(chunk, stream_schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            q.processAllAvailable()
+        got = sorted(
+            map(tuple, spark.sql("SELECT * FROM pack_out").collect())
+        )
+        assert len(q.recentProgress) >= 3  # really ran as multiple batches
+        assert got == expect
+    finally:
+        q.stop()
