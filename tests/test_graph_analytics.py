@@ -681,3 +681,13 @@ def test_random_walks_match_python_transcription(edges):
     for start, steps in by_walk.items():
         for t in range(1, L + 1):
             assert steps[t] in adj[steps[t - 1]]
+
+
+def test_partition_invariance_random_walks(edges, spark):
+    """random_walks is a pure function of the edge set (hash-seeded
+    transitions, sorted adjacency): repartitioning changes nothing."""
+    from denrl_spark.operators.graph_analytics import random_walks
+
+    a = sorted(map(tuple, random_walks(edges, walk_len=4).collect()))
+    b = sorted(map(tuple, random_walks(edges.repartition(7), walk_len=4).collect()))
+    assert a == b and len(a) > 0

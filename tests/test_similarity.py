@@ -354,3 +354,14 @@ def test_pq_adc_matches_numpy_transcription_and_recall(spark, clustered):
         true_nn = exact[0][1]
         hits += any(n == true_nn for _, n, _ in got[q])
     assert hits >= 6  # >= 0.75 recall@3 for the true NN under 8x compression
+
+
+def test_pq_partition_invariance(spark, clustered):
+    """pq_codes / pq_adc_topk are pure functions of the vector set."""
+    from denrl_spark.functions.similarity import pq_adc_topk, pq_codes
+
+    sh = clustered.repartition(7)
+    for op in (pq_codes, pq_adc_topk):
+        a = sorted(map(tuple, op(clustered).collect()))
+        b = sorted(map(tuple, op(sh).collect()))
+        assert a == b and len(a) > 0, op.__name__

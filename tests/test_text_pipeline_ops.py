@@ -445,3 +445,38 @@ def test_hash_linear_score_transcription_and_plan(spark):
         assert out[did]["keep"] == int(exp >= 0)
     plan = hash_linear_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_curation_pipeline_composes(spark, tmp_path):
+    """End-to-end curation composition over one corpus: model-based
+    quality keep -> near-dup keep-list -> intersection -> mixture
+    weights on the survivors -> sequence packing. Asserts the stage
+    CONTRACTS compose (ids flow through, no schema friction) and each
+    stage only ever shrinks the survivor set."""
+    from denrl_spark.functions.textops import hash_linear_score, near_dup_clusters
+    from denrl_spark.operators.packing import pack_sequences
+    from denrl_spark.plans.driver_queries import text_source_mixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n0 = docs.count()
+
+    kept_q = hash_linear_score(docs).where("keep = 1").select("doc_id")
+    n1 = kept_q.count()
+    assert 0 < n1 <= n0
+
+    reps = near_dup_clusters(docs).where("is_rep").select("doc_id")
+    survivors = docs.join(kept_q, "doc_id").join(reps, "doc_id")
+    n2 = survivors.count()
+    assert 0 < n2 <= n1
+
+    sf = str(tmp_path)
+    survivors.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    mix = text_source_mixture(spark, sf)
+    rows = mix.collect()
+    assert {r["source"] for r in rows} == {
+        r["source"] for r in survivors.select("source").distinct().collect()
+    }
+    assert sum(r["share_e6"] for r in rows) <= 1_000_000
+
+    packed = pack_sequences(survivors, capacity=128, n_shards=4)
+    assert packed.count() == n2  # every survivor lands in exactly one bin slot
