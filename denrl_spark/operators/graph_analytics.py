@@ -871,3 +871,170 @@ def random_walks(edges: DataFrame, walk_len: int = 8,
             )
         )
     return out
+
+
+_BATCH_STEPS = 3  # scc: propagation pushes fused per checkpoint/count
+
+
+def scc(edges: DataFrame, src: str = "src_surface", dst: str = "dst_surface",
+        max_outer: int = 20, max_iter: int = 40) -> DataFrame:
+    """Strongly connected components of the DIRECTED canonical graph:
+    (surface, scc_id, scc_size) with scc_id = min surface of the
+    component (deterministic). The directed counterpart of
+    ``components``: a KG cycle (a SCC with >1 vertex) is a mutual-
+    assertion cluster — "A part_of B" and "B part_of A" extracted from
+    different turns — and SCC condensation is the standard pass that
+    exposes them before any DAG-shaped downstream consumer (taxonomy
+    induction, topological ordering, cycle-safe transitive rollups).
+
+    Algorithm: iterative forward-max coloring + backward collection
+    (Orzan 2004 / the FB-coloring family — the label-propagation SCC
+    used by distributed graph systems; no pivot randomness, so the
+    output is engine-independent):
+
+    1. color c(v) = MAX vertex id that reaches v (forward max-label
+       propagation to fixpoint — same shape as components' min-label
+       loop but along edge direction);
+    2. roots are vertices with c(v) == v; for a root r,
+       SCC(r) = {v : c(v) == r and v reaches r}, and any v→r path
+       stays inside the color class (if u is on it, r reaches u via v's
+       witness and u reaches r, so c(u) == r) — so the collection step
+       is a backward reachability restricted to same-color endpoints;
+    3. peel the collected SCCs off and repeat on the remainder.
+
+    Every step is an equi-join + map-side-combinable agg over (V + E)
+    rows; rounds are driver-looped over lazy plans with an eager
+    localCheckpoint per round (O(1) lineage, the pagerank/bfs
+    discipline) and exact changed-row / growth counts as convergence
+    fingerprints; ``_BATCH_STEPS`` propagation pushes are fused per
+    materialization, so the blocking-action count (the dominant cost
+    of a driver loop on small graphs) is diameter/3, not diameter.
+    ``max_iter`` bounds the BATCHED rounds per inner fixpoint (i.e. a
+    diameter of max_iter * _BATCH_STEPS); ``max_outer`` bounds the
+    peeling depth (worst case: a
+    path graph numbered against the max order peels one SCC per round —
+    real KGs peel in a handful). Both guards raise loudly rather than
+    returning a partial condensation. Self-loops are dropped (a
+    self-loop never merges vertices); vertices that appear ONLY in
+    self-loops are absent, as in ``components``."""
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        e0.select(F.col("s").alias("v"))
+        .unionByName(e0.select(F.col("d").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = e0
+    done: DataFrame | None = None
+    for _ in range(max_outer):
+        if verts.limit(1).count() == 0:
+            break
+        # -- 1. forward max-label coloring to fixpoint ----------------
+        # BATCH_STEPS pushes per materialization: lineage stays O(1)
+        # per checkpoint while the blocking-action count (the driver-
+        # loop cost that dominates on small graphs) drops by the batch
+        # factor. The convergence check stays EXACT — no change across
+        # a whole batch implies fixpoint (propagation is monotone).
+        color = verts.withColumn("c", F.col("v")).localCheckpoint()
+        converged = False
+        for _i in range(max_iter):
+            new_color = color
+            for _s in range(_BATCH_STEPS):
+                pushed = (
+                    new_color.join(e, new_color.v == e.s)
+                    .select(F.col("d").alias("v"), "c")
+                )
+                new_color = (
+                    new_color.unionByName(pushed)
+                    .groupBy("v")
+                    .agg(F.max("c").alias("c"))
+                )
+            new_color = new_color.localCheckpoint()
+            n_changed = (
+                new_color.alias("n")
+                .join(color.alias("o"), "v")
+                .where(F.col("n.c") != F.col("o.c"))
+                .count()
+            )
+            color = new_color
+            if n_changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"scc: coloring did not converge in {max_iter} rounds "
+                "(graph diameter exceeds max_iter)"
+            )
+        # -- 2. backward collection within color classes --------------
+        asg = (
+            color.where(F.col("c") == F.col("v"))
+            .select("v", F.col("c").alias("scc_id"))
+            .localCheckpoint()
+        )
+        prev_n = asg.count()
+        converged = False
+        for _i in range(max_iter):
+            new_asg = asg
+            for _s in range(_BATCH_STEPS):
+                cand = (
+                    e.join(new_asg.select(F.col("v").alias("d"), "scc_id"), "d")
+                    .select(F.col("s").alias("v"), "scc_id")
+                    .distinct()
+                )
+                new_asg = (
+                    new_asg.unionByName(
+                        cand.join(color, "v")
+                        .where(F.col("scc_id") == F.col("c"))
+                        .select("v", "scc_id")
+                    )
+                    .distinct()
+                )
+            new_asg = new_asg.localCheckpoint()
+            n = new_asg.count()
+            asg = new_asg
+            if n == prev_n:
+                converged = True
+                break
+            prev_n = n
+        if not converged:
+            raise RuntimeError(
+                f"scc: collection did not converge in {max_iter} rounds"
+            )
+        done = asg if done is None else done.unionByName(asg).localCheckpoint()
+        # -- 3. peel ---------------------------------------------------
+        verts = verts.join(asg, "v", "left_anti").localCheckpoint()
+        e = (
+            e.join(asg.select(F.col("v").alias("s")), "s", "left_anti")
+            .join(asg.select(F.col("v").alias("d")), "d", "left_anti")
+            .select("s", "d")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"scc: peeling did not finish in {max_outer} outer rounds"
+        )
+    if done is None:  # edgeless (after self-loop drop) graph
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [], "surface string, scc_id string, scc_size bigint"
+        )
+    # scc_id = MAX of the component so far (coloring is max-based);
+    # re-key to the MIN member for the components-convention id, and
+    # attach sizes with a map-side-combined agg + equi-join (never a
+    # window over a global sort).
+    rekey = done.groupBy("scc_id").agg(
+        F.min("v").alias("min_id"), F.count(F.lit(1)).alias("scc_size")
+    )
+    return (
+        done.join(rekey, "scc_id")
+        .select(
+            F.col("v").alias("surface"),
+            F.col("min_id").alias("scc_id"),
+            "scc_size",
+        )
+    )

@@ -1482,3 +1482,38 @@ def random_walks_sql(rel: str = "documents", walk_len: int = 8) -> str:
         {",".join(steps)}
         {unions}
     """
+
+
+def scc_sql(rel: str = "documents") -> str:
+    """graph_analytics.scc twin: EXACT strongly connected components by
+    recursive transitive closure — scc_id(v) = min over {v} ∪ {u :
+    v→*u and u→*v}, scc_size = member count. The closure is the
+    semantic SPEC (O(V·E) memory — fine at oracle scale, never the
+    Spark path); the operator's coloring/peeling algorithm must agree
+    with it on every graph. Self-loops dropped and self-loop-only
+    vertices absent, as in the operator. DuckDB's recursive CTE
+    UNION-dedups, so the closure terminates on cyclic graphs."""
+    return f"""
+        WITH RECURSIVE e AS (
+          WITH {_edges_cte(rel)}
+          SELECT DISTINCT src_surface AS s, dst_surface AS d
+          FROM edges WHERE src_surface <> dst_surface),
+        reach(s, d) AS (
+          SELECT s, d FROM e
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d),
+        mutual AS (
+          SELECT r1.s AS v, r1.d AS u
+          FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s),
+        verts AS (
+          SELECT DISTINCT v FROM (
+            SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
+        scc AS (
+          SELECT verts.v AS surface,
+                 least(verts.v, coalesce(min(m.u), verts.v)) AS scc_id
+          FROM verts LEFT JOIN mutual m ON m.v = verts.v
+          GROUP BY 1)
+        SELECT surface, scc_id,
+               count(*) OVER (PARTITION BY scc_id) AS scc_size
+        FROM scc
+    """

@@ -470,6 +470,25 @@ def kg_communities(spark, sf_dir):
     return label_propagation(docs_kg.edges_by_doc(spark, sf_dir), rounds=4)
 
 
+@_q("kg_scc", docs_kg.scc_sql())
+def kg_scc(spark, sf_dir):
+    """Strongly connected components of the DIRECTED canonical graph
+    (surface, scc_id = min member, scc_size): a KG cycle is a
+    mutual-assertion cluster ("A part_of B" and "B part_of A" asserted
+    in different turns), and SCC condensation is the pass that exposes
+    them before any DAG-shaped consumer (taxonomy induction,
+    topological ordering, cycle-safe rollups) — the directed
+    counterpart of kg_components, which cannot see edge direction.
+    Spark side: deterministic forward-max coloring + within-color
+    backward collection + peel (the Orzan/FB-coloring family), all
+    equi-joins and map-side-combined aggs with loud convergence
+    guards; oracle side: EXACT recursive-CTE transitive closure (the
+    semantic spec, never the scale path)."""
+    from denrl_spark.operators.graph_analytics import scc
+
+    return scc(docs_kg.edges_by_doc(spark, sf_dir))
+
+
 @_q("kg_random_walks", docs_kg.random_walks_sql())
 def kg_random_walks(spark, sf_dir):
     """DeepWalk corpus generation: one 8-step hash-seeded walk from
@@ -2144,6 +2163,72 @@ def rel_range_join(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_clicks"),
             F.max("t_click").alias("last_click_t"),
+        )
+    )
+
+
+@_q(
+    "rel_upsert_latest",  # CDC latest-wins compaction with tombstones
+    """
+    WITH log AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+             CASE WHEN event_id % 16 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM events),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY t DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type)
+               AS n_versions
+      FROM log)
+    SELECT user_id, event_type, t AS last_t, v_micro AS last_value_micro,
+           n_versions
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+)
+def rel_upsert_latest(spark, sf_dir):
+    """CDC changelog compaction (the Iceberg/Hudi MERGE-snapshot
+    semantic): the event stream read as an upsert log keyed by
+    (user_id, event_type) with sequence (t, event_id) — every 16th
+    record a tombstone — compacted to the latest-wins current-state
+    table; keys whose LATEST record is a delete vanish. This is the
+    changelog→snapshot pass every incremental table-format pipeline
+    runs at compaction time. Shape: ONE map-side-combinable
+    ``max_by(payload, struct(t, event_id))`` aggregate per key — a
+    single shuffle on the key, no per-key sort and no window over the
+    full log (the oracle's row_number formulation is the semantic
+    spec, not the scale shape; a window would sort every version of
+    every key). Values carried as exact integer micros (floor(v*1e6)
+    — IEEE-identical in both engines); event_id uniqueness makes the
+    winner deterministic."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id", "event_type",
+            F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+            F.floor(F.col("value") * 1000000).cast("bigint").alias("v_micro"),
+        )
+        .withColumn(
+            "op",
+            F.when(F.pmod("event_id", F.lit(16)) == 0, F.lit("D"))
+            .otherwise(F.lit("U")),
+        )
+    )
+    latest = e.groupBy("user_id", "event_type").agg(
+        F.max_by(
+            F.struct("op", "t", "v_micro"), F.struct("t", "event_id")
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    return (
+        latest.where(F.col("m.op") == "U")
+        .select(
+            "user_id", "event_type",
+            F.col("m.t").alias("last_t"),
+            F.col("m.v_micro").alias("last_value_micro"),
+            "n_versions",
         )
     )
 

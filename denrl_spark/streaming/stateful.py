@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -165,6 +166,85 @@ def stream_pack_sequences(
         update,
         PACK_OUT_SCHEMA,
         PACK_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+UPSERT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("last_t", LongType()),
+        StructField("last_value_micro", LongType()),
+        StructField("n_versions", LongType()),
+        StructField("live", BooleanType()),
+    ]
+)
+# the latest-wins winner so far + total version count per key
+UPSERT_STATE_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("event_id", LongType()),
+        StructField("v_micro", LongType()),
+        StructField("op", StringType()),
+        StructField("n_versions", LongType()),
+    ]
+)
+
+
+def stream_upsert_latest(changelog: DataFrame) -> DataFrame:
+    """Incrementally-maintained CDC latest-wins snapshot — the
+    streaming twin of the batch compaction (driver query
+    rel_upsert_latest): a changelog stream with columns (user_id,
+    event_type, t, event_id, v_micro, op) keyed by (user_id,
+    event_type) and sequenced by (t, event_id), maintained as
+    per-key current state across micro-batches via
+    ``applyInPandasWithState``. Each update emits the key's new
+    state; ``live = false`` marks a key whose CURRENT winner is a
+    tombstone (op = 'D') — the consumer's snapshot is the last
+    update per key filtered to live (exactly the batch compaction's
+    output; equality is test-asserted across micro-batch
+    boundaries, including late/out-of-order records, which
+    latest-wins absorbs without a watermark).
+
+    State is O(1) per key (five scalars — the winner, never the
+    log), so the state store scales with DISTINCT live keys, not
+    with changelog volume; batch arrival order inside a micro-batch
+    is irrelevant because the winner is recomputed from the (t,
+    event_id) max, the same total order the batch max_by uses."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        user_id, event_type = key
+        if state.exists:
+            t, eid, v, op, n = state.get
+        else:
+            t, eid, v, op, n = -1, -1, 0, "", 0
+        for pdf in pdfs:
+            n += len(pdf)
+            for r_t, r_eid, r_v, r_op in zip(
+                pdf["t"], pdf["event_id"], pdf["v_micro"], pdf["op"]
+            ):
+                if (int(r_t), int(r_eid)) > (t, eid):
+                    t, eid, v, op = int(r_t), int(r_eid), int(r_v), str(r_op)
+        state.update((t, eid, v, op, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "last_t": [t],
+                "last_value_micro": [v],
+                "n_versions": [n],
+                "live": [op == "U"],
+            }
+        )
+
+    return changelog.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        UPSERT_OUT_SCHEMA,
+        UPSERT_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
     )

@@ -691,3 +691,78 @@ def test_partition_invariance_random_walks(edges, spark):
     a = sorted(map(tuple, random_walks(edges, walk_len=4).collect()))
     b = sorted(map(tuple, random_walks(edges.repartition(7), walk_len=4).collect()))
     assert a == b and len(a) > 0
+
+
+def _scc_bruteforce(pairs):
+    """Exact SCCs by transitive closure: scc_id(v) = min over
+    {v} ∪ {u : v→*u and u→*v}; self-loops dropped, self-loop-only
+    vertices absent (the operator's contract)."""
+    es = {(s, o) for s, o in pairs if s != o}
+    verts = sorted({v for e in es for v in e})
+    reach = {v: {v} for v in verts}
+    changed = True
+    while changed:
+        changed = False
+        for s, o in es:
+            add = reach[o] - reach[s]
+            if add:
+                reach[s] |= add
+                changed = True
+    out = {}
+    for v in verts:
+        mutual = {u for u in reach[v] if v in reach[u]}
+        out[v] = (min(mutual), len(mutual))
+    return {(v, sid, size) for v, (sid, size) in out.items()}
+
+
+def test_scc_matches_bruteforce(edges):
+    """scc on the module fixture (which contains the directed 4-cycle
+    a→b→d→a / a→c→d→a and the dangling tail e→f) vs exact closure."""
+    from denrl_spark.operators.graph_analytics import scc
+
+    got = {(r["surface"], r["scc_id"], r["scc_size"]) for r in scc(edges).collect()}
+    want = _scc_bruteforce({(s, o) for s, _, o, _ in EDGES})
+    assert got == want
+    # the fixture's mutual-assertion cluster is {a,b,c,d}
+    assert {(v, s) for v, s, n in got if n == 4} == {(v, "a") for v in "abcd"}
+
+
+def test_scc_path_graph_peels(spark):
+    """A path numbered AGAINST the max-coloring order (c→b→a) forces
+    one peel per outer round — the coloring algorithm's worst case.
+    All SCCs are singletons."""
+    from denrl_spark.operators.graph_analytics import scc
+
+    g = spark.createDataFrame(
+        [("c", "p", "b", 1), ("b", "p", "a", 1)],
+        "src_surface string, pred string, dst_surface string, n_obs long",
+    )
+    got = {(r["surface"], r["scc_id"], r["scc_size"]) for r in scc(g).collect()}
+    assert got == {("a", "a", 1), ("b", "b", 1), ("c", "c", 1)}
+
+
+def test_scc_two_cycles_bridged(spark):
+    """Two 2-cycles bridged by a one-way edge stay SEPARATE SCCs (the
+    case undirected components merges into one): {a,b} →bridge→ {c,d}."""
+    from denrl_spark.operators.graph_analytics import components, scc
+
+    g = spark.createDataFrame(
+        [("a", "p", "b", 1), ("b", "p", "a", 1),
+         ("b", "p", "c", 1),
+         ("c", "p", "d", 1), ("d", "p", "c", 1)],
+        "src_surface string, pred string, dst_surface string, n_obs long",
+    )
+    got = {(r["surface"], r["scc_id"], r["scc_size"]) for r in scc(g).collect()}
+    assert got == {("a", "a", 2), ("b", "a", 2), ("c", "c", 2), ("d", "c", 2)}
+    # sanity: the undirected view is ONE component — direction is the point
+    comp = {r["component"] for r in components(g).collect()}
+    assert comp == {"a"}
+
+
+def test_scc_partition_invariance(edges):
+    """scc is a pure function of the edge set."""
+    from denrl_spark.operators.graph_analytics import scc
+
+    a = sorted(map(tuple, scc(edges).collect()))
+    b = sorted(map(tuple, scc(edges.repartition(7)).collect()))
+    assert a == b and len(a) > 0

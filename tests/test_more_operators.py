@@ -504,3 +504,68 @@ def test_retention_triangle_semantics(spark, tmp_path):
         (100, 0): 2, (100, 1): 1, (100, 3): 2,
         (101, 0): 1,
     }
+
+
+def test_upsert_latest_compaction(spark, tmp_path):
+    """rel_upsert_latest's CDC semantics on a crafted changelog:
+    latest-wins by (t, event_id), event_id breaks same-second ties, a
+    tombstone (event_id % 16 == 0) as the LATEST record removes the
+    key, an EARLIER tombstone is overwritten by a later upsert, and
+    n_versions counts every record including tombstones."""
+    import datetime
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_upsert_latest
+
+    base = 1_700_000_000
+
+    def ev(eid, uid, off, typ, val):
+        return (
+            eid, datetime.datetime.utcfromtimestamp(base + off),
+            uid, typ, val, "{}",
+        )
+
+    rows = [
+        # u1/view: two upserts -> latest (t=20) wins
+        ev(1, 1, 0, "view", 1.5), ev(2, 1, 20, "view", 2.5),
+        # u2/click: upsert then TOMBSTONE (eid 16) latest -> key vanishes
+        ev(3, 2, 0, "click", 1.0), ev(16, 2, 30, "click", 9.0),
+        # u3/view: tombstone (eid 32) then LATER upsert -> key survives
+        ev(32, 3, 0, "view", 0.0), ev(5, 3, 10, "view", 7.25),
+        # u4/error: same-second tie -> higher event_id wins
+        ev(6, 4, 0, "error", 1.0), ev(7, 4, 0, "error", 2.0),
+    ]
+    d = str(tmp_path / "upsert")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r["user_id"], r["event_type"]):
+            (r["last_t"], r["last_value_micro"], r["n_versions"])
+        for r in rel_upsert_latest(spark, d).collect()
+    }
+    assert got == {
+        (1, "view"): (base + 20, 2_500_000, 2),
+        (3, "view"): (base + 10, 7_250_000, 2),
+        (4, "error"): (base, 2_000_000, 2),
+    }
+
+
+def test_upsert_latest_plan_is_single_agg(spark):
+    """The compaction shuffles ONCE on the key with a PARTIAL max_by
+    before the exchange (only one pre-combined row per key crosses the
+    wire — the window formulation would ship every version and is the
+    shape this operator exists to avoid). Spark executes max_by over a
+    struct ordering as a SortAggregate (partition-LOCAL sort, no extra
+    exchange) — that's fine; a Window over the full changelog is not."""
+    from denrl_spark.plans.driver_queries import rel_upsert_latest
+
+    plan = (
+        rel_upsert_latest(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+    assert plan.count("Exchange") == 1

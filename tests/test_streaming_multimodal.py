@@ -840,3 +840,117 @@ def test_stream_pack_sequences_matches_batch(spark, tmp_path):
         assert got == expect
     finally:
         q.stop()
+
+
+def test_stream_upsert_latest_matches_batch(spark, tmp_path):
+    """Streaming CDC snapshot == batch compaction (rel_upsert_latest)
+    on the same changelog, delivered OUT OF ORDER across three real
+    micro-batches: the per-key winner straddles batch boundaries in
+    the state store, late records with smaller (t, event_id) never
+    regress it, tombstone keys flip live=false, and the last update
+    per key filtered to live equals the batch snapshot row-for-row."""
+    import datetime
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_upsert_latest
+    from denrl_spark.streaming.stateful import stream_upsert_latest
+
+    base = 1_700_000_000
+    types = ["view", "click", "purchase"]
+    raw = []
+    for eid in range(1, 61):
+        off = (eid * 37) % 50  # timestamps NOT monotone in event_id
+        raw.append(
+            (
+                eid,
+                datetime.datetime.utcfromtimestamp(base + off),
+                eid % 4,
+                types[eid % 3],
+                eid / 4.0,
+                "{}",
+            )
+        )
+    # one key where the TOMBSTONE wins (eid 80 % 16 == 0, latest t):
+    # (0, 'purchase') must be absent from both snapshots
+    raw.append(
+        (80, datetime.datetime.utcfromtimestamp(base + 200), 0, "purchase",
+         20.0, "{}")
+    )
+    bdir = str(tmp_path / "batch")
+    spark.createDataFrame(
+        raw,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(bdir, "events.parquet"))
+    expect = sorted(map(tuple, rel_upsert_latest(spark, bdir).collect()))
+    assert len(expect) > 0
+    assert not any(u == 0 and t == "purchase" for u, t, *_ in expect)
+
+    # the SAME derived changelog the batch compaction aggregates,
+    # delivered in a deliberately scrambled order across three chunks
+    log = [
+        (
+            eid % 4,
+            types[eid % 3],
+            base + (eid * 37) % 50,
+            eid,
+            int((eid / 4.0) * 1_000_000 // 1),
+            "D" if eid % 16 == 0 else "U",
+        )
+        for eid in range(1, 61)
+    ]
+    log.append((0, "purchase", base + 200, 80, 20_000_000, "D"))
+    log.sort(key=lambda r: (r[3] * 13) % 60)  # scrambles t across chunks
+    chunks = [log[:20], log[20:40], log[40:]]
+    schema = (
+        "user_id long, event_type string, t long, event_id long,"
+        " v_micro long, op string"
+    )
+    d = str(tmp_path / "upsert_in")
+    spark.createDataFrame(chunks[0], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        stream_upsert_latest(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("upsert_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for chunk in chunks[1:]:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            q.processAllAvailable()
+        assert len(q.recentProgress) >= 3  # really ran as multiple batches
+        # snapshot = last update per key (n_versions is monotone), live only
+        got = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    """
+                    SELECT user_id, event_type, last_t, last_value_micro,
+                           n_versions
+                    FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY n_versions DESC) AS rn
+                      FROM upsert_out)
+                    WHERE rn = 1 AND live
+                    """
+                ).collect(),
+            )
+        )
+        assert got == expect
+        # the tombstoned key IS in the update stream, flagged dead —
+        # that's how a downstream sink learns to delete it
+        dead = spark.sql(
+            "SELECT live FROM upsert_out WHERE user_id = 0 AND"
+            " event_type = 'purchase' ORDER BY n_versions DESC LIMIT 1"
+        ).collect()
+        assert dead and dead[0]["live"] is False
+    finally:
+        q.stop()
