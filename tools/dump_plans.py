@@ -51,6 +51,8 @@ SHOW = [
     ("kg_random_walks", "DeepWalk corpus: adjacency aggregated once into sorted arrays, L V-row equi-joins (no per-step E-row filter)"),
     ("text_quality_linear", "frozen-hash linear classifier: HOF fold inside the scan stage — zero Exchange"),
     ("text_source_mixture", "mixture weights: one narrow scan, |sources|-row agg, totals as driver literals (no SinglePartition)"),
+    ("rel_upsert_latest", "CDC compaction: partial max_by BEFORE the single key Exchange — one pre-combined row per key crosses the wire, no window over the changelog"),
+    ("kg_scc", "SCC output stage: checkpointed assignment table + map-side-combined size agg + equi-join (the coloring/peel rounds are O(1)-lineage checkpoints upstream)"),
 ]
 
 
