@@ -766,3 +766,18 @@ def test_scc_partition_invariance(edges):
     a = sorted(map(tuple, scc(edges).collect()))
     b = sorted(map(tuple, scc(edges.repartition(7)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_scc_self_loop_only_graph_is_empty(spark):
+    """Self-loops never merge vertices and self-loop-only vertices are
+    absent (the components contract): an all-self-loop graph yields an
+    EMPTY result with the right schema, not an error."""
+    from denrl_spark.operators.graph_analytics import scc
+
+    g = spark.createDataFrame(
+        [("a", "p", "a", 1), ("b", "p", "b", 2)],
+        "src_surface string, pred string, dst_surface string, n_obs long",
+    )
+    out = scc(g)
+    assert out.columns == ["surface", "scc_id", "scc_size"]
+    assert out.count() == 0
