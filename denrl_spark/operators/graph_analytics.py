@@ -1015,9 +1015,12 @@ def scc(edges: DataFrame, src: str = "src_surface", dst: str = "dst_surface",
             .localCheckpoint()
         )
     else:
-        raise RuntimeError(
-            f"scc: peeling did not finish in {max_outer} outer rounds"
-        )
+        # the loop ran its full budget — only an error if vertices
+        # actually remain (the graph may empty on the LAST peel)
+        if verts.limit(1).count() != 0:
+            raise RuntimeError(
+                f"scc: peeling did not finish in {max_outer} outer rounds"
+            )
     if done is None:  # edgeless (after self-loop drop) graph
         spark = edges.sparkSession
         return spark.createDataFrame(

@@ -781,3 +781,21 @@ def test_scc_self_loop_only_graph_is_empty(spark):
     out = scc(g)
     assert out.columns == ["surface", "scc_id", "scc_size"]
     assert out.count() == 0
+
+
+def test_scc_exact_outer_budget_succeeds(spark):
+    """A 2-path numbered against the coloring order peels one SCC per
+    round; with max_outer EXACTLY the number of peels needed, the run
+    must succeed (the guard fires only if vertices remain)."""
+    import pytest as _pytest
+
+    from denrl_spark.operators.graph_analytics import scc
+
+    g = spark.createDataFrame(
+        [("c", "p", "b", 1), ("b", "p", "a", 1)],
+        "src_surface string, pred string, dst_surface string, n_obs long",
+    )
+    got = {tuple(r) for r in scc(g, max_outer=3).collect()}
+    assert got == {("a", "a", 1), ("b", "b", 1), ("c", "c", 1)}
+    with _pytest.raises(RuntimeError, match="peeling"):
+        scc(g, max_outer=2)
