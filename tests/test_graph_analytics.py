@@ -799,3 +799,36 @@ def test_scc_exact_outer_budget_succeeds(spark):
     assert got == {("a", "a", 1), ("b", "b", 1), ("c", "c", 1)}
     with _pytest.raises(RuntimeError, match="peeling"):
         scc(g, max_outer=2)
+
+
+def test_scc_adversarial_digraphs(spark):
+    """Table-driven SCC cases aimed at the coloring algorithm's sharp
+    edges, each checked against the exact-closure bruteforce:
+    figure-eight (two cycles sharing a vertex = ONE SCC), a cycle plus
+    a one-way tail into a second cycle, a HIGH-id vertex pointing INTO
+    a low-id cycle (color class strictly larger than the root's SCC —
+    the backward collection must not over-collect), and a diamond DAG
+    whose (forward-min, backward-min) label pairs collide for
+    non-mutually-reachable vertices (the known counterexample to the
+    one-shot two-label shortcut)."""
+    from denrl_spark.operators.graph_analytics import scc
+
+    cases = [
+        # figure-eight: 1<->2, 2<->3 share vertex 2
+        [("1", "2"), ("2", "1"), ("2", "3"), ("3", "2")],
+        # 3-cycle -> tail -> 2-cycle
+        [("1", "2"), ("2", "3"), ("3", "1"), ("3", "4"), ("4", "5"), ("5", "4")],
+        # high id feeds a low cycle: c(1)=c(2)=9 but SCC(9)={9}
+        [("9", "1"), ("1", "2"), ("2", "1")],
+        # diamond DAG: f/b label pairs collide for the two middles
+        [("1", "5"), ("1", "6"), ("5", "2"), ("6", "2")],
+        # two cycles joined BOTH ways through a middle vertex = one SCC
+        [("1", "2"), ("2", "1"), ("2", "3"), ("3", "4"), ("4", "3"), ("4", "1")],
+    ]
+    for pairs in cases:
+        g = spark.createDataFrame(
+            [(s, "p", d, 1) for s, d in pairs],
+            "src_surface string, pred string, dst_surface string, n_obs long",
+        )
+        got = {tuple(r) for r in scc(g).collect()}
+        assert got == _scc_bruteforce(pairs), pairs
