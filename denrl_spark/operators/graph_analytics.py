@@ -1041,3 +1041,36 @@ def scc(edges: DataFrame, src: str = "src_surface", dst: str = "dst_surface",
             "scc_size",
         )
     )
+
+
+def condensation(edges: DataFrame, src: str = "src_surface",
+                 dst: str = "dst_surface", **scc_kwargs) -> DataFrame:
+    """Condensation DAG of the directed canonical graph: one row
+    (src_scc, dst_scc, n_edges) per ordered pair of DISTINCT strongly
+    connected components with at least one edge between them, n_edges
+    = count of distinct (src, dst) vertex pairs crossing. This is the
+    cycle-free graph every DAG-shaped consumer actually runs on
+    (taxonomy induction, topological ordering, transitive rollups) —
+    ``scc`` finds the mutual-assertion clusters, this collapses them.
+
+    Shape: the scc map (V rows) joined to the distinct edge set twice
+    on the vertex keys + one map-side-combined count — the map is the
+    small side at KG scale (broadcast- or co-partition-able); the edge
+    table never self-joins. Acyclicity of the output is a theorem of
+    SCC-ness, and is asserted in tests rather than re-checked at
+    runtime."""
+    m = scc(edges, src=src, dst=dst, **scc_kwargs).select("surface", "scc_id")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    return (
+        e.join(m.select(F.col("surface").alias("s"),
+                        F.col("scc_id").alias("src_scc")), "s")
+        .join(m.select(F.col("surface").alias("d"),
+                       F.col("scc_id").alias("dst_scc")), "d")
+        .where(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )

@@ -1517,3 +1517,38 @@ def scc_sql(rel: str = "documents") -> str:
                count(*) OVER (PARTITION BY scc_id) AS scc_size
         FROM scc
     """
+
+
+def condensation_sql(rel: str = "documents") -> str:
+    """graph_analytics.condensation twin: the SCC map by exact
+    recursive-CTE closure (scc_sql's spec), joined to the distinct
+    edge set on both endpoints, grouped per ordered component pair.
+    n_edges counts distinct crossing (src, dst) vertex pairs."""
+    return f"""
+        WITH RECURSIVE e AS (
+          WITH {_edges_cte(rel)}
+          SELECT DISTINCT src_surface AS s, dst_surface AS d
+          FROM edges WHERE src_surface <> dst_surface),
+        reach(s, d) AS (
+          SELECT s, d FROM e
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d),
+        mutual AS (
+          SELECT r1.s AS v, r1.d AS u
+          FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s),
+        verts AS (
+          SELECT DISTINCT v FROM (
+            SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
+        scc AS (
+          SELECT verts.v AS surface,
+                 least(verts.v, coalesce(min(m.u), verts.v)) AS scc_id
+          FROM verts LEFT JOIN mutual m ON m.v = verts.v
+          GROUP BY 1)
+        SELECT ms.scc_id AS src_scc, md.scc_id AS dst_scc,
+               count(*) AS n_edges
+        FROM e
+        JOIN scc ms ON ms.surface = e.s
+        JOIN scc md ON md.surface = e.d
+        WHERE ms.scc_id <> md.scc_id
+        GROUP BY 1, 2
+    """

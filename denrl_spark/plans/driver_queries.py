@@ -489,6 +489,20 @@ def kg_scc(spark, sf_dir):
     return scc(docs_kg.edges_by_doc(spark, sf_dir))
 
 
+@_q("kg_condensation", docs_kg.condensation_sql())
+def kg_condensation(spark, sf_dir):
+    """Condensation DAG: ordered pairs of distinct SCCs with crossing-
+    edge counts — the cycle-free graph DAG-shaped consumers (taxonomy
+    induction, topological ordering, transitive rollups) actually run
+    on after kg_scc exposes the mutual-assertion clusters. Spark side:
+    the V-row scc map equi-joined to the distinct edge set twice + one
+    map-side-combined count; acyclicity is a theorem of SCC-ness
+    (test-asserted, not re-checked at runtime)."""
+    from denrl_spark.operators.graph_analytics import condensation
+
+    return condensation(docs_kg.edges_by_doc(spark, sf_dir))
+
+
 @_q("kg_random_walks", docs_kg.random_walks_sql())
 def kg_random_walks(spark, sf_dir):
     """DeepWalk corpus generation: one 8-step hash-seeded walk from

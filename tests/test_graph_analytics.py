@@ -832,3 +832,40 @@ def test_scc_adversarial_digraphs(spark):
         )
         got = {tuple(r) for r in scc(g).collect()}
         assert got == _scc_bruteforce(pairs), pairs
+
+
+def test_condensation_matches_bruteforce_and_is_acyclic(edges):
+    """Condensation on the module fixture vs exact enumeration, plus
+    the defining property: the condensed graph is a DAG (no mutual
+    pair, no self-pair — acyclicity follows from SCC maximality)."""
+    from denrl_spark.operators.graph_analytics import condensation
+
+    scc_map = {v: sid for v, sid, _ in _scc_bruteforce(
+        {(s, o) for s, _, o, _ in EDGES})}
+    want: dict[tuple, int] = {}
+    for s, o in {(s, o) for s, _, o, _ in EDGES if s != o}:
+        a, b = scc_map[s], scc_map[o]
+        if a != b:
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {
+        (r["src_scc"], r["dst_scc"]): r["n_edges"]
+        for r in condensation(edges).collect()
+    }
+    assert got == want and len(got) > 0
+    assert all(a != b for a, b in got)
+    assert not any((b, a) in got for a, b in got)  # DAG: no 2-cycles
+
+
+def test_condensation_bridged_cycles_single_edge(spark):
+    """The bridged 2-cycles gadget condenses to exactly one DAG edge
+    {a,b} -> {c,d} with n_edges = 1 (only the bridge crosses)."""
+    from denrl_spark.operators.graph_analytics import condensation
+
+    g = spark.createDataFrame(
+        [("a", "p", "b", 1), ("b", "p", "a", 1),
+         ("b", "p", "c", 1),
+         ("c", "p", "d", 1), ("d", "p", "c", 1)],
+        "src_surface string, pred string, dst_surface string, n_obs long",
+    )
+    got = [tuple(r) for r in condensation(g).collect()]
+    assert got == [("a", "c", 1)]
