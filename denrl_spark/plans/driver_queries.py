@@ -1977,6 +1977,47 @@ def rel_lag_delta(spark, sf_dir):
 
 
 @_q(
+    "rel_running_total",  # running aggregate: cumulative value per user
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+      FROM events)
+    SELECT event_id, user_id, t,
+           CAST(sum(v_micro) OVER (
+             PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS running_v_micro
+    FROM e
+    """,
+)
+def rel_running_total(spark, sf_dir):
+    """Running aggregate (the account-balance / cumulative-revenue
+    staple): per user, ordered by (t, event_id), the cumulative sum of
+    the event value in exact integer micros. One shuffle on the
+    partition key + an in-partition sort — the frame is
+    rows-unbounded-preceding, which Spark evaluates streamingly in one
+    pass (no per-row re-scan); never a global sort. event_id breaks
+    same-second ties so the prefix order (hence every prefix sum) is
+    engine-independent."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("v_micro"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", "t",
+        F.sum("v_micro").over(w).cast("bigint").alias("running_v_micro"),
+    )
+
+
+@_q(
     "rel_asof_join",  # as-of join: latest prior 'click' for each 'error'
     """
     WITH e AS (

@@ -569,3 +569,45 @@ def test_upsert_latest_plan_is_single_agg(spark):
     assert "Window" not in plan
     assert "partial_max_by" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_running_total_order_and_ties(spark, tmp_path):
+    """rel_running_total on a crafted fixture: prefix sums follow
+    (t, event_id) order — same-second ties resolved by event_id —
+    and users never mix."""
+    import datetime
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_running_total
+
+    base = 1_700_000_000
+
+    def ev(eid, uid, off, val):
+        return (
+            eid, datetime.datetime.utcfromtimestamp(base + off),
+            uid, "view", val, "{}",
+        )
+
+    rows = [
+        # u1: out-of-eid-order timestamps; cumulative follows t
+        ev(5, 1, 10, 1.0), ev(6, 1, 0, 2.0),
+        # u1: same-second tie: eid 7 before eid 8
+        ev(8, 1, 20, 4.0), ev(7, 1, 20, 3.0),
+        # u2: isolated
+        ev(9, 2, 0, 10.0),
+    ]
+    d = str(tmp_path / "running")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["event_id"]: r["running_v_micro"]
+           for r in rel_running_total(spark, d).collect()}
+    assert got == {
+        6: 2_000_000,            # t=0 first despite higher eid
+        5: 3_000_000,            # +1.0 at t=10
+        7: 6_000_000,            # tie at t=20: eid 7 first (+3.0)
+        8: 10_000_000,           # then eid 8 (+4.0)
+        9: 10_000_000,           # u2 alone
+    }
