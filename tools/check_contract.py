@@ -2,7 +2,11 @@
 ``queries()`` entry at a scale factor and compare row-count + sorted
 value frame against the DuckDB oracle. Usage:
 
-    python tools/check_contract.py [sf_dir]
+    python tools/check_contract.py [sf_dir] [name1,name2,...]
+
+The optional second argument restricts the sweep to the named queries
+(and skips the entry() smoke check) — an iteration aid; the committed
+round artifact is always the full unfiltered run.
 """
 
 from __future__ import annotations
@@ -41,10 +45,18 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    df = e.entry(spark)
-    print(f"entry: rows={df.count()} schema={df.schema.simpleString()}")
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    if only is None:
+        df = e.entry(spark)
+        print(f"entry: rows={df.count()} schema={df.schema.simpleString()}")
 
     qs, osql = e.queries(), e.oracle_sql()
+    if only is not None:
+        missing = [n for n in only if n not in qs]
+        if missing:
+            print(f"unknown queries: {missing}")
+            return 1
+        qs = {n: qs[n] for n in only}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
