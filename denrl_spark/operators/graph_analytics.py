@@ -521,6 +521,107 @@ def _dist_fingerprint(dist: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["s"])
 
 
+CLOSENESS_UNIT = 10**6  # harmonic-centrality fixed-point unit (1e-6)
+
+
+def closeness(edges: DataFrame, src: str = "src_surface",
+              dst: str = "dst_surface", roots: list[str] | None = None,
+              max_iter: int = 40) -> DataFrame:
+    """Harmonic closeness centrality over the undirected canonical
+    graph: per root vertex, (surface, n_reach, sum_d, harmonic_u6,
+    ecc) where harmonic_u6 = sum over reachable t != root of
+    CLOSENESS_UNIT div d(root, t) in exact integer units (one integer
+    division per pair, then an order-invariant integer sum — the
+    cross-engine-hash-safe form; harmonic handles disconnected graphs
+    where classic closeness is undefined), and ecc is the root's
+    eccentricity within its component. The entity-influence ranking a
+    KG-serving layer uses, plus the diameter monitor (max ecc).
+
+    Shape: MULTI-SOURCE BFS with the root carried as a key column —
+    one distance table keyed (root, surface) instead of one BFS per
+    root, so all roots advance in the same joins (the MS-BFS batching
+    idea). Rounds are driver-looped lazy plans with an eager
+    localCheckpoint per round and early exit at fixpoint; per round:
+    one equi-join of the dist table to the adjacency + one
+    map-side-combinable min agg. Converged min distances are unique,
+    so fixpoint output is engine-independent.
+
+    Scale: state is O(sum of component sizes over roots) = O(V^2) for
+    all-pairs on one giant component — at production scale pass a
+    SAMPLED ``roots`` list (the Eppstein–Wang estimator: O(log V /
+    eps^2) roots bound the centrality error), which the root-keyed
+    state makes a linear knob. All-pairs is the exact small-scale /
+    per-component setting. The check-scale contract query samples
+    every vertex of the (small) canonical graph.
+    """
+    spark = edges.sparkSession
+    und = undirected_edges(edges, src, dst)
+    adj = und.unionByName(
+        und.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+    ).select(F.col("va").alias("v"), F.col("vb").alias("nbr"))
+    adj = adj.localCheckpoint()
+    verts = (
+        adj.select(F.col("v").alias("surface")).distinct()
+        if roots is None
+        else spark.createDataFrame(
+            [(r,) for r in sorted(set(roots))], "surface string"
+        )
+    )
+    dist = (
+        verts.select(
+            F.col("surface").alias("root"),
+            F.col("surface"),
+            F.lit(0).cast("bigint").alias("dist"),
+        ).localCheckpoint()
+    )
+    prev = _roots_fingerprint(dist)
+    for _ in range(max_iter):
+        hop = (
+            dist.join(adj, dist.surface == adj.v)
+            .select("root", F.col("nbr").alias("surface"),
+                    (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("root", "surface")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        cur = _roots_fingerprint(dist)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"closeness did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter)"
+        )
+    return (
+        dist.groupBy(F.col("root").alias("surface"))
+        .agg(
+            F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
+            .cast("bigint").alias("n_reach"),
+            F.sum("dist").cast("bigint").alias("sum_d"),
+            F.sum(
+                F.when(F.col("dist") > 0,
+                       F.expr(f"CAST({CLOSENESS_UNIT} AS BIGINT) div dist"))
+                .otherwise(F.lit(0).cast("bigint"))
+            ).cast("bigint").alias("harmonic_u6"),
+            F.max("dist").cast("bigint").alias("ecc"),
+        )
+    )
+
+
+def _roots_fingerprint(dist: DataFrame) -> tuple[int, int]:
+    """(row count, total distance) over the root-keyed table — same
+    strictly-improving pair as _dist_fingerprint."""
+    row = dist.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dist"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"])
+
+
 def kcore(edges: DataFrame, k: int = 2, rounds: int = 6,
           src: str = "src_surface", dst: str = "dst_surface") -> DataFrame:
     """k-core peel over the undirected canonical graph: run exactly

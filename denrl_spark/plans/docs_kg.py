@@ -1071,6 +1071,48 @@ def communities_sql(rel: str = "documents", rounds: int = 4) -> str:
     """
 
 
+def closeness_sql(rel: str = "documents", max_iter: int = 40) -> str:
+    """graph_analytics.closeness twin: the all-pairs variant of
+    bfs_sql — a depth-bounded recursive closure carrying the ROOT as a
+    key column (UNION-distinct on (root, node, d) caps rows at
+    V^2 * max_iter), min distance per (root, node), then the per-root
+    harmonic aggregate in exact integer units (UNIT // d on
+    non-negative operands == Spark's div). Same loud-failure parity as
+    bfs_sql: the recursion explores one level past max_iter and any
+    surviving min distance there proves the diameter bound was
+    exceeded."""
+    unit = 10**6
+    return f"""
+        WITH RECURSIVE {_edges_cte(rel)},
+        {_und_cte(materialized=True)},
+        und AS MATERIALIZED (
+          SELECT va AS src, vb AS dst FROM u
+          UNION ALL SELECT vb, va FROM u),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS surface FROM und),
+        reach(root, node, d) AS (
+          SELECT surface, surface, 0 FROM verts
+          UNION
+          SELECT reach.root, und.dst, reach.d + 1
+          FROM reach JOIN und ON und.src = reach.node
+          WHERE reach.d < {max_iter + 1}),
+        mind AS (
+          SELECT root, node,
+                 CASE WHEN min(d) > {max_iter}
+                      THEN CAST(error('closeness_sql: graph diameter '
+                                      || 'exceeds {max_iter} rounds') AS BIGINT)
+                      ELSE min(d) END AS d
+          FROM reach GROUP BY 1, 2)
+        SELECT root AS surface,
+               CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_reach,
+               CAST(sum(d) AS BIGINT) AS sum_d,
+               CAST(sum(CASE WHEN d > 0 THEN {unit} // d ELSE 0 END)
+                 AS BIGINT) AS harmonic_u6,
+               CAST(max(d) AS BIGINT) AS ecc
+        FROM mind GROUP BY 1
+    """
+
+
 def alias_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalization audit surface: the full (surface ->
     canonical_surface) alias map over every mention in the gold

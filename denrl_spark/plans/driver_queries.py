@@ -536,6 +536,22 @@ def kg_sssp(spark, sf_dir):
     return sssp(e, [seed], rounds=8)
 
 
+@_q("kg_closeness", docs_kg.closeness_sql())
+def kg_closeness(spark, sf_dir):
+    """Harmonic closeness centrality (+ eccentricity + reach) for
+    every vertex of the canonical graph: root-keyed multi-source BFS
+    (all roots advance in the same joins — the MS-BFS batching shape)
+    with early exit at fixpoint; the DuckDB twin is the all-pairs
+    variant of the bfs_sql recursive closure. All-pairs is the exact
+    small-graph setting; at production scale the SAME operator takes a
+    sampled ``roots`` list (Eppstein–Wang estimator) — the root-keyed
+    state makes sample size a linear cost knob."""
+    from denrl_spark.operators.graph_analytics import closeness
+
+    e = docs_kg.edges_by_doc(spark, sf_dir).localCheckpoint()
+    return closeness(e)
+
+
 # --------------------------------------------------------------------------
 # Relational operators on the TPC-H-ish tables (SURVEY.md §2.2/2.4-2.7)
 # --------------------------------------------------------------------------

@@ -869,3 +869,80 @@ def test_condensation_bridged_cycles_single_edge(spark):
     )
     got = [tuple(r) for r in condensation(g).collect()]
     assert got == [("a", "c", 1)]
+
+
+def _bfs_all_dists(nbrs):
+    """{root: {node: hop-dist}} over the undirected neighbor map."""
+    from collections import deque
+
+    out = {}
+    for root in nbrs:
+        dist = {root: 0}
+        dq = deque([root])
+        while dq:
+            v = dq.popleft()
+            for n in nbrs.get(v, ()):
+                if n not in dist:
+                    dist[n] = dist[v] + 1
+                    dq.append(n)
+        out[root] = dist
+    return out
+
+
+def test_closeness_matches_bruteforce(edges):
+    """All-pairs harmonic closeness on the module fixture vs a literal
+    per-root BFS transcription (integer // per pair, then sum)."""
+    from denrl_spark.operators.graph_analytics import (
+        CLOSENESS_UNIT,
+        closeness,
+    )
+
+    got = {
+        r["surface"]: (r["n_reach"], r["sum_d"], r["harmonic_u6"], r["ecc"])
+        for r in closeness(edges).collect()
+    }
+    dists = _bfs_all_dists(_nbrs())
+    want = {
+        root: (
+            sum(1 for d in dist.values() if d > 0),
+            sum(dist.values()),
+            sum(CLOSENESS_UNIT // d for d in dist.values() if d > 0),
+            max(dist.values()),
+        )
+        for root, dist in dists.items()
+    }
+    assert got == want
+    # the fixture is connected (minus self-loop-only verts), so every
+    # root reaches all others and ecc is the true eccentricity
+    assert all(r[0] == len(dists) - 1 for r in got.values())
+
+
+def test_closeness_sampled_roots_and_isolated_root(edges, spark):
+    """A sampled-roots run returns exactly the rows of the all-pairs
+    run restricted to those roots; a root absent from the graph yields
+    the zero row (the disconnected-sample contract at scale)."""
+    from denrl_spark.operators.graph_analytics import closeness
+
+    full = {tuple(r) for r in closeness(edges).collect()}
+    some = {tuple(r) for r in closeness(edges, roots=["a", "f"]).collect()}
+    assert some == {r for r in full if r[0] in ("a", "f")}
+    iso = closeness(edges, roots=["zzz"]).collect()
+    assert [tuple(r) for r in iso] == [("zzz", 0, 0, 0, 0)]
+
+
+def test_closeness_path_graph_eccentricity(spark):
+    """P4 path graph: end vertices ecc 3, harmonic 1e6+5e5+333333;
+    interior ecc 2 — exact integer expectations."""
+    from denrl_spark.operators.graph_analytics import closeness
+
+    g = spark.createDataFrame(
+        [("a", "p", "b", 1), ("b", "p", "c", 1), ("c", "p", "d", 1)],
+        "src_surface string, pred string, dst_surface string, n_obs long",
+    )
+    got = {
+        r["surface"]: (r["n_reach"], r["sum_d"], r["harmonic_u6"], r["ecc"])
+        for r in closeness(g).collect()
+    }
+    end = (3, 6, 10**6 + 500_000 + 333_333, 3)
+    mid = (3, 4, 2 * 10**6 + 500_000, 2)
+    assert got == {"a": end, "d": end, "b": mid, "c": mid}
