@@ -11,7 +11,7 @@ machinery).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from denrl_spark.sources.kb import KB
 
@@ -1593,4 +1593,346 @@ def condensation_sql(rel: str = "documents") -> str:
         JOIN scc md ON md.surface = e.d
         WHERE ms.scc_id <> md.scc_id
         GROUP BY 1, 2
+    """
+
+
+# --------------------------------------------------------------------------
+# Round-5 KG quality / serving operators
+# --------------------------------------------------------------------------
+
+# Fixed snapshot cutoff for the contract query: an epoch timestamp half
+# way into the synthetic corpus's ts range at check scale. A literal
+# (not data-derived) so both engines and every SF see the same constant.
+SNAPSHOT_CUTOFF_TS = TS_EPOCH_BASE + 1750
+
+
+def snapshot_asof(spark: SparkSession, sf_dir: str,
+                  cutoff_ts: int = SNAPSHOT_CUTOFF_TS) -> DataFrame:
+    """Point-in-time KG snapshot: the canonical edge table rebuilt from
+    ONLY observations with ts <= cutoff — the "what did the graph say
+    at time T" query of a versioned KG (audit, rollback, training-data
+    freeze). Exact integer epoch math throughout.
+
+    Scale: at production the observation log is PARTITIONED by the
+    tumbling window column (edges_by_window docstring), so the ts
+    filter is partition pruning — the scan touches only windows
+    <= cutoff, never the full history. The filter sits BEFORE the
+    aggregate, so partial (map-side) aggregation sees only surviving
+    rows."""
+    return (
+        _linked_rel_rows(spark, sf_dir)
+        .withColumn(
+            "ts",
+            (F.lit(TS_EPOCH_BASE) + F.col("doc_id") * TS_SPACING_S)
+            .cast("bigint"),
+        )
+        .where(F.col("ts") <= cutoff_ts)
+        .groupBy("src_surface", F.col("ent2_tag").alias("pred"), "dst_surface")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def snapshot_asof_sql(rel: str = "documents",
+                      cutoff_ts: int = SNAPSHOT_CUTOFF_TS) -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()},
+        rel_rows AS (
+          SELECT {TS_EPOCH_BASE} + g.doc_id * {TS_SPACING_S} AS ts,
+                 cs.canonical_surface AS src_surface,
+                 g.ent2_tag AS pred, cd.canonical_surface AS dst_surface
+          FROM gold g
+          JOIN canon cs ON cs.surface = g.ent1
+          JOIN canon cd ON cd.surface = g.ent2
+          WHERE g.ent2_tag LIKE '%/%')
+        SELECT src_surface, pred, dst_surface,
+               count(*) AS n_obs,
+               CAST(min(ts) AS BIGINT) AS first_ts,
+               CAST(max(ts) AS BIGINT) AS last_ts
+        FROM rel_rows WHERE ts <= {cutoff_ts}
+        GROUP BY 1, 2, 3
+    """
+
+
+def edge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-predicate conflict detector: (src, pred) pairs whose
+    edge set names MORE than one distinct object — the KG-quality
+    surface that catches extraction noise and genuinely contradictory
+    assertions before they reach consumers. Emits the conflict size,
+    total evidence, and the best-attested object (ties broken by min
+    surface) so a resolution pass can keep-best or escalate.
+
+    Shape: one map-side-combined aggregate over the canonical edge
+    table grouped by (src, pred) — the edge table is already one row
+    per (src, pred, dst), so the group state is the distinct-object
+    fan-out, bounded by real-world functionality (and the aggregate
+    never materializes the object LIST, only count/sum/argmax)."""
+    e = edges_by_doc(spark, sf_dir)
+    return (
+        e.groupBy("src_surface", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dst"),
+            F.sum("n_obs").cast("bigint").alias("n_obs"),
+            F.min(
+                F.struct((-F.col("n_obs")).alias("neg"),
+                         F.col("dst_surface").alias("d"))
+            ).alias("_top"),
+        )
+        .where(F.col("n_dst") > 1)
+        .select(
+            "src_surface", "pred", "n_dst", "n_obs",
+            F.col("_top.d").alias("top_dst"),
+            (-F.col("_top.neg")).cast("bigint").alias("top_n_obs"),
+        )
+    )
+
+
+def edge_conflicts_sql(rel: str = "documents") -> str:
+    """edge_conflicts twin: DuckDB min(ROW(...)) has no struct window,
+    so the argmax is a row_number over (n_obs DESC, dst ASC) — the
+    same (−n_obs, dst) lexicographic order."""
+    return f"""
+        WITH {_edges_cte(rel)},
+        ranked AS (
+          SELECT src_surface, pred, dst_surface, n_obs,
+                 row_number() OVER (
+                   PARTITION BY src_surface, pred
+                   ORDER BY n_obs DESC, dst_surface ASC) AS rn
+          FROM edges)
+        SELECT src_surface, pred,
+               count(*) AS n_dst,
+               CAST(sum(n_obs) AS BIGINT) AS n_obs,
+               max(CASE WHEN rn = 1 THEN dst_surface END) AS top_dst,
+               CAST(max(CASE WHEN rn = 1 THEN n_obs END) AS BIGINT)
+                 AS top_n_obs
+        FROM ranked GROUP BY 1, 2 HAVING count(*) > 1
+    """
+
+
+PROVENANCE_K = 3  # supporting docs kept per edge
+
+
+def edge_provenance(spark: SparkSession, sf_dir: str,
+                    k: int = PROVENANCE_K) -> DataFrame:
+    """Per-edge provenance sample: the k smallest distinct supporting
+    doc_ids as one deterministic comma-joined scalar + the TRUE
+    distinct-doc support count — the "show me where this fact came
+    from" serving surface, with the full support kept so capped rows
+    are detectable (same honesty contract as kg_adjacency).
+
+    Shape: distinct (edge, doc) pairs -> window rank on doc_id ->
+    filter rank <= k BEFORE collect_list, so per-edge aggregate state
+    is bounded at k regardless of edge popularity (the fan-out cap
+    discipline); the true count rides the same aggregate."""
+    rows = (
+        _linked_rel_rows(spark, sf_dir)
+        .select("src_surface", F.col("ent2_tag").alias("pred"),
+                "dst_surface", "doc_id")
+        .distinct()
+    )
+    w = Window.partitionBy("src_surface", "pred", "dst_surface").orderBy("doc_id")
+    return (
+        rows.withColumn("rn", F.row_number().over(w))
+        .groupBy("src_surface", "pred", "dst_surface")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("rn") <= k, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_sample"),
+        )
+    )
+
+
+def edge_provenance_sql(rel: str = "documents", k: int = PROVENANCE_K) -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()},
+        rel_rows AS (
+          SELECT DISTINCT cs.canonical_surface AS src_surface,
+                 g.ent2_tag AS pred, cd.canonical_surface AS dst_surface,
+                 g.doc_id
+          FROM gold g
+          JOIN canon cs ON cs.surface = g.ent1
+          JOIN canon cd ON cd.surface = g.ent2
+          WHERE g.ent2_tag LIKE '%/%'),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY src_surface, pred, dst_surface
+                   ORDER BY doc_id) AS rn
+          FROM rel_rows)
+        SELECT src_surface, pred, dst_surface,
+               count(*) AS n_docs,
+               string_agg(CASE WHEN rn <= {k}
+                               THEN CAST(doc_id AS VARCHAR) END, ','
+                          ORDER BY doc_id) AS doc_sample
+        FROM ranked GROUP BY 1, 2, 3
+    """
+
+
+def entity_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per canonical entity: mention count, distinct observed types,
+    and the majority type (ties -> min type) — the type-inference
+    surface a KG schema layer consumes, and the drift monitor that
+    flags surface forms whose type distribution splits (homonyms the
+    canonicalizer over-merged). Counts are at OBSERVATION grain over
+    slot-1 mentions (every entity of a multi-entity doc appears as
+    ent1 with its own type; gold includes the non-relation rows, so
+    no relation filter here).
+
+    Shape: one canonical-map join + two map-side-combined aggregates
+    ((entity, type) counts, then the per-entity argmax via min of the
+    (−n, type) struct — no window, no list state)."""
+    from denrl_spark.operators.linking import canonicalize
+
+    trips = gold_triples_by_doc(spark, sf_dir).cache()
+    trips.count()
+    mmap = (
+        canonicalize(trips).select("surface", "canonical_surface")
+        .withColumnsRenamed({"surface": "ent1"})
+    )
+    by_type = (
+        trips.join(mmap, "ent1")
+        .groupBy(F.col("canonical_surface").alias("surface"),
+                 F.col("ent1_tag").alias("typ"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = (
+        by_type.groupBy("surface")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_mentions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.min(
+                F.struct((-F.col("n")).alias("neg"), F.col("typ").alias("t"))
+            ).alias("_top"),
+        )
+        .select(
+            "surface", "n_mentions", "n_types",
+            F.col("_top.t").alias("top_type"),
+            (-F.col("_top.neg")).cast("bigint").alias("top_n"),
+        )
+    )
+    out = out.localCheckpoint()
+    trips.unpersist()
+    return out
+
+
+def entity_type_profile_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()},
+        by_type AS (
+          SELECT c.canonical_surface AS surface, g.ent1_tag AS typ,
+                 count(*) AS n
+          FROM gold g JOIN canon c ON c.surface = g.ent1
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY surface ORDER BY n DESC, typ ASC) AS rn
+          FROM by_type)
+        SELECT surface,
+               CAST(sum(n) AS BIGINT) AS n_mentions,
+               count(*) AS n_types,
+               max(CASE WHEN rn = 1 THEN typ END) AS top_type,
+               CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS top_n
+        FROM ranked GROUP BY 1
+    """
+
+
+def pred_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate co-occurrence: for each unordered predicate pair
+    (pa < pb), how many distinct head entities assert BOTH — the
+    schema-induction signal (predicates that always co-fire on the
+    same heads are candidates for hierarchy or redundancy merges).
+
+    Shape: the distinct (src, pred) table is |V|x|P|-bounded (tiny
+    relative to the edge table); the pair join is an equi-join on the
+    head key, so cost is sum over heads of deg^2 in PREDICATE space
+    (bounded by |P|^2 per head, not edge fan-out) + one
+    map-side-combined count."""
+    sp = (
+        edges_by_doc(spark, sf_dir)
+        .select("src_surface", "pred").distinct()
+        .localCheckpoint()
+    )
+    a, b = sp.alias("a"), sp.alias("b")
+    return (
+        a.join(b, (F.col("a.src_surface") == F.col("b.src_surface"))
+               & (F.col("a.pred") < F.col("b.pred")))
+        .groupBy(F.col("a.pred").alias("pred_a"),
+                 F.col("b.pred").alias("pred_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_heads"))
+    )
+
+
+def pred_cooccurrence_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_edges_cte(rel)},
+        sp AS (SELECT DISTINCT src_surface, pred FROM edges)
+        SELECT a.pred AS pred_a, b.pred AS pred_b, count(*) AS n_heads
+        FROM sp a JOIN sp b
+          ON a.src_surface = b.src_surface AND a.pred < b.pred
+        GROUP BY 1, 2
+    """
+
+
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-log2 degree histogram over distinct-neighbor degree in
+    the undirected canonical graph: (bucket, n_vertices, min_deg,
+    max_deg) with bucket = floor(log2(deg)) computed via binary-string
+    length (float log2 misbuckets exact powers of two — the
+    text_length_histogram lesson). The one-glance topology monitor of
+    a 10^12-turn ingest: a drifting tail slope = extraction noise or
+    canonicalization collapse.
+
+    Shape: adjacency -> per-vertex distinct-neighbor count (map-side
+    combined) -> |buckets|-row aggregate."""
+    from denrl_spark.operators.graph_analytics import undirected_edges
+
+    und = undirected_edges(edges_by_doc(spark, sf_dir))
+    deg = (
+        und.select(F.col("va").alias("v"))
+        .unionByName(und.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.withColumn(
+            "bucket",
+            (F.length(F.expr("bin(deg)")) - 1).cast("bigint"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+            F.min("deg").cast("bigint").alias("min_deg"),
+            F.max("deg").cast("bigint").alias("max_deg"),
+        )
+    )
+
+
+def degree_distribution_sql(rel: str = "documents") -> str:
+    """degree_distribution twin: DuckDB bit_length(bin())... differs,
+    so floor(log2) is computed as length(printf('%b', deg)) - 1 —
+    identical exact-binary-length semantics."""
+    return f"""
+        WITH {_edges_cte(rel)},
+        {_und_cte()},
+        adj AS (SELECT va AS v, vb FROM u UNION ALL SELECT vb, va FROM u),
+        deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1)
+        SELECT CAST(length(printf('%b', deg)) - 1 AS BIGINT) AS bucket,
+               count(*) AS n_vertices,
+               CAST(min(deg) AS BIGINT) AS min_deg,
+               CAST(max(deg) AS BIGINT) AS max_deg
+        FROM deg GROUP BY 1
     """

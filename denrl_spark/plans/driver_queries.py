@@ -552,6 +552,33 @@ def kg_closeness(spark, sf_dir):
     return closeness(e)
 
 
+# Point-in-time snapshot: edges rebuilt from observations at ts <= the
+# fixed cutoff — at production scale a partition-pruned scan of the
+# window-partitioned observation log (docs_kg.snapshot_asof docstring).
+_q("kg_snapshot_asof", docs_kg.snapshot_asof_sql())(docs_kg.snapshot_asof)
+# Functional-predicate conflict detection: (src, pred) with >1 object,
+# best-attested object via an argmax aggregate (no list state).
+_q("kg_conflicts", docs_kg.edge_conflicts_sql())(docs_kg.edge_conflicts)
+# Per-edge provenance sample: k smallest supporting docs, rank-capped
+# BEFORE collect (bounded agg state), true support count alongside.
+_q("kg_provenance", docs_kg.edge_provenance_sql())(docs_kg.edge_provenance)
+# Entity type inference: per canonical entity the majority mention type
+# (argmax aggregate), distinct-type fan-out as the homonym monitor.
+_q("kg_type_profile", docs_kg.entity_type_profile_sql())(
+    docs_kg.entity_type_profile
+)
+# Unordered predicate pairs co-firing on the same head — the
+# schema-induction signal; join fan-out bounded by |P|^2 per head.
+_q("kg_pred_cooccurrence", docs_kg.pred_cooccurrence_sql())(
+    docs_kg.pred_cooccurrence
+)
+# Exact-log2 histogram of distinct-neighbor degree — the one-glance
+# topology drift monitor.
+_q("kg_degree_distribution", docs_kg.degree_distribution_sql())(
+    docs_kg.degree_distribution
+)
+
+
 # --------------------------------------------------------------------------
 # Relational operators on the TPC-H-ish tables (SURVEY.md §2.2/2.4-2.7)
 # --------------------------------------------------------------------------

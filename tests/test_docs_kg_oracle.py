@@ -251,3 +251,151 @@ def test_window_churn_consistency(spark):
             1 for e in by_win[r["win_start"]] if e not in prev
         )
         assert r["n_new_edges"] == want_new
+
+
+def _linked_pdf(spark):
+    """Canonicalized relation rows at observation grain, as pandas —
+    the Python twin prelude shared by the round-5 quality tests."""
+    g = docs_kg.gold_triples_by_doc(spark, SF_DIR).toPandas()
+    am = docs_kg.alias_map(spark, SF_DIR).toPandas()
+    cmap = dict(zip(am["surface"], am["canonical_surface"]))
+    rel = g[g["ent2_tag"].str.contains("/")].copy()
+    rel["src_surface"] = rel["ent1"].map(cmap)
+    rel["dst_surface"] = rel["ent2"].map(cmap)
+    rel["pred"] = rel["ent2_tag"]
+    return rel
+
+
+def test_snapshot_asof_bounds_and_full_cutoff(spark):
+    """snapshot_asof at a cutoff past the corpus end reproduces
+    edge_history exactly; at the contract cutoff every row respects
+    the bound and matches the Python recount."""
+    far = docs_kg.TS_EPOCH_BASE + 10**9
+    snap_all = docs_kg.snapshot_asof(spark, SF_DIR, cutoff_ts=far).toPandas()
+    hist = docs_kg.edge_history(spark, SF_DIR).toPandas()
+    key = ["src_surface", "pred", "dst_surface"]
+    a = snap_all.sort_values(key).reset_index(drop=True)
+    b = hist.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key + ["n_obs", "first_ts", "last_ts"]],
+                                  b[key + ["n_obs", "first_ts", "last_ts"]])
+
+    cut = docs_kg.SNAPSHOT_CUTOFF_TS
+    snap = docs_kg.snapshot_asof(spark, SF_DIR).toPandas()
+    assert (snap["last_ts"] <= cut).all()
+    rel = _linked_pdf(spark)
+    rel["ts"] = docs_kg.TS_EPOCH_BASE + rel["doc_id"] * docs_kg.TS_SPACING_S
+    want = (
+        rel[rel["ts"] <= cut]
+        .groupby(key)
+        .agg(n_obs=("ts", "size"), first_ts=("ts", "min"),
+             last_ts=("ts", "max"))
+        .reset_index()
+    )
+    got = snap.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[key + ["n_obs", "first_ts", "last_ts"]].astype(
+            {"n_obs": "int64", "first_ts": "int64", "last_ts": "int64"}),
+        want.astype(
+            {"n_obs": "int64", "first_ts": "int64", "last_ts": "int64"}),
+    )
+
+
+def test_edge_conflicts_match_python(spark):
+    edges = docs_kg.edges_by_doc(spark, SF_DIR).toPandas()
+    got = {
+        (r["src_surface"], r["pred"]):
+            (r["n_dst"], r["n_obs"], r["top_dst"], r["top_n_obs"])
+        for _, r in docs_kg.edge_conflicts(spark, SF_DIR).toPandas().iterrows()
+    }
+    want = {}
+    for (s, p), grp in edges.groupby(["src_surface", "pred"]):
+        if len(grp) > 1:
+            top = grp.sort_values(
+                ["n_obs", "dst_surface"], ascending=[False, True]
+            ).iloc[0]
+            want[(s, p)] = (len(grp), int(grp["n_obs"].sum()),
+                            top["dst_surface"], int(top["n_obs"]))
+    assert got == want and len(want) > 0
+
+
+def test_edge_provenance_capped_sample_and_true_count(spark):
+    rel = _linked_pdf(spark)
+    key = ["src_surface", "pred", "dst_surface"]
+    got = docs_kg.edge_provenance(spark, SF_DIR).toPandas()
+    want = {}
+    for k, grp in rel.groupby(key):
+        docs = sorted(set(grp["doc_id"]))
+        want[k] = (len(docs),
+                   ",".join(str(d) for d in docs[:docs_kg.PROVENANCE_K]))
+    assert {
+        (r["src_surface"], r["pred"], r["dst_surface"]):
+            (r["n_docs"], r["doc_sample"])
+        for _, r in got.iterrows()
+    } == want
+
+
+def test_type_profile_majority_rule(spark):
+    g = docs_kg.gold_triples_by_doc(spark, SF_DIR).toPandas()
+    am = docs_kg.alias_map(spark, SF_DIR).toPandas()
+    cmap = dict(zip(am["surface"], am["canonical_surface"]))
+    g = g.copy()
+    g["surface"] = g["ent1"].map(cmap)
+    got = {
+        r["surface"]: (r["n_mentions"], r["n_types"],
+                       r["top_type"], r["top_n"])
+        for _, r in
+        docs_kg.entity_type_profile(spark, SF_DIR).toPandas().iterrows()
+    }
+    want = {}
+    for s, grp in g.groupby("surface"):
+        counts = grp.groupby("ent1_tag").size().reset_index(name="n")
+        top = counts.sort_values(["n", "ent1_tag"],
+                                 ascending=[False, True]).iloc[0]
+        want[s] = (len(grp), len(counts), top["ent1_tag"], int(top["n"]))
+    assert got == want and len(want) > 0
+
+
+def test_pred_cooccurrence_bruteforce(spark):
+    edges = docs_kg.edges_by_doc(spark, SF_DIR).toPandas()
+    sp = set(zip(edges["src_surface"], edges["pred"]))
+    heads: dict[str, set[str]] = {}
+    for s, p in sp:
+        heads.setdefault(s, set()).add(p)
+    want: dict[tuple, int] = {}
+    for s, preds in heads.items():
+        ps = sorted(preds)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                want[(ps[i], ps[j])] = want.get((ps[i], ps[j]), 0) + 1
+    got = {
+        (r["pred_a"], r["pred_b"]): r["n_heads"]
+        for _, r in
+        docs_kg.pred_cooccurrence(spark, SF_DIR).toPandas().iterrows()
+    }
+    assert got == want
+
+
+def test_degree_distribution_exact_log2(spark):
+    edges = docs_kg.edges_by_doc(spark, SF_DIR).toPandas()
+    pairs = {
+        frozenset((s, d))
+        for s, d in zip(edges["src_surface"], edges["dst_surface"])
+        if s != d
+    }
+    deg: dict[str, int] = {}
+    for pr in pairs:
+        for v in pr:
+            deg[v] = deg.get(v, 0) + 1
+    buckets: dict[int, list[int]] = {}
+    for d in deg.values():
+        buckets.setdefault(d.bit_length() - 1, []).append(d)
+    want = {
+        b: (len(ds), min(ds), max(ds)) for b, ds in buckets.items()
+    }
+    got = {
+        r["bucket"]: (r["n_vertices"], r["min_deg"], r["max_deg"])
+        for _, r in
+        docs_kg.degree_distribution(spark, SF_DIR).toPandas().iterrows()
+    }
+    assert got == want
