@@ -1949,6 +1949,110 @@ def rel_hot_keys(spark, sf_dir):
     )
 
 
+SALT_BUCKETS = 16  # two-stage aggregate fan-out for hot keys
+
+
+@_q(
+    "rel_salted_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY 1
+    """,
+)
+def rel_salted_agg(spark, sf_dir):
+    """Two-stage SALTED aggregate — the explicit skew-mitigation shape
+    for a hot grouping key (a handful of event types absorb the whole
+    stream): stage 1 groups by (key, salt=pmod(event_id, 16)) so the
+    hottest key's rows spread over SALT_BUCKETS reducers, stage 2
+    re-sums the 16 partials per key. Identical result to the plain
+    aggregate (the oracle IS the plain aggregate; counts and integer
+    cent-sums are associative), plan-asserted to carry both exchanges.
+    Spark's partial (map-side) aggregation mitigates this case on its
+    own; the salted form is the pattern for when it can't — high-
+    cardinality-state aggs (count distinct, collect) where map-side
+    combine degenerates and AQE skew handling doesn't apply to
+    aggregates. Cents via floor(value*100): one IEEE double multiply,
+    bit-identical cross-engine, then exact integer sums."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("bigint")
+    )
+    partial = (
+        ev.withColumn("salt", F.pmod("event_id", F.lit(SALT_BUCKETS)))
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("cents").alias("pc"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("pc").cast("bigint").alias("sum_cents"),
+    )
+
+
+KMV_K = 64  # k-minimum-values sketch size
+
+
+@_q(
+    "rel_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+               AS BIGINT) AS hv
+      FROM events),
+    ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h)
+    SELECT event_type,
+           count(*) AS n_kept,
+           CAST(max(hv) AS BIGINT) AS kth_min,
+           CAST(CASE WHEN count(*) < {KMV_K} THEN count(*)
+                     ELSE ({KMV_K} - 1) * 281474976710656 // max(hv)
+                END AS BIGINT) AS est_distinct
+    FROM ranked WHERE rn <= {KMV_K}
+    GROUP BY 1
+    """,
+)
+def rel_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al.): per
+    group keep the KMV_K smallest 48-bit md5 hashes of the key;
+    estimate = (k-1) * 2^48 div kth_min, exact when fewer than k
+    distinct values exist. The mergeable cardinality sketch of a
+    100 TB pipeline — per-partition KMV states union by keeping the k
+    smallest of the union, so the shuffle carries k values per
+    (group, partition) instead of the distinct set (count(DISTINCT)
+    shuffles EVERY distinct value). Deterministic + ANSI-expressible
+    (unlike HLL whose register layouts differ per engine), so the
+    sketch itself is hash-oracled, not just its contract. The
+    window-rank form here is the check-scale expression; at fleet
+    scale the same sketch folds through per-partition top-k heaps
+    (TakeOrdered shape) with identical output."""
+    h = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                16, 10,
+            ).cast("bigint").alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kept = h.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= KMV_K
+    )
+    two48 = 281474976710656  # 2^48
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("hv").cast("bigint").alias("kth_min"),
+        F.when(F.count(F.lit(1)) < KMV_K, F.count(F.lit(1)))
+        .otherwise(F.expr(f"CAST(({KMV_K} - 1) * {two48} AS BIGINT) div max(hv)"))
+        .cast("bigint").alias("est_distinct"),
+    )
+
+
 @_q(
     "text_clean_normalize",
     """

@@ -611,3 +611,69 @@ def test_running_total_order_and_ties(spark, tmp_path):
         8: 10_000_000,           # then eid 8 (+4.0)
         9: 10_000_000,           # u2 alone
     }
+
+
+def test_salted_agg_equals_plain_and_carries_salt_stage(spark):
+    """rel_salted_agg == the plain aggregate (associative partials),
+    and the physical plan really aggregates by (key, salt) first —
+    the hot key's rows spread over SALT_BUCKETS reducers."""
+    from denrl_spark.plans.driver_queries import _t, rel_salted_agg
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["n"], r["sum_cents"])
+        for r in rel_salted_agg(spark, sf).collect()
+    }
+    plain = {
+        r["event_type"]: (r["n"], r["sum_cents"])
+        for r in _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint").alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got == plain and len(got) > 0
+    plan = (
+        rel_salted_agg(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "salt" in plan
+    assert plan.count("Exchange") >= 2  # salted stage + final key stage
+
+
+def test_kmv_distinct_exact_below_k_and_bounded_error(spark, tmp_path):
+    """Below k the sketch is exact; above k the estimate lands within
+    the 4-sigma KMV error envelope (sigma ~ 1/sqrt(k-2)) on a
+    5000-distinct synthetic — deterministic (md5), so this cannot
+    flake."""
+    import os
+
+    from denrl_spark.plans.driver_queries import KMV_K, rel_kmv_distinct
+
+    rows = []
+    eid = 0
+    for u in range(20):  # 'small': 20 distinct < k
+        rows.append((eid, u, "small"))
+        eid += 1
+    for u in range(5000):  # 'big': 5000 distinct >> k
+        rows.append((eid, u, "big"))
+        eid += 1
+    d = str(tmp_path / "kmv")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).withColumn("ts", F.current_timestamp()) \
+     .withColumn("value", F.lit(1.0)) \
+     .withColumn("props", F.lit("{}")) \
+     .write.parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["event_type"]: (r["n_kept"], r["est_distinct"])
+        for r in rel_kmv_distinct(spark, d).collect()
+    }
+    assert got["small"] == (20, 20)
+    n_kept, est = got["big"]
+    assert n_kept == KMV_K
+    sigma = 5000 / (KMV_K - 2) ** 0.5
+    assert abs(est - 5000) < 4 * sigma
