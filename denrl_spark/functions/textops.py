@@ -952,3 +952,104 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
             F.sum("term").alias("lp2_e4"),
         )
     )
+
+
+WINNOW_K = 4     # winnowing k-gram width (tokens)
+WINNOW_W = 4     # winnowing window (consecutive k-grams)
+WINNOW_POS_CAP = 4096  # kgram index packed into the low 12 bits (<=512-token docs, F1)
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): per doc the SELECTED k-gram hashes — in every
+    window of w consecutive k-gram hashes keep the minimum, rightmost
+    position on ties. Output (doc_id, kpos, fp) with kpos the 1-based
+    token position of the selected k-gram. The guarantee local dedup
+    needs: any token run of length >= w + k - 1 shared by two documents
+    yields at least one SHARED fingerprint, while only ~2/(w+1) of
+    k-grams are kept — the index-size/recall dial between exact
+    substring dedup (all shingles) and doc-level MinHash (no locality).
+
+    Shape: built entirely with HOFs inside the scan stage — k-grams
+    via ngram_array, the (hash, position) pair packed into ONE bigint
+    (48-bit md5 prefix * 4096 + (4095 - kpos), so bigint MIN is
+    exactly the (min hash, rightmost tie) winnowing rule), trailing
+    window minima via transform+slice+array_min, dedup via
+    array_distinct — zero Exchange until the caller aggregates. The
+    DuckDB twin states the identical packed recurrence with lead() +
+    a trailing window min (winnowing IS a window min — the same
+    band-join trick family as rel_range_join)."""
+    toks = _toks()
+    kg = ngram_array(toks, k)
+    packed = F.transform(
+        kg,
+        lambda g, i: (
+            F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("bigint")
+            * WINNOW_POS_CAP
+            + (F.lit(WINNOW_POS_CAP - 1) - (i + 1))
+        ),
+    )
+    d = docs.select("doc_id", packed.alias("pk"))
+    n_kg = F.size("pk")
+    sel = F.when(
+        n_kg >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.least(F.lit(w), n_kg), n_kg),
+                lambda j: F.array_min(
+                    F.slice(F.col("pk"), F.greatest(F.lit(1), j - w + 1),
+                            j - F.greatest(F.lit(1), j - w + 1) + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        d.select("doc_id", F.explode(sel).alias("p"))
+        .select(
+            "doc_id",
+            (F.lit(WINNOW_POS_CAP - 1) - F.pmod("p", F.lit(WINNOW_POS_CAP)))
+            .cast("bigint").alias("kpos"),
+            F.expr(f"p div {WINNOW_POS_CAP}").cast("bigint").alias("fp"),
+        )
+    )
+
+
+def winnow_sql(rel: str = "documents", k: int = WINNOW_K,
+               w: int = WINNOW_W) -> str:
+    """winnow_fingerprints twin: k-gram via lead() concat, the same
+    packed-bigint trailing window min, rightmost-tie by construction."""
+    leads = " || ' ' || ".join(
+        f"lead(tok, {j}) OVER win" for j in range(1, k)
+    )
+    cap = WINNOW_POS_CAP
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM {rel}),
+        kg AS (
+          SELECT doc_id, pos AS kpos, tok || ' ' || {leads} AS gram
+          FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        packed AS (
+          SELECT doc_id, kpos,
+                 CAST(('0x' || substr(md5(gram), 1, 12)) AS BIGINT)
+                   * {cap} + ({cap - 1} - kpos) AS p
+          FROM kg WHERE gram IS NOT NULL),
+        n AS (SELECT doc_id, count(*) AS n_kg FROM packed GROUP BY 1),
+        wmin AS (
+          SELECT doc_id, kpos,
+                 min(p) OVER (PARTITION BY doc_id ORDER BY kpos
+                              ROWS BETWEEN {w - 1} PRECEDING
+                                AND CURRENT ROW) AS m
+          FROM packed),
+        sel AS (
+          SELECT DISTINCT wm.doc_id, wm.m
+          FROM wmin wm JOIN n USING (doc_id)
+          WHERE wm.kpos >= least({w}, n.n_kg))
+        SELECT doc_id,
+               CAST({cap - 1} - (m % {cap}) AS BIGINT) AS kpos,
+               CAST(m // {cap} AS BIGINT) AS fp
+        FROM sel
+    """

@@ -933,6 +933,16 @@ def text_fingerprint(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+# Winnowing (MOSS) fingerprints: the local-dedup index between exact
+# substring dedup and doc-level MinHash — windowed k-gram minima kept
+# entirely in scan-stage HOFs (textops.winnow_fingerprints docstring).
+_q("text_winnowing", textops.winnow_sql())(
+    lambda spark, sf_dir: textops.winnow_fingerprints(
+        _t(spark, sf_dir, "documents")
+    )
+)
+
+
 @_q(
     "text_pii_scan",
     """

@@ -480,3 +480,94 @@ def test_curation_pipeline_composes(spark, tmp_path):
 
     packed = pack_sequences(survivors, capacity=128, n_shards=4)
     assert packed.count() == n2  # every survivor lands in exactly one bin slot
+
+
+def _winnow_py(text, k, w, cap=4096):
+    """Literal winnowing transcription: packed (hash, rightmost-tie)
+    min per trailing window of w k-gram hashes."""
+    import hashlib
+
+    toks = text.split(" ")
+    if len(toks) < k:
+        return set()
+    packed = []
+    for i in range(len(toks) - k + 1):
+        gram = " ".join(toks[i:i + k])
+        h = int(hashlib.md5(gram.encode()).hexdigest()[:12], 16)
+        packed.append(h * cap + (cap - 1 - (i + 1)))
+    n = len(packed)
+    sel = set()
+    for j in range(min(w, n), n + 1):  # 1-based window end
+        lo = max(1, j - w + 1)
+        sel.add(min(packed[lo - 1:j]))
+    return {(cap - 1 - (p % cap), p // cap) for p in sel}
+
+
+def test_winnowing_matches_transcription(spark):
+    from denrl_spark.functions.textops import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    texts = [
+        (0, "a b c d e f g h i j k l m"),
+        (1, "a b c d"),                   # exactly one k-gram
+        (2, "a b c"),                     # shorter than k -> no rows
+        (3, "x x x x x x x x"),           # all-equal hashes: tie rule
+        (4, "p q r s t u"),               # n_kg < w: single window
+    ]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(d).collect():
+        got.setdefault(r["doc_id"], set()).add((r["kpos"], r["fp"]))
+    for doc_id, text in texts:
+        want = _winnow_py(text, WINNOW_K, WINNOW_W)
+        assert got.get(doc_id, set()) == want, doc_id
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Two docs sharing a run of >= w + k - 1 tokens share at least
+    one fingerprint VALUE (the winnowing coverage guarantee); two
+    token-disjoint docs share none."""
+    from denrl_spark.functions.textops import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    d = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma " + run + " delta epsilon"),
+            (1, "one two three four five " + run),
+            (2, "zeta eta theta iota kappa lam mu nu xi"),
+        ],
+        "doc_id long, text string",
+    )
+    fps: dict[int, set] = {0: set(), 1: set(), 2: set()}
+    for r in winnow_fingerprints(d).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[0] & fps[1]
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_winnowing_density_and_plan(spark):
+    """Selected density on real docs is near the theoretical 2/(w+1),
+    and the operator adds no Exchange beyond the parallelism lift."""
+    from denrl_spark.functions.textops import WINNOW_W, winnow_fingerprints
+    from denrl_spark.plans.driver_queries import _t
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    n_fp = winnow_fingerprints(docs).count()
+    n_kg = docs.selectExpr(
+        "sum(greatest(0, size(split(text, ' ')) - 3)) AS n"
+    ).collect()[0]["n"]
+    density = n_fp / n_kg
+    assert 0.25 < density < 0.55  # 2/(w+1) = 0.4 at w=4
+    plan = (
+        winnow_fingerprints(spark.createDataFrame(
+            [(0, "a b c d e")], "doc_id long, text string"
+        ))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
