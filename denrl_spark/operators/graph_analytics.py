@@ -1175,3 +1175,33 @@ def condensation(edges: DataFrame, src: str = "src_surface",
         .groupBy("src_scc", "dst_scc")
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+
+SKIPGRAM_C = 2  # skip-gram context window over walk steps
+
+
+def walk_skipgram_pairs(walks: DataFrame, c: int = SKIPGRAM_C) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walk corpus:
+    (center, context, n) counts over all (i, j) step pairs with
+    0 < |i - j| <= c within each walk — the co-occurrence table a
+    KG-embedding trainer (DeepWalk/node2vec downstream) consumes
+    directly, completing random_walks' pipeline stage.
+
+    Shape: one self-equi-join of the walk table on the walk key
+    (start) with the |step-diff| residual filter — each walk is
+    walk_len+1 rows, so the join fans out a constant (walk_len+1)^2
+    per walk before the filter, independent of graph size — then one
+    map-side-combined count. No window, no explode."""
+    if c < 1:
+        raise ValueError("walk_skipgram_pairs: c must be >= 1")
+    a = walks.select(F.col("start").alias("s"), F.col("step").alias("i"),
+                     F.col("surface").alias("center"))
+    b = walks.select(F.col("start").alias("s"), F.col("step").alias("j"),
+                     F.col("surface").alias("context"))
+    return (
+        a.join(b, "s")
+        .where((F.col("j") >= F.col("i") - c) & (F.col("j") <= F.col("i") + c)
+               & (F.col("j") != F.col("i")))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

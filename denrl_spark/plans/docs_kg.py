@@ -1936,3 +1936,86 @@ def degree_distribution_sql(rel: str = "documents") -> str:
                CAST(max(deg) AS BIGINT) AS max_deg
         FROM deg GROUP BY 1
     """
+
+
+def walk_pairs_sql(rel: str = "documents", c: int = 2) -> str:
+    """walk_skipgram_pairs twin over the unrolled walk-corpus
+    recurrence (random_walks_sql nested as a CTE body — DuckDB
+    supports the inner WITH)."""
+    return f"""
+        WITH w AS ({random_walks_sql(rel)})
+        SELECT a.surface AS center, b.surface AS context,
+               count(*) AS n
+        FROM w a JOIN w b
+          ON a.start = b.start
+         AND b.step BETWEEN a.step - {c} AND a.step + {c}
+         AND b.step <> a.step
+        GROUP BY 1, 2
+    """
+
+
+# Second, later snapshot cutoff for the diff query (both literals; the
+# pair brackets a discriminating slice of the synthetic ts range).
+SNAPSHOT_CUTOFF_TS_2 = TS_EPOCH_BASE + 3000
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str,
+                  t1: int = SNAPSHOT_CUTOFF_TS,
+                  t2: int = SNAPSHOT_CUTOFF_TS_2) -> DataFrame:
+    """Versioned-KG snapshot diff: per canonical edge alive at t2, its
+    observation counts as of t1 and t2 and the status transition —
+    'new' (absent at t1), 'grown' (evidence accrued), 'stable'. The
+    what-changed query between two graph versions (audit, incremental
+    re-train triggers), computed in ONE pass with conditional
+    aggregates — NOT as a join of two snapshots, which would scan the
+    observation log twice and shuffle twice. At production scale the
+    window-partitioned log prunes to partitions <= t2."""
+    if t1 >= t2:
+        raise ValueError("snapshot_diff: t1 must be < t2")
+    ts = (F.lit(TS_EPOCH_BASE) + F.col("doc_id") * TS_SPACING_S).cast("bigint")
+    return (
+        _linked_rel_rows(spark, sf_dir)
+        .withColumn("ts", ts)
+        .where(F.col("ts") <= t2)
+        .groupBy("src_surface", F.col("ent2_tag").alias("pred"), "dst_surface")
+        .agg(
+            F.sum(F.when(F.col("ts") <= t1, 1).otherwise(0))
+            .cast("bigint").alias("n_obs_t1"),
+            F.count(F.lit(1)).cast("bigint").alias("n_obs_t2"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("n_obs_t1") == 0, "new")
+            .when(F.col("n_obs_t2") > F.col("n_obs_t1"), "grown")
+            .otherwise("stable"),
+        )
+    )
+
+
+def snapshot_diff_sql(rel: str = "documents",
+                      t1: int = SNAPSHOT_CUTOFF_TS,
+                      t2: int = SNAPSHOT_CUTOFF_TS_2) -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()},
+        rel_rows AS (
+          SELECT {TS_EPOCH_BASE} + g.doc_id * {TS_SPACING_S} AS ts,
+                 cs.canonical_surface AS src_surface,
+                 g.ent2_tag AS pred, cd.canonical_surface AS dst_surface
+          FROM gold g
+          JOIN canon cs ON cs.surface = g.ent1
+          JOIN canon cd ON cd.surface = g.ent2
+          WHERE g.ent2_tag LIKE '%/%'),
+        agg AS (
+          SELECT src_surface, pred, dst_surface,
+                 CAST(sum(CASE WHEN ts <= {t1} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_obs_t1,
+                 count(*) AS n_obs_t2
+          FROM rel_rows WHERE ts <= {t2}
+          GROUP BY 1, 2, 3)
+        SELECT src_surface, pred, dst_surface, n_obs_t1, n_obs_t2,
+               CASE WHEN n_obs_t1 = 0 THEN 'new'
+                    WHEN n_obs_t2 > n_obs_t1 THEN 'grown'
+                    ELSE 'stable' END AS status
+        FROM agg
+    """

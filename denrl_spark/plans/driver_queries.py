@@ -517,6 +517,21 @@ def kg_random_walks(spark, sf_dir):
     return random_walks(docs_kg.edges_by_doc(spark, sf_dir))
 
 
+@_q("kg_walk_pairs", docs_kg.walk_pairs_sql())
+def kg_walk_pairs(spark, sf_dir):
+    """Skip-gram (center, context) co-occurrence counts over the
+    deterministic walk corpus — the trainer-ready table that completes
+    the DeepWalk stage: one walk-key self-join (constant (L+1)^2
+    fan-out per walk) + one map-side-combined count."""
+    from denrl_spark.operators.graph_analytics import (
+        random_walks,
+        walk_skipgram_pairs,
+    )
+
+    walks = random_walks(docs_kg.edges_by_doc(spark, sf_dir)).localCheckpoint()
+    return walk_skipgram_pairs(walks)
+
+
 @_q("kg_sssp", docs_kg.sssp_sql())
 def kg_sssp(spark, sf_dir):
     """Weighted shortest paths from the minimum vertex surface:
@@ -556,6 +571,9 @@ def kg_closeness(spark, sf_dir):
 # fixed cutoff — at production scale a partition-pruned scan of the
 # window-partitioned observation log (docs_kg.snapshot_asof docstring).
 _q("kg_snapshot_asof", docs_kg.snapshot_asof_sql())(docs_kg.snapshot_asof)
+# Snapshot DIFF between two cutoffs in one conditional-aggregate pass
+# (never a two-snapshot join) — the versioned-KG what-changed query.
+_q("kg_snapshot_diff", docs_kg.snapshot_diff_sql())(docs_kg.snapshot_diff)
 # Functional-predicate conflict detection: (src, pred) with >1 object,
 # best-attested object via an argmax aggregate (no list state).
 _q("kg_conflicts", docs_kg.edge_conflicts_sql())(docs_kg.edge_conflicts)

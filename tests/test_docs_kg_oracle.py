@@ -399,3 +399,30 @@ def test_degree_distribution_exact_log2(spark):
         docs_kg.degree_distribution(spark, SF_DIR).toPandas().iterrows()
     }
     assert got == want
+
+
+def test_snapshot_diff_single_pass_consistency(spark):
+    """snapshot_diff reconciles with the two snapshot_asof frames it
+    logically diffs (without being computed as their join), and the
+    status rule is exact."""
+    d = docs_kg.snapshot_diff(spark, SF_DIR).toPandas()
+    key = ["src_surface", "pred", "dst_surface"]
+    s1 = docs_kg.snapshot_asof(
+        spark, SF_DIR, cutoff_ts=docs_kg.SNAPSHOT_CUTOFF_TS).toPandas()
+    s2 = docs_kg.snapshot_asof(
+        spark, SF_DIR, cutoff_ts=docs_kg.SNAPSHOT_CUTOFF_TS_2).toPandas()
+    m1 = {tuple(r[key]): r["n_obs"] for _, r in s1.iterrows()}
+    m2 = {tuple(r[key]): r["n_obs"] for _, r in s2.iterrows()}
+    assert {tuple(r[key]) for _, r in d.iterrows()} == set(m2)
+    for _, r in d.iterrows():
+        k = tuple(r[key])
+        assert r["n_obs_t1"] == m1.get(k, 0)
+        assert r["n_obs_t2"] == m2[k]
+        want = ("new" if r["n_obs_t1"] == 0
+                else "grown" if r["n_obs_t2"] > r["n_obs_t1"]
+                else "stable")
+        assert r["status"] == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        docs_kg.snapshot_diff(spark, SF_DIR, t1=5, t2=5)

@@ -946,3 +946,37 @@ def test_closeness_path_graph_eccentricity(spark):
     end = (3, 6, 10**6 + 500_000 + 333_333, 3)
     mid = (3, 4, 2 * 10**6 + 500_000, 2)
     assert got == {"a": end, "d": end, "b": mid, "c": mid}
+
+
+def test_walk_skipgram_pairs_match_transcription(edges):
+    """Pairs from the deterministic walk corpus vs a literal Python
+    count over the collected walks; window edges and the c>=1 guard."""
+    from denrl_spark.operators.graph_analytics import (
+        SKIPGRAM_C,
+        random_walks,
+        walk_skipgram_pairs,
+    )
+
+    walks = random_walks(edges).cache()
+    rows = walks.collect()
+    by_walk: dict[str, dict[int, str]] = {}
+    for r in rows:
+        by_walk.setdefault(r["start"], {})[r["step"]] = r["surface"]
+    want: dict[tuple, int] = {}
+    for steps in by_walk.values():
+        for i, ci in steps.items():
+            for j, cj in steps.items():
+                if j != i and abs(j - i) <= SKIPGRAM_C:
+                    want[(ci, cj)] = want.get((ci, cj), 0) + 1
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in walk_skipgram_pairs(walks).collect()
+    }
+    assert got == want and len(want) > 0
+    # symmetric by construction: (x,y) and (y,x) counts match
+    assert all(got[(a, b)] == got[(b, a)] for a, b in got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        walk_skipgram_pairs(walks, c=0)
+    walks.unpersist()
