@@ -824,6 +824,55 @@ def rel_sessionize(spark, sf_dir):
     )
 
 
+@_q(
+    "rel_session_windows",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events),
+    gaps AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    sess AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps)
+    SELECT user_id,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) + 1800 * 1000000 AS BIGINT) AS end_us,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def rel_session_windows(spark, sf_dir):
+    """Per-session bounds + counts via Spark's NATIVE session_window
+    (the same operator the streaming sessionizer uses — see
+    streaming.stateful.stream_session_stats, whose streaming==batch
+    equality is pytest-asserted). The oracle restates the merge rule
+    relationally in EXACT integer microseconds: a new session starts
+    iff the gap to the previous event is >= 30 min (session_window
+    merges on strict <); session end = last event + gap. Unlike
+    rel_sessionize (count-only, lag rule `> 1800 s`), this emits the
+    windows themselves — boundary-tie conventions differ between the
+    two sessionizers by design (documented at the operator)."""
+    from denrl_spark.streaming.stateful import stream_session_stats
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return stream_session_stats(ev).select(
+        "user_id",
+        # parquet ts is TIMESTAMP_NTZ; the session tz is pinned UTC
+        # (denrl_spark.session), so the cast is the identity on micros
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+        .cast("bigint").alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp"))
+        .cast("bigint").alias("end_us"),
+        F.col("n_events"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis / dedup / similarity (training-data-pipeline operators)
 # --------------------------------------------------------------------------

@@ -248,3 +248,45 @@ def stream_upsert_latest(changelog: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_GAP = "30 minutes"
+SESSION_WATERMARK = "2 hours"
+
+
+def stream_session_stats(events: DataFrame, gap: str = SESSION_GAP,
+                         watermark: str = SESSION_WATERMARK) -> DataFrame:
+    """Gap-based session windows over the event stream via Spark's
+    NATIVE ``session_window`` — the idiomatic Structured Streaming
+    form of the batch lag/cumsum sessionizer (driver query
+    rel_sessionize): per (user_id, session) the event count and exact
+    window bounds, with sessions merged/extended across micro-batches
+    by the state store and finalized once the WATERMARK passes the
+    session end (append mode — late events inside the watermark merge
+    into their session; beyond it they're dropped, the documented
+    trade-off of any bounded-state sessionizer).
+
+    Works identically over a BATCH DataFrame (session_window is an
+    ordinary grouping expression there) — the streaming == batch
+    equality is test-asserted across out-of-order micro-batches,
+    including a late event that EXTENDS an already-open session.
+
+    State per live (user, session) is the merged window bounds +
+    count — O(1), keyed by user: at 10^12 turns the store scales with
+    concurrently-OPEN sessions, not history. Boundary semantics: an
+    event at exactly session_end starts a NEW session (session_window
+    merges on strict <), vs rel_sessionize's lag-rule `gap > 1800`
+    which keeps it — the two sessionizers agree except on exact-
+    boundary ties; consumers pick one convention."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    w = F.session_window("ts", gap)
+    return (
+        src.groupBy("user_id", w.alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

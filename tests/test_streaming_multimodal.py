@@ -954,3 +954,68 @@ def test_stream_upsert_latest_matches_batch(spark, tmp_path):
         assert dead and dead[0]["live"] is False
     finally:
         q.stop()
+
+
+def test_stream_session_windows_match_batch(spark, tmp_path):
+    """Native session_window streaming == the same aggregation in
+    batch over an out-of-order 3-micro-batch delivery: a late event
+    (within watermark) EXTENDS an open session across the batch
+    boundary, two sessions split by > gap stay split, and every
+    session finalizes once a far-future flush event advances the
+    watermark past its end."""
+    import datetime
+    import os
+
+    from denrl_spark.streaming.stateful import stream_session_stats
+
+    base = 1_700_000_000
+
+    def ev(eid, uid, off):
+        return (eid, datetime.datetime.utcfromtimestamp(base + off), uid)
+
+    # u1: one session 0..600s (events 0,300,600 - the 300 arrives LATE
+    # in batch 2), then a second session at 3600s (> 1800 gap).
+    # u2: single session with in-order events.
+    chunks = [
+        [ev(1, 1, 0), ev(2, 1, 600), ev(10, 2, 100)],
+        [ev(3, 1, 300), ev(11, 2, 200)],          # late extender for u1
+        [ev(4, 1, 3600), ev(12, 2, 900)],
+        # flush: advances the watermark (2h) past every session end
+        [ev(99, 9, 3600 + 2 * 3600 + 1900 + 60)],
+    ]
+    schema = "event_id long, ts timestamp, user_id long"
+    d = str(tmp_path / "sess_in")
+    spark.createDataFrame(chunks[0], schema).coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        stream_session_stats(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for chunk in chunks[1:]:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            q.processAllAvailable()
+        assert len(q.recentProgress) >= 3
+        got = sorted(
+            map(tuple, spark.sql(
+                "SELECT user_id, session_start, session_end, n_events"
+                " FROM sess_out WHERE user_id <> 9").collect())
+        )
+    finally:
+        q.stop()
+    batch = spark.createDataFrame(
+        [e for c in chunks for e in c if e[2] != 9], schema
+    )
+    want = sorted(
+        map(tuple, stream_session_stats(batch).collect())
+    )
+    assert got == want and len(got) == 3
+    # the late event really merged: u1's first session spans 0..600+gap
+    u1_first = min((r for r in got if r[0] == 1), key=lambda r: r[1])
+    assert u1_first[3] == 3
