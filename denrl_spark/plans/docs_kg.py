@@ -2019,3 +2019,55 @@ def snapshot_diff_sql(rel: str = "documents",
                     ELSE 'stable' END AS status
         FROM agg
     """
+
+
+def temporal_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING 2-hop reachability: src -> mid -> dst paths
+    where the second edge could have been observed no earlier than the
+    first (first_ts of hop 1 <= last_ts of hop 2) — the temporal-KG
+    causality question static two_hop can't ask ("what became
+    reachable AFTER the first fact appeared"). Self-loop hops and
+    round trips excluded as in two_hop. Emits per (src, dst) the
+    time-valid path count and the earliest completion time
+    (min over paths of max(first_ts_1, first_ts_2) — the moment BOTH
+    facts were first on the books).
+
+    Shape: identical to two_hop — one middle-vertex equi-join (AQE
+    splits hot mids) with the temporal RESIDUAL predicate applied on
+    the joined row + one map-side-combined agg; the ts bounds ride the
+    edge aggregate for free (edge_history)."""
+    h = edge_history(spark, sf_dir)
+    a = h.where(F.col("src_surface") != F.col("dst_surface")).select(
+        F.col("src_surface").alias("src"), F.col("dst_surface").alias("mid"),
+        F.col("first_ts").alias("f1"), F.col("last_ts").alias("l1"),
+    )
+    b = h.where(F.col("src_surface") != F.col("dst_surface")).select(
+        F.col("src_surface").alias("mid"), F.col("dst_surface").alias("dst"),
+        F.col("first_ts").alias("f2"), F.col("last_ts").alias("l2"),
+    )
+    return (
+        a.join(b, "mid")
+        .where((F.col("src") != F.col("dst")) & (F.col("f1") <= F.col("l2")))
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+            F.min(F.greatest("f1", "f2")).cast("bigint").alias("first_complete_ts"),
+        )
+    )
+
+
+def temporal_two_hop_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH hist AS ({edge_history_sql(rel)})
+        SELECT a.src_surface AS src, b.dst_surface AS dst,
+               count(*) AS n_paths,
+               CAST(min(greatest(a.first_ts, b.first_ts)) AS BIGINT)
+                 AS first_complete_ts
+        FROM hist a JOIN hist b
+          ON a.dst_surface = b.src_surface
+         AND a.src_surface <> a.dst_surface
+         AND b.src_surface <> b.dst_surface
+         AND a.src_surface <> b.dst_surface
+         AND a.first_ts <= b.last_ts
+        GROUP BY 1, 2
+    """

@@ -237,6 +237,13 @@ def kg_two_hop(spark, sf_dir):
     return two_hop(docs_kg.edges_by_doc(spark, sf_dir))
 
 
+# Time-respecting 2-hop over the edge validity intervals — the
+# temporal-causality reachability static two_hop can't express.
+_q("kg_temporal_two_hop", docs_kg.temporal_two_hop_sql())(
+    docs_kg.temporal_two_hop
+)
+
+
 @_q("kg_triangles", docs_kg.triangles_sql())
 def kg_triangles(spark, sf_dir):
     """Triangle enumeration, compact-forward oriented (va<vb<vc, each
@@ -2063,6 +2070,54 @@ def rel_salted_agg(spark, sf_dir):
     return partial.groupBy("event_type").agg(
         F.sum("pn").cast("bigint").alias("n"),
         F.sum("pc").cast("bigint").alias("sum_cents"),
+    )
+
+
+@_q(
+    "rel_salted_join",
+    """
+    WITH d AS (SELECT DISTINCT event_type FROM events)
+    SELECT e.event_type, count(*) AS n,
+           CAST(sum(CAST(floor(e.value * 100) AS BIGINT)
+                    * length(d.event_type)) AS BIGINT) AS weighted_cents
+    FROM events e JOIN d USING (event_type)
+    GROUP BY 1
+    """,
+)
+def rel_salted_join(spark, sf_dir):
+    """SALTED skew join — the pattern for a hot join key when the
+    other side is too big to broadcast (here forced with a
+    shuffle_hash hint so the demonstration survives AQE's broadcast
+    rewrite): the dimension side is REPLICATED across SALT_BUCKETS
+    salt values, the fact side derives salt = pmod(event_id, 16), and
+    the equi-join runs on (key, salt) — the hottest key's rows land on
+    16 reducers instead of one. Result identical to the unsalted join
+    (the oracle IS the unsalted join); the plan is pytest-asserted to
+    join on the salted key. AQE skew-join handles sort-merge skew
+    adaptively; explicit salting is the deterministic form that also
+    covers shuffled-hash joins and pre-AQE engines, and the join-side
+    twin of rel_salted_agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.pmod("event_id", F.lit(SALT_BUCKETS)).alias("salt"),
+    )
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("weight", F.length("event_type").cast("bigint"))
+        .withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)])),
+        )
+    )
+    return (
+        ev.join(dim.hint("shuffle_hash"), ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("cents") * F.col("weight"))
+            .cast("bigint").alias("weighted_cents"),
+        )
     )
 
 

@@ -426,3 +426,28 @@ def test_snapshot_diff_single_pass_consistency(spark):
 
     with _pytest.raises(ValueError):
         docs_kg.snapshot_diff(spark, SF_DIR, t1=5, t2=5)
+
+
+def test_temporal_two_hop_respects_time_and_subsets_static(spark):
+    """Every time-respecting path is a static 2-hop path; the temporal
+    predicate and completion time match a literal recomputation from
+    the edge validity intervals."""
+    hist = docs_kg.edge_history(spark, SF_DIR).toPandas()
+    h = [
+        (r["src_surface"], r["dst_surface"], r["first_ts"], r["last_ts"])
+        for _, r in hist.iterrows() if r["src_surface"] != r["dst_surface"]
+    ]
+    want: dict[tuple, tuple] = {}
+    for s1, d1, f1, l1 in h:
+        for s2, d2, f2, l2 in h:
+            if d1 == s2 and s1 != d2 and f1 <= l2:
+                k = (s1, d2)
+                n, first = want.get(k, (0, None))
+                c = max(f1, f2)
+                want[k] = (n + 1, c if first is None else min(first, c))
+    got = {
+        (r["src"], r["dst"]): (r["n_paths"], r["first_complete_ts"])
+        for _, r in
+        docs_kg.temporal_two_hop(spark, SF_DIR).toPandas().iterrows()
+    }
+    assert got == want and len(want) > 0

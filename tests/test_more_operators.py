@@ -677,3 +677,35 @@ def test_kmv_distinct_exact_below_k_and_bounded_error(spark, tmp_path):
     assert n_kept == KMV_K
     sigma = 5000 / (KMV_K - 2) ** 0.5
     assert abs(est - 5000) < 4 * sigma
+
+
+def test_salted_join_equals_plain_and_joins_on_salt(spark):
+    """rel_salted_join == the plain (unsalted) join-aggregate, and the
+    executed plan really joins on the salted composite key via a
+    shuffled-hash join (not a broadcast — the skew pattern must
+    survive AQE's rewrite to demonstrate anything)."""
+    from denrl_spark.plans.driver_queries import _t, rel_salted_join
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["n"], r["weighted_cents"])
+        for r in rel_salted_join(spark, sf).collect()
+    }
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    want = {
+        r["event_type"]: (r["n"], r["weighted_cents"])
+        for r in ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("cents") * F.length("event_type"))
+            .cast("bigint").alias("weighted_cents"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    plan = (
+        rel_salted_join(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin [event_type" in plan and "salt" in plan
+    assert "BroadcastHashJoin" not in plan
