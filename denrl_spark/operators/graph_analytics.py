@@ -1205,3 +1205,48 @@ def walk_skipgram_pairs(walks: DataFrame, c: int = SKIPGRAM_C) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def motif_census(edges: DataFrame, src: str = "src_surface",
+                 dst: str = "dst_surface") -> DataFrame:
+    """Directed triad motifs over the canonical digraph, instance
+    grain: (motif, va, vb, vc) for the two CLOSED connected triads —
+    'cycle' (va->vb->vc->va, anchored at the minimum vertex so each
+    rotation class appears once) and 'ffl' (the feed-forward loop
+    va->vb->vc with shortcut va->vc; roles are unique, so each
+    instance appears once naturally). The direction-aware structure
+    signal triangles (undirected) can't see: in a KG, feed-forward
+    abundance vs cycles separates hierarchical predicates from
+    mutual-reference clusters.
+
+    Shape: the distinct directed pair set is materialized ONCE
+    (eager localCheckpoint) and drives two 2-join chains — all
+    equi-joins on single vertex keys (AQE splits hot vertices), no
+    nested loop; the anchoring predicates are residual filters on
+    the joined row."""
+    d = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ab = d.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    bc = d.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    ca = d.select(F.col("s").alias("c"), F.col("t").alias("a"))
+    ac = d.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    cyc = (
+        ab.join(bc, "b").join(ca, ["c", "a"])
+        .where((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .select(F.lit("cycle").alias("motif"),
+                F.col("a").alias("va"), F.col("b").alias("vb"),
+                F.col("c").alias("vc"))
+    )
+    ffl = (
+        ab.join(bc, "b").join(ac, ["a", "c"])
+        .where((F.col("a") != F.col("c")) & (F.col("a") != F.col("b"))
+               & (F.col("b") != F.col("c")))
+        .select(F.lit("ffl").alias("motif"),
+                F.col("a").alias("va"), F.col("b").alias("vb"),
+                F.col("c").alias("vc"))
+    )
+    return cyc.unionByName(ffl)

@@ -2071,3 +2071,25 @@ def temporal_two_hop_sql(rel: str = "documents") -> str:
          AND a.first_ts <= b.last_ts
         GROUP BY 1, 2
     """
+
+
+def motif_census_sql(rel: str = "documents") -> str:
+    """graph_analytics.motif_census twin: the same two join chains
+    over the distinct directed pair set."""
+    return f"""
+        WITH {_edges_cte(rel)},
+        d AS MATERIALIZED (
+          SELECT DISTINCT src_surface AS s, dst_surface AS t
+          FROM edges WHERE src_surface <> dst_surface)
+        SELECT 'cycle' AS motif, e1.s AS va, e1.t AS vb, e2.t AS vc
+        FROM d e1
+        JOIN d e2 ON e2.s = e1.t
+        JOIN d e3 ON e3.s = e2.t AND e3.t = e1.s
+        WHERE e1.s < e1.t AND e1.s < e2.t
+        UNION ALL
+        SELECT 'ffl', e1.s, e1.t, e2.t
+        FROM d e1
+        JOIN d e2 ON e2.s = e1.t
+        JOIN d e3 ON e3.s = e1.s AND e3.t = e2.t
+        WHERE e1.s <> e2.t AND e1.s <> e1.t AND e1.t <> e2.t
+    """

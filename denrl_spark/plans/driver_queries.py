@@ -244,6 +244,17 @@ _q("kg_temporal_two_hop", docs_kg.temporal_two_hop_sql())(
 )
 
 
+@_q("kg_motifs", docs_kg.motif_census_sql())
+def kg_motifs(spark, sf_dir):
+    """Directed triad census (cycle vs feed-forward loop) at instance
+    grain — the direction-aware structure signal undirected triangles
+    can't see; two equi-join chains over the once-materialized
+    distinct pair set."""
+    from denrl_spark.operators.graph_analytics import motif_census
+
+    return motif_census(docs_kg.edges_by_doc(spark, sf_dir))
+
+
 @_q("kg_triangles", docs_kg.triangles_sql())
 def kg_triangles(spark, sf_dir):
     """Triangle enumeration, compact-forward oriented (va<vb<vc, each
