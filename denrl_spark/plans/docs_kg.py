@@ -2093,3 +2093,68 @@ def motif_census_sql(rel: str = "documents") -> str:
         JOIN d e3 ON e3.s = e1.s AND e3.t = e2.t
         WHERE e1.s <> e2.t AND e1.s <> e1.t AND e1.t <> e2.t
     """
+
+
+RECENCY_REF_TS = TS_EPOCH_BASE + 3500  # scoring reference instant
+RECENCY_HALFLIFE_S = 600               # one halving per 600 s of age
+_RECENCY_SHIFT_CAP = 20                # 1e6 >> 20 == 0: deeper shifts moot
+
+
+def edge_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-weighted edge confidence: per canonical edge the sum
+    over its observations of 1e6 halved once per RECENCY_HALFLIFE_S of
+    age at RECENCY_REF_TS — exponential time decay in EXACT integer
+    units (age bucket k = age div halflife; contribution = 1e6 div
+    2^k, shift capped where it underflows to 0), so the ranking is
+    hash-oracle-able where float exp() would hit the cross-engine ULP
+    gap. The serving-layer ranking signal that prefers recently
+    re-attested facts over stale heavily-attested ones — the
+    complement of edge_pmi's frequency lens.
+
+    Shape: one conditional projection + the same single
+    map-side-combined edge aggregate as every provenance rollup; at
+    production scale the window-partitioned log makes "recent k
+    buckets only" a partition-pruned variant."""
+    return (
+        _linked_rel_rows(spark, sf_dir)
+        .withColumn(
+            "ts",
+            (F.lit(TS_EPOCH_BASE) + F.col("doc_id") * TS_SPACING_S)
+            .cast("bigint"),
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                "CAST(1000000 div shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(least(({RECENCY_REF_TS} - ts) div "
+                f"{RECENCY_HALFLIFE_S}, {_RECENCY_SHIFT_CAP}) AS INT)) "
+                "AS BIGINT)"
+            ),
+        )
+        .groupBy("src_surface", F.col("ent2_tag").alias("pred"), "dst_surface")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("contrib").cast("bigint").alias("recency_u6"),
+        )
+    )
+
+
+def edge_recency_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()},
+        rel_rows AS (
+          SELECT {TS_EPOCH_BASE} + g.doc_id * {TS_SPACING_S} AS ts,
+                 cs.canonical_surface AS src_surface,
+                 g.ent2_tag AS pred, cd.canonical_surface AS dst_surface
+          FROM gold g
+          JOIN canon cs ON cs.surface = g.ent1
+          JOIN canon cd ON cd.surface = g.ent2
+          WHERE g.ent2_tag LIKE '%/%')
+        SELECT src_surface, pred, dst_surface,
+               count(*) AS n_obs,
+               CAST(sum(1000000 // (CAST(1 AS BIGINT) << CAST(least(
+                 ({RECENCY_REF_TS} - ts) // {RECENCY_HALFLIFE_S},
+                 {_RECENCY_SHIFT_CAP}) AS INT))) AS BIGINT) AS recency_u6
+        FROM rel_rows GROUP BY 1, 2, 3
+    """

@@ -592,6 +592,9 @@ _q("kg_snapshot_asof", docs_kg.snapshot_asof_sql())(docs_kg.snapshot_asof)
 # Snapshot DIFF between two cutoffs in one conditional-aggregate pass
 # (never a two-snapshot join) — the versioned-KG what-changed query.
 _q("kg_snapshot_diff", docs_kg.snapshot_diff_sql())(docs_kg.snapshot_diff)
+# Freshness-weighted edge confidence: exact-integer exponential decay
+# (halving per age bucket) — the recency ranking lens next to PMI.
+_q("kg_edge_recency", docs_kg.edge_recency_sql())(docs_kg.edge_recency)
 # Functional-predicate conflict detection: (src, pred) with >1 object,
 # best-attested object via an argmax aggregate (no list state).
 _q("kg_conflicts", docs_kg.edge_conflicts_sql())(docs_kg.edge_conflicts)
@@ -2129,6 +2132,51 @@ def rel_salted_join(spark, sf_dir):
             F.sum(F.col("cents") * F.col("weight"))
             .cast("bigint").alias("weighted_cents"),
         )
+    )
+
+
+DEBOUNCE_S = 60  # ingest-dedup window (seconds)
+
+
+@_q(
+    "rel_debounce",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events),
+    g AS (
+      SELECT *, t - lag(t) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY t, event_id) AS gap
+      FROM e)
+    SELECT event_id, user_id, event_type, t
+    FROM g WHERE gap IS NULL OR gap > {DEBOUNCE_S}
+    """,
+)
+def rel_debounce(spark, sf_dir):
+    """Ingest DEBOUNCE dedup: drop an event when the same (user, type)
+    fired within DEBOUNCE_S seconds before it — the at-ingest noise
+    filter (double-clicks, retry storms, at-least-once redelivery)
+    every event pipeline runs before sessionization. Keep rule: an
+    event survives iff a full quiet window preceded it (gap to the
+    immediately preceding event of the key — kept or dropped — is
+    NULL or > DEBOUNCE_S; ties sequenced by event_id). This is
+    leading-edge-after-quiet debounce: a burst collapses to its first
+    event and stays suppressed while the burst continues — distinct
+    from keep-first-per-fixed-window, which re-admits mid-burst.
+
+    Shape: one window over (user, type) — single shuffle on the key,
+    partition-local sort; at 10^12 events the key space is wide so no
+    skew, and the window never leaves the partition."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    return (
+        e.withColumn("gap", F.col("t") - F.lag("t").over(w))
+        .where(F.col("gap").isNull() | (F.col("gap") > DEBOUNCE_S))
+        .select("event_id", "user_id", "event_type", "t")
     )
 
 

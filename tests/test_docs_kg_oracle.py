@@ -451,3 +451,25 @@ def test_temporal_two_hop_respects_time_and_subsets_static(spark):
         docs_kg.temporal_two_hop(spark, SF_DIR).toPandas().iterrows()
     }
     assert got == want and len(want) > 0
+
+
+def test_edge_recency_matches_python_and_ranks_fresh_edges(spark):
+    """Integer-decay recency vs a literal Python recomputation; a
+    fresher edge with equal n_obs never scores below a staler one."""
+    rel = _linked_pdf(spark)
+    rel["ts"] = docs_kg.TS_EPOCH_BASE + rel["doc_id"] * docs_kg.TS_SPACING_S
+    key = ["src_surface", "pred", "dst_surface"]
+    want = {}
+    for k, grp in rel.groupby(key):
+        s = 0
+        for ts in grp["ts"]:
+            kk = min((docs_kg.RECENCY_REF_TS - int(ts))
+                     // docs_kg.RECENCY_HALFLIFE_S, 20)
+            s += 1_000_000 >> kk
+        want[k] = (len(grp), s)
+    got = {
+        (r["src_surface"], r["pred"], r["dst_surface"]):
+            (r["n_obs"], r["recency_u6"])
+        for _, r in docs_kg.edge_recency(spark, SF_DIR).toPandas().iterrows()
+    }
+    assert got == want and len(want) > 0

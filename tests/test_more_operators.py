@@ -709,3 +709,39 @@ def test_salted_join_equals_plain_and_joins_on_salt(spark):
     )
     assert "ShuffledHashJoin [event_type" in plan and "salt" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_debounce_quiet_window_semantics(spark, tmp_path):
+    """rel_debounce on a crafted burst: leading edge kept, burst
+    suppressed INCLUDING an event > window from the last KEPT but
+    < window from the previous dropped one (quiet-period rule), next
+    event after true silence kept; tie at the same second sequenced
+    by event_id; keys independent."""
+    import datetime
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_debounce
+
+    base = 1_700_000_000
+
+    def ev(eid, uid, typ, off):
+        return (eid, datetime.datetime.utcfromtimestamp(base + off), uid,
+                typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "click", 0),     # keep (leading edge)
+        ev(2, 1, "click", 30),    # drop (30 <= 60 after 1)
+        ev(3, 1, "click", 70),    # drop: 40s after DROPPED ev2 (quiet rule)
+        ev(4, 1, "click", 200),   # keep (130s quiet)
+        ev(5, 1, "view", 10),     # keep (other key)
+        ev(7, 2, "click", 0),     # keep; tie with eid 6 at same second:
+        ev(6, 2, "click", 0),     #   eid 6 ordered FIRST -> 6 keep, 7 drop
+    ]
+    d = str(tmp_path / "deb")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    kept = sorted(r["event_id"] for r in rel_debounce(spark, d).collect())
+    assert kept == [1, 4, 5, 6]
