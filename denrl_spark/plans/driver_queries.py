@@ -1738,6 +1738,59 @@ def dedup_embedding_pairs_lsh(spark, sf_dir):
     return lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+KNN_K = 3            # neighbors kept per vector
+KNN_MIN_COS_E3 = 100  # candidate floor (synthetic embeddings are near-orthogonal)
+
+
+@_q(
+    "sim_knn_graph",
+    f"""
+    WITH pairs AS ({similarity.lsh_near_dup_pairs_sql(min_cos_e3=KNN_MIN_COS_E3)}),
+    sym AS (
+      SELECT vec_a AS src, vec_b AS dst, cos_e3 FROM pairs
+      UNION ALL
+      SELECT vec_b, vec_a, cos_e3 FROM pairs),
+    ranked AS (
+      SELECT src, dst, cos_e3,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos_e3 DESC, dst ASC) AS rn
+      FROM sym)
+    SELECT src, dst, CAST(cos_e3 AS BIGINT) AS cos_e3, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {KNN_K}
+    """,
+)
+def sim_knn_graph(spark, sf_dir):
+    """Approximate k-NN GRAPH over the embedding corpus (every
+    vector's top-KNN_K neighbors, not one query's): LSH candidate
+    pairs (bucket join + multi-probe, the 100 TB shape — same honest
+    recall contract as dedup_embedding_pairs_lsh) symmetrized, then a
+    per-source window rank keeps the KNN_K best by (cos DESC, id ASC).
+    The substrate of SemDeDup clustering, embedding-space diversity
+    sampling, and label propagation over semantic neighbors. The rank
+    window partitions by vector id — bounded state, never a global
+    sort; candidate fan-in per vector is already capped by the bucket
+    structure."""
+    from pyspark.sql import Window as W
+
+    pairs = lsh_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), min_cos_e3=KNN_MIN_COS_E3
+    ).localCheckpoint()
+    sym = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_e3"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos_e3"
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cos_e3"), F.asc("dst"))
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select("src", "dst", F.col("cos_e3").cast("bigint"),
+                F.col("rn").cast("bigint"))
+    )
+
+
 # Semantic-dup threshold. Production SemDeDup uses ~0.9+ on real text
 # embeddings; the driver's synthetic embeddings are near-orthogonal
 # (max pairwise cos 0.512 at sf0.01), so the REGISTERED threshold is

@@ -365,3 +365,45 @@ def test_pq_partition_invariance(spark, clustered):
         a = sorted(map(tuple, op(clustered).collect()))
         b = sorted(map(tuple, op(sh).collect()))
         assert a == b and len(a) > 0, op.__name__
+
+
+def test_knn_graph_ranks_cluster_mates_first(spark, clustered, tmp_path):
+    """On the clustered corpus every vector's top-2 neighbors are its
+    two cluster mates (cos ~0.97 vs cross-cluster noise), ranks are
+    dense per source, and the rank rule matches a literal recompute
+    from the pair set."""
+    import os
+
+    from denrl_spark.plans.driver_queries import (
+        KNN_K,
+        KNN_MIN_COS_E3,
+        sim_knn_graph,
+    )
+
+    d = str(tmp_path / "knn")
+    clustered.write.parquet(os.path.join(d, "embeddings.parquet"))
+    rows = sim_knn_graph(spark, d).collect()
+    by_src: dict[int, list] = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append((r["rn"], r["dst"], r["cos_e3"]))
+    assert len(by_src) == 120
+    for src, lst in by_src.items():
+        lst.sort()
+        assert [rn for rn, *_ in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= KNN_K
+        mates = {v for v in range(src // 3 * 3, src // 3 * 3 + 3) if v != src}
+        assert {dst for rn, dst, _ in lst[:2]} == mates, src
+    # rank rule == literal recompute over the symmetric candidate set
+    from denrl_spark.functions.similarity import lsh_near_dup_pairs
+
+    pairs = lsh_near_dup_pairs(
+        clustered, min_cos_e3=KNN_MIN_COS_E3
+    ).collect()
+    nbrs: dict[int, list] = {}
+    for p in pairs:
+        nbrs.setdefault(p["vec_a"], []).append((-p["cos_e3"], p["vec_b"]))
+        nbrs.setdefault(p["vec_b"], []).append((-p["cos_e3"], p["vec_a"]))
+    for src, lst in nbrs.items():
+        want = [v for _, v in sorted(lst)[:KNN_K]]
+        got = [dst for _, dst, _ in sorted(by_src[src])]
+        assert got == want, src
