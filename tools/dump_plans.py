@@ -53,6 +53,15 @@ SHOW = [
     ("text_source_mixture", "mixture weights: one narrow scan, |sources|-row agg, totals as driver literals (no SinglePartition)"),
     ("rel_upsert_latest", "CDC compaction: partial max_by BEFORE the single key Exchange — one pre-combined row per key crosses the wire, no window over the changelog"),
     ("kg_scc", "SCC output stage: checkpointed assignment table + map-side-combined size agg + equi-join (the coloring/peel rounds are O(1)-lineage checkpoints upstream)"),
+    ("rel_salted_agg", "salted two-stage aggregate: hot key spread over 16 reducers in the (key, salt) stage, re-summed per key"),
+    ("rel_salted_join", "salted skew join: dimension replicated across salts, ShuffledHashJoin on the (key, salt) composite — the hot key lands on 16 reducers"),
+    ("rel_kmv_distinct", "KMV distinct sketch: k smallest hashes per group (window rank, per-key partitions), estimate in exact integer math"),
+    ("text_winnowing", "winnowing fingerprints: packed (hash, rightmost-pos) window minima entirely in scan-stage HOFs — zero Exchange"),
+    ("kg_snapshot_diff", "versioned-KG diff: ONE conditional-aggregate pass over the observation log (never a two-snapshot join)"),
+    ("kg_provenance", "per-edge provenance: window rank caps the doc sample BEFORE collect_list (bounded agg state), true count rides along"),
+    ("sim_knn_graph", "k-NN graph: LSH bucket-join candidates symmetrized + per-source window rank — no all-pairs, bounded rank state"),
+    ("kg_closeness", "harmonic closeness final round: root-keyed MS-BFS distance table + one map-side-combined per-root aggregate"),
+    ("rel_session_windows", "native session_window aggregation: one shuffle on the user key, merge logic inside the agg"),
 ]
 
 
