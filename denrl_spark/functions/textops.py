@@ -1053,3 +1053,97 @@ def winnow_sql(rel: str = "documents", k: int = WINNOW_K,
                CAST(m // {cap} AS BIGINT) AS fp
         FROM sel
     """
+
+
+GOPHER_MIN_WORDS = 50          # Rae et al. 2021 C4/Gopher rule subset
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_MIN = 3             # mean word length bounds (chars/word)
+GOPHER_MWL_MAX = 10
+GOPHER_ALPHA_NUM = 4           # alpha-word ratio >= 4/5 (80%)
+GOPHER_ALPHA_DEN = 5
+GOPHER_MIN_STOP_HITS = 2       # distinct-occurrence stopword floor
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 rule subset that is meaningful
+    on whitespace tokens): per doc the raw counts and each rule's
+    verdict, plus the composite keep flag. All thresholds are EXACT
+    integer comparisons (mean-word-length bounds as cross-multiplied
+    products, ratio floors as scaled integer inequalities) so the
+    gate is hash-oracle-able — the division-free form is also what
+    you want at 100 TB (no float drift across engines/partitions).
+
+    Rules: word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]; mean
+    word length in [GOPHER_MWL_MIN, GOPHER_MWL_MAX]; >= 80% of words
+    contain an alphabetic character; >= GOPHER_MIN_STOP_HITS stopword
+    occurrences. Computed entirely with scan-stage HOFs — zero
+    shuffle, zero Python."""
+    toks = _toks()
+    n_words = F.size(toks)
+    n_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stops = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+    d = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_alpha.cast("bigint").alias("n_alpha_words"),
+        n_stop.cast("bigint").alias("n_stop_hits"),
+    )
+    len_ok = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    mwl_ok = (
+        F.col("n_chars") >= GOPHER_MWL_MIN * F.col("n_words")
+    ) & (F.col("n_chars") <= GOPHER_MWL_MAX * F.col("n_words"))
+    alpha_ok = (
+        GOPHER_ALPHA_DEN * F.col("n_alpha_words")
+        >= GOPHER_ALPHA_NUM * F.col("n_words")
+    )
+    stop_ok = F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS
+    return d.select(
+        "doc_id", "n_words", "n_chars", "n_alpha_words", "n_stop_hits",
+        len_ok.cast("int").alias("len_ok"),
+        mwl_ok.cast("int").alias("mwl_ok"),
+        alpha_ok.cast("int").alias("alpha_ok"),
+        stop_ok.cast("int").alias("stop_ok"),
+        (len_ok & mwl_ok & alpha_ok & stop_ok).cast("int").alias("keep"),
+    )
+
+
+def gopher_rules_sql(rel: str = "documents") -> str:
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM {rel}),
+        agg AS (
+          SELECT doc_id,
+                 count(*) AS n_words,
+                 CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+                 CAST(sum(CASE WHEN regexp_matches(tok, '[A-Za-z]')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+                 CAST(sum(CASE WHEN lower(tok) IN ({stops})
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits
+          FROM t GROUP BY 1)
+        SELECT doc_id, n_words, n_chars, n_alpha_words, n_stop_hits,
+               CAST(n_words >= {GOPHER_MIN_WORDS}
+                    AND n_words <= {GOPHER_MAX_WORDS} AS INT) AS len_ok,
+               CAST(n_chars >= {GOPHER_MWL_MIN} * n_words
+                    AND n_chars <= {GOPHER_MWL_MAX} * n_words AS INT) AS mwl_ok,
+               CAST({GOPHER_ALPHA_DEN} * n_alpha_words
+                    >= {GOPHER_ALPHA_NUM} * n_words AS INT) AS alpha_ok,
+               CAST(n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS INT) AS stop_ok,
+               CAST(n_words >= {GOPHER_MIN_WORDS}
+                    AND n_words <= {GOPHER_MAX_WORDS}
+                    AND n_chars >= {GOPHER_MWL_MIN} * n_words
+                    AND n_chars <= {GOPHER_MWL_MAX} * n_words
+                    AND {GOPHER_ALPHA_DEN} * n_alpha_words
+                        >= {GOPHER_ALPHA_NUM} * n_words
+                    AND n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS INT) AS keep
+        FROM agg
+    """

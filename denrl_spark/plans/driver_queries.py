@@ -1021,6 +1021,13 @@ def text_fingerprint(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+# Gopher-rules quality gate: division-free integer thresholds, zero
+# shuffle, zero Python (textops.gopher_rules docstring).
+_q("text_gopher_rules", textops.gopher_rules_sql())(
+    lambda spark, sf_dir: textops.gopher_rules(_t(spark, sf_dir, "documents"))
+)
+
+
 # Winnowing (MOSS) fingerprints: the local-dedup index between exact
 # substring dedup and doc-level MinHash — windowed k-gram minima kept
 # entirely in scan-stage HOFs (textops.winnow_fingerprints docstring).

@@ -290,3 +290,60 @@ def stream_session_stats(events: DataFrame, gap: str = SESSION_GAP,
             "n_events",
         )
     )
+
+
+DEBOUNCE_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("t", LongType()),
+    ]
+)
+DEBOUNCE_STATE_SCHEMA = StructType([StructField("last_t", LongType())])
+
+
+def stream_debounce(events: DataFrame, window_s: int = 60) -> DataFrame:
+    """Streaming twin of the batch ingest debounce (driver query
+    rel_debounce): per (user_id, event_type), emit an event iff a full
+    quiet window preceded it — the gap to the key's previous event
+    (kept OR dropped) exceeds ``window_s`` — with the last-seen
+    timestamp carried across micro-batches in the state store
+    (leading-edge-after-quiet semantics; a kept event does NOT re-arm
+    the window, matching the batch lag rule exactly).
+
+    State is ONE long per live key. Ordering contract: per-key
+    monotone delivery (t, event_id) across micro-batches — debounce
+    is the at-ingest stage reading the ordered source log; within a
+    micro-batch arrival order is irrelevant (rows are sorted before
+    the fold). Batch == streaming equality is pytest-asserted over
+    multi-batch splits, including a burst straddling the boundary."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        user_id, event_type = key
+        last_t = state.get[0] if state.exists else None
+        out = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t", "event_id"])
+        for eid, t in zip(rows["event_id"], rows["t"]):
+            if last_t is None or int(t) - last_t > window_s:
+                out.append((int(eid), user_id, event_type, int(t)))
+            last_t = int(t)
+        state.update((last_t,))
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "event_type", "t"]
+        )
+
+    d = events.select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+    )
+    return d.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        DEBOUNCE_OUT_SCHEMA,
+        DEBOUNCE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1019,3 +1019,66 @@ def test_stream_session_windows_match_batch(spark, tmp_path):
     # the late event really merged: u1's first session spans 0..600+gap
     u1_first = min((r for r in got if r[0] == 1), key=lambda r: r[1])
     assert u1_first[3] == 3
+
+
+def test_stream_debounce_matches_batch(spark, tmp_path):
+    """Streaming debounce == rel_debounce on the same events with a
+    burst straddling the micro-batch boundary: the last-seen timestamp
+    in the state store keeps suppressing the burst's tail in the next
+    batch, and a post-silence event is re-admitted."""
+    import datetime
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_debounce
+    from denrl_spark.streaming.stateful import stream_debounce
+
+    base = 1_700_000_000
+
+    def ev(eid, uid, typ, off):
+        return (eid, datetime.datetime.utcfromtimestamp(base + off), uid,
+                typ, 1.0, "{}")
+
+    # u1 burst: 0, 30, 70, 100 (batch splits after 30) -> only eid 1
+    # kept; then silence -> 300 kept. u2 independent key.
+    chunks = [
+        [ev(1, 1, "click", 0), ev(2, 1, "click", 30), ev(10, 2, "view", 5)],
+        [ev(3, 1, "click", 70), ev(4, 1, "click", 100),
+         ev(5, 1, "click", 300), ev(11, 2, "view", 50)],
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    bdir = str(tmp_path / "deb_batch")
+    spark.createDataFrame(
+        [e for c in chunks for e in c], schema
+    ).write.parquet(os.path.join(bdir, "events.parquet"))
+    expect = sorted(
+        map(tuple, rel_debounce(spark, bdir).collect())
+    )
+
+    d = str(tmp_path / "deb_in")
+    spark.createDataFrame(chunks[0], schema).coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        stream_debounce(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("deb_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(chunks[1], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        q.processAllAvailable()
+        got = sorted(
+            map(tuple, spark.sql(
+                "SELECT event_id, user_id, event_type, t FROM deb_out"
+            ).collect())
+        )
+    finally:
+        q.stop()
+    assert got == expect
+    assert sorted(r[0] for r in got) == [1, 5, 10]

@@ -571,3 +571,57 @@ def test_winnowing_density_and_plan(spark):
         ))._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_gopher_rules_transcription_and_edges(spark):
+    """Gopher gate vs a literal Python recomputation on crafted docs
+    hitting each rule boundary exactly (49/50 words, mean word length
+    3 and 10 exact, 79/80% alpha, 1/2 stopword hits)."""
+    from denrl_spark.functions.textops import (
+        GOPHER_MIN_STOP_HITS,
+        STOPWORDS_EN,
+        gopher_rules,
+    )
+
+    base = ["the"] + ["with"] + ["word"] * 48  # 50 words, 2 stop hits
+    texts = [
+        (0, " ".join(base)),                        # all rules pass
+        (1, " ".join(base[:49])),                   # 49 words: len fails
+        (2, " ".join(["the", "a"] + ["xy"] * 48)),  # mwl 2.1: fails low
+        (3, " ".join(["the", "a"] + ["x" * 11] * 48)),  # mwl > 10: fails
+        (4, " ".join(["the", "a"] + ["1234"] * 9 + ["word"] * 39)),  # 82% alpha
+        (5, " ".join(["the", "a"] + ["1234"] * 11 + ["word"] * 37)),  # 78%: fails
+        (6, " ".join(["the"] + ["word"] * 49)),     # 1 stop hit: fails
+    ]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(d).collect()}
+    for doc_id, text in texts:
+        toks = text.split(" ")
+        n_words = len(toks)
+        n_chars = sum(len(t) for t in toks)
+        n_alpha = sum(1 for t in toks if any(c.isalpha() and ord(c) < 128
+                                             for c in t))
+        n_stop = sum(1 for t in toks if t.lower() in STOPWORDS_EN)
+        r = got[doc_id]
+        assert (r["n_words"], r["n_chars"], r["n_alpha_words"],
+                r["n_stop_hits"]) == (n_words, n_chars, n_alpha, n_stop)
+        len_ok = 50 <= n_words <= 100_000
+        mwl_ok = 3 * n_words <= n_chars <= 10 * n_words
+        alpha_ok = 5 * n_alpha >= 4 * n_words
+        stop_ok = n_stop >= GOPHER_MIN_STOP_HITS
+        assert (r["len_ok"], r["mwl_ok"], r["alpha_ok"], r["stop_ok"]) == (
+            int(len_ok), int(mwl_ok), int(alpha_ok), int(stop_ok)), doc_id
+        assert r["keep"] == int(len_ok and mwl_ok and alpha_ok and stop_ok)
+    assert got[0]["keep"] == 1
+    assert [got[i]["keep"] for i in range(1, 7)] == [0, 0, 0, 1, 0, 0]
+
+
+def test_gopher_rules_plan_is_shuffle_free(spark):
+    from denrl_spark.functions.textops import gopher_rules
+
+    plan = (
+        gopher_rules(spark.createDataFrame(
+            [(0, "a b c")], "doc_id long, text string"
+        ))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
