@@ -2195,6 +2195,68 @@ def rel_salted_join(spark, sf_dir):
     )
 
 
+QSKETCH_BUCKETS = 128  # fixed-histogram quantile sketch resolution
+QSKETCH_WIDTH = 2      # bucket width in value units (range [0, 256))
+
+
+@_q(
+    "rel_quantile_sketch",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             least({QSKETCH_BUCKETS - 1},
+                   CAST(floor(value / {QSKETCH_WIDTH}) AS BIGINT)) AS b,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, sum(n) AS total FROM h GROUP BY 1),
+    cum AS (
+      SELECT h.event_type, h.b, t.total,
+             sum(h.n) OVER (PARTITION BY h.event_type ORDER BY h.b
+                            ROWS UNBOUNDED PRECEDING) AS c
+      FROM h JOIN tot t USING (event_type))
+    SELECT event_type,
+           CAST(max(total) AS BIGINT) AS n,
+           CAST(min(CASE WHEN 2 * c >= total THEN b END)
+                * {QSKETCH_WIDTH} AS BIGINT) AS p50_est,
+           CAST(min(CASE WHEN 20 * c >= 19 * total THEN b END)
+                * {QSKETCH_WIDTH} AS BIGINT) AS p95_est
+    FROM cum GROUP BY 1
+    """,
+)
+def rel_quantile_sketch(spark, sf_dir):
+    """Fixed-histogram quantile SKETCH: p50/p95 estimated as the lower
+    bound of the first bucket whose cumulative count crosses the rank
+    threshold (cross-multiplied integer rule — 2c >= n for p50,
+    20c >= 19n for p95; no floats, no interpolation). The mergeable,
+    single-pass alternative to exact percentiles (rel_percentiles
+    sorts within groups): at 100 TB the histogram is a
+    |groups| x 128-row map-side-combined aggregate — partial maps
+    merge by addition, the shuffle carries bounded state per group,
+    and error is bounded by the bucket width by construction. The
+    same trade Spark's approx_percentile makes, in a deterministic
+    ANSI-expressible form both engines hash identically."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(
+            F.lit(QSKETCH_BUCKETS - 1),
+            F.floor(F.col("value") / QSKETCH_WIDTH).cast("bigint"),
+        ).alias("b"),
+    )
+    h = ev.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("n"))
+    tot = h.groupBy("event_type").agg(F.sum("n").alias("total"))
+    w = Window.partitionBy("event_type").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.join(tot, "event_type").withColumn("c", F.sum("n").over(w))
+    return cum.groupBy("event_type").agg(
+        F.max("total").cast("bigint").alias("n"),
+        (F.min(F.when(2 * F.col("c") >= F.col("total"), F.col("b")))
+         * QSKETCH_WIDTH).cast("bigint").alias("p50_est"),
+        (F.min(F.when(20 * F.col("c") >= 19 * F.col("total"), F.col("b")))
+         * QSKETCH_WIDTH).cast("bigint").alias("p95_est"),
+    )
+
+
 DEBOUNCE_S = 60  # ingest-dedup window (seconds)
 
 

@@ -745,3 +745,45 @@ def test_debounce_quiet_window_semantics(spark, tmp_path):
     ).write.parquet(os.path.join(d, "events.parquet"))
     kept = sorted(r["event_id"] for r in rel_debounce(spark, d).collect())
     assert kept == [1, 4, 5, 6]
+
+
+def test_quantile_sketch_error_bound_and_exact_rank_rule(spark):
+    """Sketch p50/p95 vs numpy exact percentiles on the real events
+    table: the estimate is the lower bound of the covering bucket, so
+    error < bucket width; and the rank rule matches a literal
+    recomputation from the bucket histogram."""
+    import numpy as np
+    import pandas as pd
+
+    from denrl_spark.plans.driver_queries import (
+        QSKETCH_BUCKETS,
+        QSKETCH_WIDTH,
+        rel_quantile_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["n"], r["p50_est"], r["p95_est"])
+        for r in rel_quantile_sketch(spark, sf).collect()
+    }
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    for typ, grp in ev.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        n, p50, p95 = got[typ]
+        assert n == len(v)
+        # literal histogram recount
+        b = np.minimum(QSKETCH_BUCKETS - 1,
+                       np.floor(v / QSKETCH_WIDTH).astype(int))
+        counts = np.bincount(b, minlength=QSKETCH_BUCKETS)
+        cum = np.cumsum(counts)
+        want50 = int(np.argmax(2 * cum >= len(v))) * QSKETCH_WIDTH
+        want95 = int(np.argmax(20 * cum >= 19 * len(v))) * QSKETCH_WIDTH
+        assert (p50, p95) == (want50, want95), typ
+        # error bound: the estimate is the lower bound of the bucket
+        # CONTAINING the target order statistic (rank ceil(q*n)), so
+        # it differs from that order statistic by < bucket width
+        srt = np.sort(v)
+        os50 = srt[-(-len(v) // 2) - 1]         # ceil(n/2)-th
+        os95 = srt[-(-(19 * len(v)) // 20) - 1]  # ceil(19n/20)-th
+        assert 0 <= os50 - p50 < QSKETCH_WIDTH
+        assert 0 <= os95 - p95 < QSKETCH_WIDTH
