@@ -2158,3 +2158,144 @@ def edge_recency_sql(rel: str = "documents") -> str:
                  {_RECENCY_SHIFT_CAP}) AS INT))) AS BIGINT) AS recency_u6
         FROM rel_rows GROUP BY 1, 2, 3
     """
+
+
+def entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity SERVING CARD — the one-row-per-entity composite a KG
+    lookup API returns: canonical surface, mention volume + majority
+    type (type profile), edge-grain out/in degree, the predicate of
+    the single most-observed outgoing edge (edge-grain argmax, tie ->
+    min pred — NOT summed per predicate), and the observation validity
+    bounds over every edge touching the entity. Entities with no
+    relation edges keep the card with zeroed/empty defaults (COALESCE
+    — deterministic, hash-safe; no NULLs cross the oracle).
+
+    Shape: four V-row aggregates (profile, degree, top-pred argmax,
+    ts bounds) LEFT-joined on the canonical key — at production all
+    four are map-side-combined aggregates of tables bucketed by that
+    same key, so the joins are co-partitioned; nothing here scans the
+    observation log more than the two grains already required
+    (mention grain + edge grain)."""
+    from denrl_spark.operators.linking import canonicalize
+
+    trips = gold_triples_by_doc(spark, sf_dir).cache()
+    trips.count()
+    mmap = canonicalize(trips).select("surface", "canonical_surface").cache()
+    mmap.count()
+
+    prof = (
+        trips.join(mmap.withColumnsRenamed({"surface": "ent1"}), "ent1")
+        .groupBy(F.col("canonical_surface").alias("surface"),
+                 F.col("ent1_tag").alias("typ"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("surface")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_mentions"),
+            F.min(F.struct((-F.col("n")).alias("neg"),
+                           F.col("typ").alias("t"))).alias("_top"),
+        )
+        .select("surface", "n_mentions", F.col("_top.t").alias("top_type"))
+    )
+
+    from denrl_spark.operators.graph import link_canonical
+
+    rel = link_canonical(trips, mmap).withColumn(
+        "ts",
+        (F.lit(TS_EPOCH_BASE) + F.col("doc_id") * TS_SPACING_S).cast("bigint"),
+    ).localCheckpoint()
+    mmap.unpersist()
+    trips.unpersist()
+
+    edges = rel.groupBy(
+        "src_surface", F.col("ent2_tag").alias("pred"), "dst_surface"
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    outs = edges.groupBy(F.col("src_surface").alias("surface")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_deg"),
+        F.min(F.struct((-F.col("n_obs")).alias("neg"),
+                       F.col("pred").alias("p"))).alias("_tp"),
+    ).select("surface", "out_deg", F.col("_tp.p").alias("top_pred"))
+    ins = edges.groupBy(F.col("dst_surface").alias("surface")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_deg")
+    )
+    tsb = (
+        rel.select(F.col("src_surface").alias("surface"), "ts")
+        .unionByName(rel.select(F.col("dst_surface").alias("surface"), "ts"))
+        .groupBy("surface")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        prof.join(outs, "surface", "left")
+        .join(ins, "surface", "left")
+        .join(tsb, "surface", "left")
+        .select(
+            "surface", "n_mentions", "top_type",
+            F.coalesce("out_deg", zero).alias("out_deg"),
+            F.coalesce("in_deg", zero).alias("in_deg"),
+            F.coalesce("top_pred", F.lit("")).alias("top_pred"),
+            F.coalesce("first_ts", zero).alias("first_ts"),
+            F.coalesce("last_ts", zero).alias("last_ts"),
+        )
+    )
+
+
+def entity_cards_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()},
+        by_type AS (
+          SELECT c.canonical_surface AS surface, g.ent1_tag AS typ,
+                 count(*) AS n
+          FROM gold g JOIN canon c ON c.surface = g.ent1
+          GROUP BY 1, 2),
+        tr AS (
+          SELECT surface, typ,
+                 row_number() OVER (PARTITION BY surface
+                                    ORDER BY n DESC, typ ASC) AS rn,
+                 sum(n) OVER (PARTITION BY surface) AS n_mentions
+          FROM by_type),
+        prof AS (
+          SELECT surface, CAST(n_mentions AS BIGINT) AS n_mentions,
+                 typ AS top_type
+          FROM tr WHERE rn = 1),
+        rel_rows AS (
+          SELECT {TS_EPOCH_BASE} + g.doc_id * {TS_SPACING_S} AS ts,
+                 cs.canonical_surface AS src_surface,
+                 g.ent2_tag AS pred, cd.canonical_surface AS dst_surface
+          FROM gold g
+          JOIN canon cs ON cs.surface = g.ent1
+          JOIN canon cd ON cd.surface = g.ent2
+          WHERE g.ent2_tag LIKE '%/%'),
+        edges AS (
+          SELECT src_surface, pred, dst_surface, count(*) AS n_obs
+          FROM rel_rows GROUP BY 1, 2, 3),
+        outr AS (
+          SELECT src_surface AS surface, pred, n_obs,
+                 row_number() OVER (PARTITION BY src_surface
+                                    ORDER BY n_obs DESC, pred ASC) AS rn,
+                 count(*) OVER (PARTITION BY src_surface) AS out_deg
+          FROM edges),
+        outs AS (
+          SELECT surface, CAST(out_deg AS BIGINT) AS out_deg,
+                 pred AS top_pred
+          FROM outr WHERE rn = 1),
+        ins AS (
+          SELECT dst_surface AS surface, count(*) AS in_deg
+          FROM edges GROUP BY 1),
+        tsb AS (
+          SELECT surface, min(ts) AS first_ts, max(ts) AS last_ts
+          FROM (
+            SELECT src_surface AS surface, ts FROM rel_rows
+            UNION ALL SELECT dst_surface, ts FROM rel_rows)
+          GROUP BY 1)
+        SELECT p.surface, p.n_mentions, p.top_type,
+               CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+               COALESCE(o.top_pred, '') AS top_pred,
+               CAST(COALESCE(t.first_ts, 0) AS BIGINT) AS first_ts,
+               CAST(COALESCE(t.last_ts, 0) AS BIGINT) AS last_ts
+        FROM prof p
+        LEFT JOIN outs o ON o.surface = p.surface
+        LEFT JOIN ins i ON i.surface = p.surface
+        LEFT JOIN tsb t ON t.surface = p.surface
+    """

@@ -595,6 +595,9 @@ _q("kg_snapshot_diff", docs_kg.snapshot_diff_sql())(docs_kg.snapshot_diff)
 # Freshness-weighted edge confidence: exact-integer exponential decay
 # (halving per age bucket) — the recency ranking lens next to PMI.
 _q("kg_edge_recency", docs_kg.edge_recency_sql())(docs_kg.edge_recency)
+# Per-entity serving card: four co-partitionable V-row aggregates
+# LEFT-joined with deterministic defaults — the KG lookup-API row.
+_q("kg_entity_cards", docs_kg.entity_cards_sql())(docs_kg.entity_cards)
 # Functional-predicate conflict detection: (src, pred) with >1 object,
 # best-attested object via an argmax aggregate (no list state).
 _q("kg_conflicts", docs_kg.edge_conflicts_sql())(docs_kg.edge_conflicts)

@@ -473,3 +473,51 @@ def test_edge_recency_matches_python_and_ranks_fresh_edges(spark):
         for _, r in docs_kg.edge_recency(spark, SF_DIR).toPandas().iterrows()
     }
     assert got == want and len(want) > 0
+
+
+def test_entity_cards_match_python_recomputation(spark):
+    """One serving card per canonical entity, each field recomputed
+    literally in Python: mention count + majority type over the
+    mention grain, out/in degree + best-attested predicate over the
+    distinct-edge grain, and first/last observation ts over every
+    relation row touching the entity (zero/empty defaults when the
+    entity never appears in a relation edge)."""
+    g = docs_kg.gold_triples_by_doc(spark, SF_DIR).toPandas()
+    am = docs_kg.alias_map(spark, SF_DIR).toPandas()
+    cmap = dict(zip(am["surface"], am["canonical_surface"]))
+
+    prof: dict[str, dict] = {}
+    for _, r in g.iterrows():
+        s = cmap[r["ent1"]]
+        prof.setdefault(s, {})[r["ent1_tag"]] = (
+            prof.get(s, {}).get(r["ent1_tag"], 0) + 1)
+    rel = _linked_pdf(spark)
+    rel["ts"] = docs_kg.TS_EPOCH_BASE + rel["doc_id"] * docs_kg.TS_SPACING_S
+    edges: dict[tuple, int] = {}
+    tsb: dict[str, tuple] = {}
+    for _, r in rel.iterrows():
+        e = (r["src_surface"], r["pred"], r["dst_surface"])
+        edges[e] = edges.get(e, 0) + 1
+        for s in (r["src_surface"], r["dst_surface"]):
+            f, l = tsb.get(s, (r["ts"], r["ts"]))
+            tsb[s] = (min(f, r["ts"]), max(l, r["ts"]))
+    outs: dict[str, list] = {}
+    ins: dict[str, int] = {}
+    for (src, pred, dst), n in edges.items():
+        outs.setdefault(src, []).append((-n, pred))
+        ins[dst] = ins.get(dst, 0) + 1
+    want = {}
+    for s, types in prof.items():
+        top_type = min(types.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        po = outs.get(s, [])
+        top_pred = min(po)[1] if po else ""
+        f, l = tsb.get(s, (0, 0))
+        want[s] = (sum(types.values()), top_type, len(po),
+                   ins.get(s, 0), top_pred, int(f), int(l))
+    got = {
+        r["surface"]: (r["n_mentions"], r["top_type"], r["out_deg"],
+                       r["in_deg"], r["top_pred"], r["first_ts"],
+                       r["last_ts"])
+        for _, r in docs_kg.entity_cards(spark, SF_DIR).toPandas().iterrows()
+    }
+    assert got == want and len(want) > 0
