@@ -1250,3 +1250,62 @@ def motif_census(edges: DataFrame, src: str = "src_surface",
                 F.col("c").alias("vc"))
     )
     return cyc.unionByName(ffl)
+
+
+KATZ_UNIT = 10**12   # fixed-point walk-mass unit (1.0 == 10^12 units)
+KATZ_ALPHA_DEN = 4   # attenuation alpha = 1/4 per extra hop
+
+
+def katz_scores(edges: DataFrame, rounds: int = 3,
+                alpha_den: int = KATZ_ALPHA_DEN,
+                src: str = "src_surface",
+                dst: str = "dst_surface") -> DataFrame:
+    """Truncated Katz centrality over the DISTINCT directed edge set:
+    (surface, katz_u) with katz_u = sum_{l=1..rounds} x_l(v), where
+    x_0(v) = KATZ_UNIT and x_l(v) = (sum_{u->v} x_{l-1}(u)) div
+    alpha_den — i.e. attenuated walk counts, alpha = 1/alpha_den.
+    Unlike PageRank (which normalizes by out-degree, so a prolific
+    extractor dilutes each assertion) Katz credits a vertex for EVERY
+    attenuated walk reaching it — the influence signal for KG entities
+    where being referenced by well-referenced entities matters and
+    fan-out should not discount the referencing fact.
+
+    Exactness: attenuation is integer division applied once per round
+    AFTER the inflow sum, so every aggregate is a sum of exact bigints
+    — order-independent, bit-identical across engines and
+    partitionings (the pagerank_fixedpoint discipline; the per-round
+    floor deflates each score < alpha_den ulp-units, ranking
+    unaffected). alpha must satisfy alpha < 1/lambda_max for the
+    untruncated series to converge; the fixed-round truncation here is
+    finite for any alpha, and matches the unrolled SQL twin exactly.
+
+    Shape: rounds x (one equi-join + one map-side-combined agg + one
+    left join back to verts), per-round eager localCheckpoint = O(1)
+    lineage — same loop scaling as kg_pagerank (the running katz total
+    rides the rank frame, no extra pass)."""
+    verts, n_v, eo = _pr_operands(edges, src, dst)
+    state = verts.select(
+        "surface",
+        F.lit(KATZ_UNIT).cast("bigint").alias("x_u"),
+        F.lit(0).cast("bigint").alias("katz_u"),
+    ).localCheckpoint()
+    for _ in range(rounds):
+        contribs = (
+            eo.join(state, eo.src == state.surface)
+            .select(F.col("dst").alias("surface"), F.col("x_u").alias("c"))
+            .groupBy("surface")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        state = (
+            state.join(contribs, "surface", "left")
+            .select(
+                "surface",
+                F.expr(f"coalesce(inflow, 0L) div {alpha_den}")
+                .cast("bigint").alias("x_u"),
+                (F.col("katz_u")
+                 + F.expr(f"coalesce(inflow, 0L) div {alpha_den}"))
+                .cast("bigint").alias("katz_u"),
+            )
+            .localCheckpoint()
+        )
+    return state.select("surface", "katz_u")

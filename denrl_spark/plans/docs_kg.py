@@ -2299,3 +2299,42 @@ def entity_cards_sql(rel: str = "documents") -> str:
         LEFT JOIN ins i ON i.surface = p.surface
         LEFT JOIN tsb t ON t.surface = p.surface
     """
+
+
+def katz_sql(rel: str = "documents", rounds: int = 3,
+             alpha_den: int = 4) -> str:
+    """graph_analytics.katz_scores twin: the fixed round count is
+    UNROLLED into chained CTEs x0 -> x1 -> ... (same KATZ_UNIT init,
+    same inflow-sum-then-integer-div recurrence; DuckDB's HUGEINT sums
+    CAST back to BIGINT per step, // == Spark's div on nonnegative
+    operands). Vertices with no in-edges coalesce to 0 exactly as the
+    Spark left join does; katz_u is the running sum of the per-round
+    frames."""
+    from denrl_spark.operators.graph_analytics import KATZ_UNIT
+
+    body = f"""
+        WITH {_edges_cte(rel)},
+        e AS (SELECT DISTINCT src_surface AS src, dst_surface AS dst FROM edges),
+        verts AS (
+          SELECT DISTINCT surface FROM (
+            SELECT src AS surface FROM e UNION ALL SELECT dst FROM e)),
+        x0 AS (SELECT surface, CAST({KATZ_UNIT} AS BIGINT) AS x_u FROM verts)"""
+    for i in range(1, rounds + 1):
+        body += f""",
+        x{i} AS (
+          SELECT v.surface,
+                 CAST(COALESCE(s.inflow, 0) // {alpha_den} AS BIGINT) AS x_u
+          FROM verts v
+          LEFT JOIN (
+            SELECT e.dst AS surface, sum(x.x_u) AS inflow
+            FROM e JOIN x{i-1} x ON x.surface = e.src
+            GROUP BY 1) s USING (surface))"""
+    total = " + ".join(f"x{i}.x_u" for i in range(1, rounds + 1))
+    joins = "".join(
+        f"\n        JOIN x{i} ON x{i}.surface = x1.surface"
+        for i in range(2, rounds + 1)
+    )
+    return body + f"""
+        SELECT x1.surface, CAST({total} AS BIGINT) AS katz_u
+        FROM x1{joins}
+    """

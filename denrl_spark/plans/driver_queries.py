@@ -315,6 +315,22 @@ def kg_hits(spark, sf_dir):
     return hits_scores(docs_kg.edges_by_doc(spark, sf_dir), rounds=2)
 
 
+@_q("kg_katz", docs_kg.katz_sql())
+def kg_katz(spark, sf_dir):
+    """Truncated Katz centrality (3 rounds, alpha = 1/4) in exact
+    integer fixed-point over the canonical edge table — the
+    walk-count influence signal PageRank's out-degree normalization
+    can't express (a prolific source dilutes its PageRank
+    contributions; Katz credits every attenuated walk). Attenuation is
+    one integer division per round AFTER the inflow sum, so every
+    aggregate is an order-independent bigint sum and the unrolled
+    chained-CTE twin matches at hash level. Same O(1)-lineage
+    per-round-checkpoint loop as kg_pagerank / kg_hits."""
+    from denrl_spark.operators.graph_analytics import katz_scores
+
+    return katz_scores(docs_kg.edges_by_doc(spark, sf_dir), rounds=3)
+
+
 @_q("kg_neighbor_jaccard", docs_kg.neighbor_jaccard_sql())
 def kg_neighbor_jaccard(spark, sf_dir):
     """Neighborhood-Jaccard entity similarity (exact counts + integer
@@ -1240,6 +1256,163 @@ def text_quality_buckets(spark, sf_dir):
             .otherwise("tail")
             .alias("bucket"),
         )
+    )
+
+
+# Shared SQL derivation of the transcript view (must stay in lockstep
+# with docs_kg.transcripts_from_documents: conv = doc_id // 4,
+# turn = doc_id % 4, role = parity, ts = TS_EPOCH_BASE + doc_id * 7)
+_TRANSCRIPT_SQL = """
+      SELECT printf('conv-%08d', doc_id // 4) AS conv_id,
+             CAST(doc_id % 4 AS INT) AS turn_idx,
+             CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             text
+      FROM documents
+"""
+
+
+@_q(
+    "text_dialog_stats",
+    f"""
+    WITH t AS ({_TRANSCRIPT_SQL}),
+    v AS (
+      SELECT *,
+             CASE WHEN role = lag(role) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx)
+                  THEN 1 ELSE 0 END AS viol
+      FROM t)
+    SELECT conv_id,
+           count(*) AS n_turns,
+           CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_user,
+           CAST(sum(CASE WHEN role = 'user' THEN length(text) ELSE 0 END)
+                AS BIGINT) AS user_chars,
+           CAST(sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END)
+                AS BIGINT) AS asst_chars,
+           CAST(CASE WHEN sum(CASE WHEN role = 'assistant'
+                                   THEN length(text) ELSE 0 END) = 0 THEN -1
+                ELSE (1000000 * sum(CASE WHEN role = 'user'
+                                         THEN length(text) ELSE 0 END))
+                     // sum(CASE WHEN role = 'assistant'
+                                 THEN length(text) ELSE 0 END)
+                END AS BIGINT) AS ratio_ppm,
+           CAST(max(length(text)) AS BIGINT) AS max_turn_chars,
+           CAST(sum(viol) AS BIGINT) AS n_role_violations
+    FROM v GROUP BY 1
+    """,
+)
+def text_dialog_stats(spark, sf_dir):
+    """Per-conversation dialogue-shape statistics — the curation gate
+    for instruction/agent-transcript training data (filters on turn
+    count, user/assistant balance, and role-alternation violations are
+    the standard quality screens for dialog corpora): n_turns, per-role
+    turn and char tallies, user:assistant char ratio in exact ppm
+    (integer cross-multiplication, -1 sentinel for assistant-less
+    convs), max turn length, and the count of consecutive-same-role
+    violations (lag window over the stable turn ordering — the
+    input contract's (conv_id, turn_idx) invariant).
+
+    Shape: ONE window + ONE aggregate, both keyed by conv_id — a
+    single shuffle on the conversation key; per-conv state is a
+    handful of counters, and conversations are bounded (the long-tail
+    conv-length skew the north star calls out is handled by AQE skew
+    splits on the conv_id exchange)."""
+    t = docs_kg.transcripts_from_documents(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    v = t.withColumn(
+        "viol",
+        F.when(F.col("role") == F.lag("role").over(w), 1).otherwise(0),
+    )
+    user_chars = F.sum(
+        F.when(F.col("role") == "user", F.length("text")).otherwise(0)
+    )
+    asst_chars = F.sum(
+        F.when(F.col("role") == "assistant", F.length("text")).otherwise(0)
+    )
+    return (
+        v.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+            .cast("bigint").alias("n_user"),
+            user_chars.cast("bigint").alias("user_chars"),
+            asst_chars.cast("bigint").alias("asst_chars"),
+            F.max(F.length("text")).cast("bigint").alias("max_turn_chars"),
+            F.sum("viol").cast("bigint").alias("n_role_violations"),
+        )
+        .withColumn(
+            "ratio_ppm",
+            F.when(F.col("asst_chars") == 0, F.lit(-1).cast("bigint"))
+            .otherwise(F.expr("(1000000 * user_chars) div asst_chars"))
+            .cast("bigint"),
+        )
+        .select(
+            "conv_id", "n_turns", "n_user", "user_chars", "asst_chars",
+            "ratio_ppm", "max_turn_chars", "n_role_violations",
+        )
+    )
+
+
+CONV_PREFIX_K = 2  # turns fingerprinted for conversation-prefix dedup
+
+
+@_q(
+    "text_conv_prefix_dedup",
+    f"""
+    WITH t AS ({_TRANSCRIPT_SQL}),
+    fp AS (
+      SELECT conv_id,
+             md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS prefix_fp
+      FROM t WHERE turn_idx < {CONV_PREFIX_K} GROUP BY 1),
+    keep AS (
+      SELECT prefix_fp, min(conv_id) AS keep_conv_id
+      FROM fp GROUP BY 1)
+    SELECT f.conv_id, f.prefix_fp, k.keep_conv_id,
+           CAST(f.conv_id <> k.keep_conv_id AS INT) AS is_dup
+    FROM fp f JOIN keep k USING (prefix_fp)
+    """,
+)
+def text_conv_prefix_dedup(spark, sf_dir):
+    """Conversation-PREFIX dedup — the agent-log staple exact dedup
+    misses: retried / forked sessions share their first K turns
+    verbatim while later turns diverge, so whole-text hashing sees
+    distinct documents. Fingerprint = md5 over the first
+    CONV_PREFIX_K turn texts joined in stable turn order (unit
+    separator \\x1f, unambiguous under concatenation); keep rule =
+    min conv_id per fingerprint, first-wins like dedup_exact.
+
+    Shape: per-conv aggregate with BOUNDED state (K turn texts,
+    array_sort on K structs), then a fingerprint-keyed groupBy + one
+    equi-join back — the exact-dedup shuffle shape at conversation
+    grain; a mass-duplicated prefix makes a hot fingerprint key,
+    which the equi-join (unlike a window over the fp partition)
+    lets AQE skew-split."""
+    t = docs_kg.transcripts_from_documents(spark, sf_dir)
+    fp = (
+        t.where(F.col("turn_idx") < CONV_PREFIX_K)
+        .groupBy("conv_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("turn_idx", "text"))
+                        ),
+                        lambda x: x["text"],
+                    ),
+                    "\x1f",
+                )
+            ).alias("prefix_fp")
+        )
+    )
+    keep = fp.groupBy("prefix_fp").agg(
+        F.min("conv_id").alias("keep_conv_id")
+    )
+    return fp.join(keep, "prefix_fp").select(
+        "conv_id",
+        "prefix_fp",
+        "keep_conv_id",
+        (F.col("conv_id") != F.col("keep_conv_id")).cast("int").alias("is_dup"),
     )
 
 
@@ -2366,6 +2539,97 @@ def rel_kmv_distinct(spark, sf_dir):
         F.when(F.count(F.lit(1)) < KMV_K, F.count(F.lit(1)))
         .otherwise(F.expr(f"CAST(({KMV_K} - 1) * {two48} AS BIGINT) div max(hv)"))
         .cast("bigint").alias("est_distinct"),
+    )
+
+
+CMS_D = 4    # count-min sketch: hash rows
+CMS_W = 256  # counters per row
+
+
+def _cms_coord_sql(key: str, d: str) -> str:
+    return (f"CAST(('0x' || substr(md5({d} || ':' || {key}), 1, 12)) "
+            f"AS BIGINT) % {CMS_W}")
+
+
+@_q(
+    "rel_cms_heavy",
+    f"""
+    WITH keyed AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    cells AS (
+      SELECT d.d AS d, {_cms_coord_sql('k', 'd.d')} AS w
+      FROM keyed CROSS JOIN (VALUES (0), (1), (2), (3)) d(d)),
+    sketch AS (
+      SELECT d, w, count(*) AS n FROM cells GROUP BY 1, 2),
+    truth AS (
+      SELECT k, count(*) AS true_n FROM keyed GROUP BY 1),
+    probes AS (
+      SELECT t.k, t.true_n, d.d AS d, {_cms_coord_sql('t.k', 'd.d')} AS w
+      FROM truth t CROSS JOIN (VALUES (0), (1), (2), (3)) d(d))
+    SELECT CAST(p.k AS BIGINT) AS user_id,
+           CAST(max(p.true_n) AS BIGINT) AS true_n,
+           CAST(min(s.n) AS BIGINT) AS est_n
+    FROM probes p JOIN sketch s ON s.d = p.d AND s.w = p.w
+    GROUP BY 1
+    """,
+)
+def rel_cms_heavy(spark, sf_dir):
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) + point queries for every key: the mergeable heavy-hitter
+    sketch of a 100 TB pipeline, completing the sketch family next to
+    KMV (distinct count) and the fixed histogram (quantiles). Each
+    event increments CMS_D counters (row d, column md5(d:key) mod
+    CMS_W); a key's estimate is the MIN over its CMS_D counters —
+    >= true count by construction, with overestimate bounded by
+    collisions (eps ~ e/CMS_W of the stream length at delta ~
+    e^-CMS_D). Deterministic md5 coordinates make the sketch itself
+    ANSI-expressible and hash-oracle-able, unlike engine-native
+    approx top-k whose internal state differs per engine.
+
+    Shape: the sketch is a D x W = 1024-counter aggregate regardless
+    of input size — per-partition partial maps combine by addition,
+    the shuffle carries <= D*W rows per partition; the probe side
+    joins the BROADCAST sketch (1024 rows) against the per-key truth
+    aggregate. At fleet scale the truth CTE disappears (that's what
+    the sketch replaces) and probes run against candidate keys only;
+    carrying true_n here is what makes the est >= true contract
+    externally checkable."""
+    keyed = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    ds = F.array(*[F.lit(d) for d in range(CMS_D)])
+
+    def coord(key_col: str, d_col: str):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(d_col).cast("string"),
+                                   F.lit(":"), F.col(key_col))),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(CMS_W),
+        )
+
+    cells = keyed.select(F.explode(ds).alias("d"), "k").select(
+        "d", coord("k", "d").alias("w")
+    )
+    sketch = cells.groupBy("d", "w").agg(F.count(F.lit(1)).alias("n"))
+    truth = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = truth.select(
+        "k", "true_n", F.explode(ds).alias("d")
+    ).select("k", "true_n", "d", coord("k", "d").alias("w"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "w"])
+        .groupBy("k")
+        .agg(
+            F.max("true_n").cast("bigint").alias("true_n"),
+            F.min("n").cast("bigint").alias("est_n"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("user_id"), "true_n", "est_n"
+        )
     )
 
 

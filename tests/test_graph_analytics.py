@@ -1024,3 +1024,43 @@ def test_motif_census_gadgets(spark):
         g([("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])).collect()}
     assert both == {("cycle", "a", "b", "c"), ("ffl", "a", "b", "c")}
     assert motif_census(g([("a", "b"), ("b", "a")])).count() == 0
+
+
+def test_katz_matches_bruteforce_loop(edges):
+    """3-round truncated Katz vs a direct transcription of the
+    recurrence (x_l = inflow-sum then integer div) over the distinct
+    edge set; also pins the PageRank/Katz distinction: Katz never
+    divides by out-degree, so the hub 'a' passes full mass to every
+    successor."""
+    from denrl_spark.operators.graph_analytics import (
+        KATZ_UNIT, katz_scores,
+    )
+
+    got = {r["surface"]: r["katz_u"] for r in katz_scores(edges, rounds=3).collect()}
+    e = {(s, o) for s, _, o, _ in EDGES}
+    verts = sorted({v for pair in e for v in pair})
+    x = {v: KATZ_UNIT for v in verts}
+    katz = {v: 0 for v in verts}
+    for _ in range(3):
+        x = {v: sum(x[s] for s, o in e if o == v) // 4 for v in verts}
+        katz = {v: katz[v] + x[v] for v in verts}
+    assert got == katz
+    # source-only vertices (no in-edges) accumulate nothing
+    assert got["f"] > 0  # e -> f
+    # partition invariance: pure function of the edge set
+    got5 = {
+        r["surface"]: r["katz_u"]
+        for r in katz_scores(edges.repartition(5), rounds=3).collect()
+    }
+    assert got5 == got
+
+
+def test_katz_empty_graph_and_plan(spark, edges):
+    from denrl_spark.operators.graph_analytics import katz_scores
+
+    empty = spark.createDataFrame(
+        [], "src_surface string, pred string, dst_surface string, n_obs long"
+    )
+    assert katz_scores(empty).count() == 0
+    plan = katz_scores(edges, rounds=1)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

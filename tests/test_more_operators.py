@@ -787,3 +787,127 @@ def test_quantile_sketch_error_bound_and_exact_rank_rule(spark):
         os95 = srt[-(-(19 * len(v)) // 20) - 1]  # ceil(19n/20)-th
         assert 0 <= os50 - p50 < QSKETCH_WIDTH
         assert 0 <= os95 - p95 < QSKETCH_WIDTH
+
+
+def test_cms_heavy_transcription_and_overestimate(spark, tmp_path):
+    """rel_cms_heavy == a literal Python transcription of the
+    count-min update/query rule (deterministic md5 coordinates), and
+    est >= true holds for EVERY key — the sketch's one-sided error
+    contract. The synthetic forces collisions: 600 distinct keys over
+    256 columns per row guarantees colliding cells, so the >= is
+    exercised strictly somewhere."""
+    import hashlib
+    import os
+    from collections import Counter
+
+    from denrl_spark.plans.driver_queries import CMS_D, CMS_W, rel_cms_heavy
+
+    rows = []
+    eid = 0
+    for u in range(600):
+        for _ in range(1 + u % 3):  # counts 1..3
+            rows.append((eid, u))
+            eid += 1
+    d = str(tmp_path / "cms")
+    spark.createDataFrame(rows, "event_id long, user_id long") \
+        .withColumn("ts", F.current_timestamp()) \
+        .withColumn("event_type", F.lit("click")) \
+        .withColumn("value", F.lit(1.0)) \
+        .withColumn("props", F.lit("{}")) \
+        .write.parquet(os.path.join(d, "events.parquet"))
+
+    def coord(key: str, dd: int) -> int:
+        return int(hashlib.md5(f"{dd}:{key}".encode()).hexdigest()[:12], 16) % CMS_W
+
+    truth = Counter(str(u) for _, u in rows)
+    sketch = Counter()
+    for k, n in truth.items():
+        for dd in range(CMS_D):
+            sketch[(dd, coord(k, dd))] += n
+    expect = {
+        int(k): (n, min(sketch[(dd, coord(k, dd))] for dd in range(CMS_D)))
+        for k, n in truth.items()
+    }
+    got = {
+        r["user_id"]: (r["true_n"], r["est_n"])
+        for r in rel_cms_heavy(spark, d).collect()
+    }
+    assert got == expect
+    assert all(est >= true for true, est in got.values())
+    assert any(est > true for true, est in got.values())  # collisions real
+
+
+def test_dialog_stats_transcription(spark):
+    """text_dialog_stats == a literal Python recomputation over the
+    derived transcript view at sf0.001 (integer ratio rule, -1
+    sentinel, violation rule on the stable turn order)."""
+    from denrl_spark.plans.docs_kg import transcripts_from_documents
+    from denrl_spark.plans.driver_queries import text_dialog_stats
+
+    sf = "/root/testdata/sf0.001"
+    turns = {}
+    for r in transcripts_from_documents(spark, sf).collect():
+        turns.setdefault(r["conv_id"], []).append(
+            (r["turn_idx"], r["role"], r["text"])
+        )
+    expect = {}
+    for cid, ts in turns.items():
+        ts.sort()
+        uc = sum(len(t) for _, role, t in ts if role == "user")
+        ac = sum(len(t) for _, role, t in ts if role == "assistant")
+        viol = sum(
+            1 for i in range(1, len(ts)) if ts[i][1] == ts[i - 1][1]
+        )
+        expect[cid] = (
+            len(ts),
+            sum(1 for _, role, _ in ts if role == "user"),
+            uc,
+            ac,
+            (1000000 * uc) // ac if ac else -1,
+            max(len(t) for _, _, t in ts),
+            viol,
+        )
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["n_user"], r["user_chars"], r["asst_chars"],
+            r["ratio_ppm"], r["max_turn_chars"], r["n_role_violations"],
+        )
+        for r in text_dialog_stats(spark, sf).collect()
+    }
+    assert got == expect
+
+
+def test_conv_prefix_dedup_gadget(spark, tmp_path):
+    """Two conversations sharing their first CONV_PREFIX_K turns
+    verbatim (a retried session) are flagged as one keep + one dup
+    even though later turns diverge; a conv differing inside the
+    prefix stays unique. Fingerprint checked against a direct md5."""
+    import hashlib
+    import os
+
+    from denrl_spark.plans.driver_queries import (
+        CONV_PREFIX_K, text_conv_prefix_dedup,
+    )
+
+    # doc_id // 4 = conv, doc_id % 4 = turn
+    texts = {
+        0: "hello agent", 1: "hi user", 2: "conv0 tail a", 3: "conv0 tail b",
+        4: "hello agent", 5: "hi user", 6: "conv1 DIVERGED", 7: "other",
+        8: "hello agent", 9: "DIFFERENT reply", 10: "x", 11: "y",
+    }
+    d = str(tmp_path / "prefix")
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    rows = {r["conv_id"]: r for r in text_conv_prefix_dedup(spark, d).collect()}
+    assert len(rows) == 3
+    c0, c1, c2 = sorted(rows)
+    assert rows[c0]["is_dup"] == 0 and rows[c0]["keep_conv_id"] == c0
+    assert rows[c1]["is_dup"] == 1 and rows[c1]["keep_conv_id"] == c0
+    assert rows[c2]["is_dup"] == 0 and rows[c2]["keep_conv_id"] == c2
+    assert rows[c0]["prefix_fp"] == rows[c1]["prefix_fp"] != rows[c2]["prefix_fp"]
+    fp = hashlib.md5("\x1f".join(["hello agent", "hi user"]).encode()).hexdigest()
+    assert rows[c0]["prefix_fp"] == fp
+    assert CONV_PREFIX_K == 2  # fingerprint above spans exactly the prefix
