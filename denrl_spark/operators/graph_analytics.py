@@ -1309,3 +1309,121 @@ def katz_scores(edges: DataFrame, rounds: int = 3,
             .localCheckpoint()
         )
     return state.select("surface", "katz_u")
+
+
+STRESS_ROOTS = 4   # deterministic root sample size for the contract query
+STRESS_LEVELS = 4  # fixed BFS depth (exact when >= each root's eccentricity)
+
+
+def stress_scores(edges: DataFrame, n_roots: int = STRESS_ROOTS,
+                  levels: int = STRESS_LEVELS,
+                  src: str = "src_surface",
+                  dst: str = "dst_surface") -> DataFrame:
+    """Stress centrality (Shimbel 1953) via the Brandes two-pass over
+    the DIRECTED canonical graph, depth-truncated at ``levels``:
+    (surface, stress_u) where stress_u = the number of shortest paths
+    (of length <= levels, from the sampled root set) passing THROUGH
+    the vertex. This is the betweenness-family signal in a form whose
+    arithmetic is ENTIRELY integer: betweenness proper accumulates
+    sigma-ratio rationals (cross-engine float hazard), while stress
+    factorizes as sigma_r(v) * phi_r(v) with
+      sigma_r(v) = # shortest r->v paths   (forward BFS level sums)
+      phi_r(v)   = # shortest-path-DAG paths from v to ANY descendant
+                   = sum over DAG successors w of (1 + phi_r(w))
+    — both exact bigint recurrences, so the unrolled SQL twin matches
+    at hash level. Root rows are excluded from the final sum (paths
+    are counted through interior vertices only, per the standard
+    endpoint convention).
+
+    Roots: the n_roots lexicographically-smallest vertices — a
+    deterministic, engine-independent sample (the Brandes-Pich pivot
+    estimator: centrality from a sampled root set; at fleet scale the
+    sample would be hash-min-k, same determinism, and the root-keyed
+    state makes sample size a linear cost knob as in closeness).
+
+    Shape: forward = MS-BFS batched per level (all roots advance in
+    the same equi-join + map-side-combined sigma sum; frontier
+    anti-joins the visited set); backward = per level one equi-join
+    to the next level's phi + one sum. Every frame is eagerly
+    localCheckpoint-ed (O(1) lineage); state is O(levels * reached),
+    bounded by the root sample."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        e.select(F.col("s").alias("surface"))
+        .unionByName(e.select(F.col("t").alias("surface")))
+        .distinct()
+        .localCheckpoint()
+    )
+    roots = verts.orderBy("surface").limit(n_roots)
+    level_frames = [
+        roots.select(
+            F.col("surface").alias("root"),
+            "surface",
+            F.lit(1).cast("bigint").alias("sigma"),
+        ).localCheckpoint()
+    ]
+    visited = level_frames[0].select("root", "surface").localCheckpoint()
+    for _ in range(levels):
+        cur = level_frames[-1]
+        nxt = (
+            cur.join(e, cur.surface == e.s)
+            .select("root", F.col("t").alias("surface"), "sigma")
+            .groupBy("root", "surface")
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .join(visited, ["root", "surface"], "left_anti")
+            .localCheckpoint()
+        )
+        level_frames.append(nxt)
+        visited = visited.unionByName(
+            nxt.select("root", "surface")
+        ).localCheckpoint()
+    # backward: phi over the shortest-path DAG, deepest level first
+    phi_frames = [
+        level_frames[levels].withColumn("phi", F.lit(0).cast("bigint"))
+    ]
+    for l in range(levels - 1, -1, -1):
+        cur = level_frames[l]
+        nxt = phi_frames[-1].select(
+            F.col("root").alias("nroot"),
+            F.col("surface").alias("nsurface"),
+            F.col("phi").alias("nphi"),
+        )
+        # (root, surface) -> sum over DAG successors of (1 + phi):
+        # successor = edge surface->t with (root, t) in the next level
+        # (equi-join on the (root, t) composite key)
+        contrib = (
+            cur.select("root", "surface")
+            .join(e, F.col("surface") == e.s)
+            .join(
+                nxt,
+                (F.col("root") == F.col("nroot"))
+                & (F.col("t") == F.col("nsurface")),
+            )
+            .groupBy("root", "surface")
+            .agg(F.sum(F.lit(1) + F.col("nphi")).cast("bigint").alias("phi"))
+        )
+        phi_frames.append(
+            cur.join(contrib, ["root", "surface"], "left")
+            .select(
+                "root", "surface", "sigma",
+                F.coalesce(F.col("phi"), F.lit(0)).cast("bigint").alias("phi"),
+            )
+            .localCheckpoint()
+        )
+    allp = phi_frames[0]
+    for fr in phi_frames[1:]:
+        allp = allp.unionByName(fr)
+    stress = (
+        allp.where(F.col("surface") != F.col("root"))
+        .groupBy("surface")
+        .agg(F.sum(F.col("sigma") * F.col("phi")).cast("bigint").alias("stress"))
+    )
+    return verts.join(stress, "surface", "left").select(
+        "surface",
+        F.coalesce(F.col("stress"), F.lit(0)).cast("bigint").alias("stress_u"),
+    )

@@ -2338,3 +2338,74 @@ def katz_sql(rel: str = "documents", rounds: int = 3,
         SELECT x1.surface, CAST({total} AS BIGINT) AS katz_u
         FROM x1{joins}
     """
+
+
+def stress_sql(rel: str = "documents", n_roots: int = 4,
+               levels: int = 4) -> str:
+    """graph_analytics.stress_scores twin: the fixed BFS depth is
+    UNROLLED into chained CTEs — forward l0..lL carry (root, surface,
+    sigma) per level (level-(i) sigma = sum of level-(i-1) predecessor
+    sigmas, new vertices only via the anti-join against the running
+    visited set), backward pL..p0 carry phi (sum over shortest-path-
+    DAG successors of 1 + phi, deepest level seeded 0). Roots = the
+    n_roots lexicographically-smallest vertices (ORDER BY + LIMIT,
+    deterministic in both engines); HUGEINT sums CAST back to BIGINT
+    per step; root rows excluded from the final stress sum exactly as
+    the Spark filter does. Every chained CTE is MATERIALIZED: each
+    l{{i}}/vis{{i}}/p{{i}} is referenced 2-3 times downstream and DuckDB
+    inlines plain CTEs, re-expanding the whole extraction pipeline per
+    reference (the kcore fd-exhaustion lesson — unmaterialized, this
+    twin ran >15 min at sf0.01; materialized it runs in seconds)."""
+    body = f"""
+        WITH {_edges_cte(rel)},
+        e AS MATERIALIZED (
+          SELECT DISTINCT src_surface AS s, dst_surface AS t
+          FROM edges WHERE src_surface <> dst_surface),
+        verts AS MATERIALIZED (
+          SELECT DISTINCT surface FROM (
+            SELECT s AS surface FROM e UNION ALL SELECT t FROM e)),
+        roots AS (SELECT surface FROM verts ORDER BY surface LIMIT {n_roots}),
+        l0 AS MATERIALIZED (
+          SELECT surface AS root, surface, CAST(1 AS BIGINT) AS sigma
+          FROM roots),
+        vis0 AS MATERIALIZED (SELECT root, surface FROM l0)"""
+    for i in range(1, levels + 1):
+        body += f""",
+        l{i} AS MATERIALIZED (
+          SELECT c.root, c.surface, CAST(c.sigma AS BIGINT) AS sigma
+          FROM (
+            SELECT p.root, e.t AS surface, sum(p.sigma) AS sigma
+            FROM l{i-1} p JOIN e ON e.s = p.surface
+            GROUP BY 1, 2) c
+          LEFT JOIN vis{i-1} v ON v.root = c.root AND v.surface = c.surface
+          WHERE v.surface IS NULL),
+        vis{i} AS MATERIALIZED (SELECT * FROM vis{i-1}
+                   UNION ALL SELECT root, surface FROM l{i})"""
+    body += f""",
+        p{levels} AS MATERIALIZED (
+          SELECT root, surface, sigma, CAST(0 AS BIGINT) AS phi
+          FROM l{levels})"""
+    for i in range(levels - 1, -1, -1):
+        body += f""",
+        p{i} AS MATERIALIZED (
+          SELECT l.root, l.surface, l.sigma,
+                 CAST(COALESCE(c.phi, 0) AS BIGINT) AS phi
+          FROM l{i} l
+          LEFT JOIN (
+            SELECT b.root, b.surface, sum(1 + n.phi) AS phi
+            FROM l{i} b
+            JOIN e ON e.s = b.surface
+            JOIN p{i+1} n ON n.root = b.root AND n.surface = e.t
+            GROUP BY 1, 2) c
+          ON c.root = l.root AND c.surface = l.surface)"""
+    allp = " UNION ALL ".join(
+        f"SELECT * FROM p{i}" for i in range(levels + 1)
+    )
+    return body + f""",
+        allp AS ({allp})
+        SELECT v.surface, CAST(COALESCE(st.stress, 0) AS BIGINT) AS stress_u
+        FROM verts v
+        LEFT JOIN (
+          SELECT surface, sum(sigma * phi) AS stress
+          FROM allp WHERE surface <> root GROUP BY 1) st USING (surface)
+    """

@@ -331,6 +331,23 @@ def kg_katz(spark, sf_dir):
     return katz_scores(docs_kg.edges_by_doc(spark, sf_dir), rounds=3)
 
 
+@_q("kg_stress", docs_kg.stress_sql())
+def kg_stress(spark, sf_dir):
+    """Stress centrality (the betweenness-family signal in exact
+    integer form): # shortest paths from a deterministic 4-root sample
+    passing through each vertex, depth-truncated at 4 — betweenness
+    proper accumulates sigma-ratio rationals (cross-engine float
+    hazard); stress factorizes as sigma * phi with both factors exact
+    bigint recurrences (Brandes two-pass, Shimbel's measure). Forward
+    = root-keyed MS-BFS with per-level sigma sums; backward = per-level
+    DAG-successor phi sums; unrolled chained-CTE twin; O(1)-lineage
+    checkpoint loop; root sample size is the linear scale knob
+    (Brandes–Pich pivot sampling at fleet scale)."""
+    from denrl_spark.operators.graph_analytics import stress_scores
+
+    return stress_scores(docs_kg.edges_by_doc(spark, sf_dir))
+
+
 @_q("kg_neighbor_jaccard", docs_kg.neighbor_jaccard_sql())
 def kg_neighbor_jaccard(spark, sf_dir):
     """Neighborhood-Jaccard entity similarity (exact counts + integer
@@ -1515,6 +1532,79 @@ def text_contamination(spark, sf_dir):
 
 
 @_q(
+    "text_ngram_novelty",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    shared AS (
+      SELECT shingle FROM (
+        SELECT shingle, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+      WHERE nd >= 2),
+    per AS (
+      SELECT s.doc_id, count(*) AS n_sh,
+             CAST(sum(CASE WHEN d.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup
+      FROM sh s LEFT JOIN shared d USING (shingle)
+      GROUP BY 1)
+    SELECT doc.doc_id,
+           CAST(coalesce(per.n_sh, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+           CAST(CASE WHEN per.n_sh IS NULL THEN -1
+                ELSE (1000000 * (per.n_sh - per.n_dup)) // per.n_sh
+                END AS BIGINT) AS novelty_ppm
+    FROM documents doc LEFT JOIN per ON per.doc_id = doc.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY — the doc-level readout of
+    cross-document duplication (the ranking signal for which docs are
+    boilerplate-heavy enough to route through text_substring_dedup,
+    and the memorization-risk score of Lee et al. 2022): for each doc,
+    the count of its token-3-gram instances, how many of those occur
+    in >= 2 DISTINCT docs corpus-wide, and the novel fraction in exact
+    ppm (integer cross-multiplication; -1 sentinel for docs too short
+    to shingle).
+
+    Shape: shingles stay in the scan stage (array HOFs, no window);
+    the shared-shingle set is ONE distinct + map-side-combined
+    aggregate over the corpus shingle table (the same table the
+    MinHash/contamination family scans), and the per-doc tally is one
+    equi-join on the shingle key + one doc-keyed aggregate. A
+    mass-duplicated shingle is a hot join key — AQE skew-splits it,
+    and the join carries only a presence flag, never fan-out (shared
+    has ONE row per shingle by construction)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = textops.shingles(d)
+    shared = (
+        sh.distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    per = (
+        sh.join(shared.withColumn("hit", F.lit(1)), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_dup"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_sh"), F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint")
+            .alias("n_dup_shingles"),
+            F.when(F.col("n_sh").isNull(), F.lit(-1))
+            .otherwise(F.expr("(1000000 * (n_sh - n_dup)) div n_sh"))
+            .cast("bigint").alias("novelty_ppm"),
+        )
+    )
+
+
+@_q(
     "text_repetition",
     """
     WITH pos AS (
@@ -2629,6 +2719,113 @@ def rel_cms_heavy(spark, sf_dir):
         )
         .select(
             F.col("k").cast("bigint").alias("user_id"), "true_n", "est_n"
+        )
+    )
+
+
+BLOOM_K = 3     # Bloom filter: hash functions per key
+BLOOM_M = 4096  # bits
+
+
+def _bloom_bit_sql(key: str, j: str) -> str:
+    return (f"CAST(('0x' || substr(md5({j} || ':' || {key}), 1, 12)) "
+            f"AS BIGINT) % {BLOOM_M}")
+
+
+@_q(
+    "rel_bloom_filter",
+    f"""
+    WITH members AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+    set_bits AS (
+      SELECT DISTINCT {_bloom_bit_sql('k', 'j.j')} AS bit
+      FROM members CROSS JOIN (VALUES (0), (1), (2)) j(j)),
+    probes AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+    probe_bits AS (
+      SELECT p.k, j.j AS j, {_bloom_bit_sql('p.k', 'j.j')} AS bit
+      FROM probes p CROSS JOIN (VALUES (0), (1), (2)) j(j)),
+    hits AS (
+      SELECT pb.k,
+             min(CASE WHEN sb.bit IS NOT NULL THEN 1 ELSE 0 END) AS bloom_hit
+      FROM probe_bits pb LEFT JOIN set_bits sb ON sb.bit = pb.bit
+      GROUP BY 1)
+    SELECT CAST(h.k AS BIGINT) AS c_custkey,
+           CAST(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS is_member,
+           CAST(h.bloom_hit AS INT) AS bloom_hit
+    FROM hits h LEFT JOIN members m ON m.k = h.k
+    """,
+)
+def rel_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership sketch (Bloom 1970) — the MEMBERSHIP
+    entry completing the mergeable-sketch family next to KMV
+    (distinct count), the fixed histogram (quantiles), and count-min
+    (frequency): the decontamination / seen-before primitive of a
+    100 TB pipeline, where "is this doc's fingerprint in the
+    benchmark set" must be answered per corpus row without joining
+    the corpus against the full reference set. Build: each member key
+    sets BLOOM_K md5-derived bits of a BLOOM_M-bit array (bit =
+    md5(j:key) mod M — deterministic coordinates make the filter
+    itself ANSI-expressible and hash-oracle-able, unlike engine-native
+    bloom builders whose bit layouts differ). Probe: a key "hits" iff
+    ALL K of its bits are set — no false negatives by construction
+    (bloom_hit >= is_member on every row, pytest property), false
+    positives at ~ (set fraction)^K. Probes = every customer key,
+    members = customers with orders, so the output exercises true
+    hits, true misses, and (at these parameters) real false positives.
+
+    Shape: the filter is <= M rows after a map-side-combined DISTINCT
+    regardless of member count, then BROADCAST to the probe side —
+    the probe scan never shuffles on the key; the truth column's
+    member join exists only to make the no-false-negative contract
+    externally checkable (at fleet scale it is exactly the join the
+    filter replaces). Bit arrays merge by OR (here: UNION + DISTINCT),
+    so per-partition partial filters combine associatively."""
+    js = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+
+    def bit(key_col: str, j_col: str):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(j_col).cast("string"),
+                                   F.lit(":"), F.col(key_col))),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(BLOOM_M),
+        )
+
+    members = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    set_bits = (
+        members.select(F.explode(js).alias("j"), "k")
+        .select(bit("k", "j").alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probes = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    hits = (
+        probes.select("k", F.explode(js).alias("j"))
+        .select("k", bit("k", "j").alias("bit"))
+        .join(F.broadcast(set_bits), "bit", "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("present"), F.lit(0))).alias("bloom_hit"))
+    )
+    return (
+        hits.join(
+            F.broadcast(members.withColumn("mem", F.lit(1))), "k", "left"
+        )
+        .select(
+            F.col("k").cast("bigint").alias("c_custkey"),
+            F.coalesce(F.col("mem"), F.lit(0)).cast("int").alias("is_member"),
+            F.col("bloom_hit").cast("int").alias("bloom_hit"),
         )
     )
 

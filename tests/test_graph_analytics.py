@@ -1064,3 +1064,88 @@ def test_katz_empty_graph_and_plan(spark, edges):
     assert katz_scores(empty).count() == 0
     plan = katz_scores(edges, rounds=1)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def _stress_bruteforce(pairs, roots, levels):
+    """Direct path enumeration: for each root, BFS shortest distances
+    (depth-truncated), enumerate ALL shortest paths by DFS over the
+    level DAG, and count interior-vertex traversals."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, t in pairs:
+        if s != t:
+            adj[s].append(t)
+    stress = defaultdict(int)
+    for r in roots:
+        d = {r: 0}
+        q = deque([r])
+        while q:
+            v = q.popleft()
+            if d[v] >= levels:
+                continue
+            for w in adj[v]:
+                if w not in d:
+                    d[w] = d[v] + 1
+                    q.append(w)
+        # enumerate shortest paths root -> every t
+        def paths(v):
+            if v == r:
+                return [[r]]
+            return [
+                p + [v]
+                for u in adj
+                if v in adj[u] and u in d and d[u] == d[v] - 1
+                for p in paths(u)
+            ]
+        for t, dt in d.items():
+            if t == r:
+                continue
+            for p in paths(t):
+                for interior in p[1:-1]:
+                    stress[interior] += 1
+    return stress
+
+
+def test_stress_matches_bruteforce(edges):
+    """stress_scores == direct shortest-path enumeration on the module
+    fixture (4 lexicographic roots a,b,c,d; depth 4). Some vertex must
+    carry nonzero stress (e.g. 'a' and 'c' are interiors of d->a->b /
+    b->c->e chains), or the test would be vacuous."""
+    from denrl_spark.operators.graph_analytics import stress_scores
+
+    got = {r["surface"]: r["stress_u"] for r in stress_scores(edges).collect()}
+    pairs = {(s, t) for s, _, t, _ in EDGES}
+    verts = sorted({v for p in pairs for v in p})
+    expect = _stress_bruteforce(pairs, verts[:4], 4)
+    assert got == {v: expect.get(v, 0) for v in verts}
+    assert max(got.values()) > 0
+    # partition invariance
+    got5 = {
+        r["surface"]: r["stress_u"]
+        for r in stress_scores(edges.repartition(5)).collect()
+    }
+    assert got5 == got
+
+
+def test_stress_path_gadget_and_empty(spark):
+    """On a directed path r->x->y->z with root sample covering all
+    vertices: interior x sits on r->y, r->z, x->... paths. Exact
+    counts checked against the enumeration twin; empty graph -> empty
+    output."""
+    from denrl_spark.operators.graph_analytics import stress_scores
+
+    rows = [("r", "p", "x", 1), ("x", "p", "y", 1), ("y", "p", "z", 1)]
+    e = spark.createDataFrame(
+        rows, "src_surface string, pred string, dst_surface string, n_obs long"
+    )
+    got = {r["surface"]: r["stress_u"] for r in stress_scores(e).collect()}
+    pairs = {(s, t) for s, _, t, _ in rows}
+    expect = _stress_bruteforce(pairs, sorted({v for p in pairs for v in p})[:4], 4)
+    assert got == {v: expect.get(v, 0) for v in sorted(got)}
+    # x interior of r->y, r->z; y interior of r->z, x->z
+    assert got["x"] == 2 and got["y"] == 2 and got["r"] == 0 and got["z"] == 0
+    empty = spark.createDataFrame(
+        [], "src_surface string, pred string, dst_surface string, n_obs long"
+    )
+    assert stress_scores(empty).count() == 0

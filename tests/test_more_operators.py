@@ -911,3 +911,105 @@ def test_conv_prefix_dedup_gadget(spark, tmp_path):
     fp = hashlib.md5("\x1f".join(["hello agent", "hi user"]).encode()).hexdigest()
     assert rows[c0]["prefix_fp"] == fp
     assert CONV_PREFIX_K == 2  # fingerprint above spans exactly the prefix
+
+
+def test_ngram_novelty_transcription(spark, tmp_path):
+    """text_ngram_novelty == a literal Python recomputation: 3-gram
+    instances per doc, dup = shingle present in >= 2 distinct docs,
+    novelty in exact ppm, -1 sentinel for docs too short to shingle.
+    The gadget shares one 5-token block between doc 0 and doc 2."""
+    import os
+    from collections import Counter, defaultdict
+
+    from denrl_spark.plans.driver_queries import text_ngram_novelty
+
+    texts = {
+        0: "alpha beta gamma delta epsilon unique0 tail0",
+        1: "totally different words here now",
+        2: "alpha beta gamma delta epsilon other2 end2",
+        3: "too short",  # < 3 tokens after split? 2 tokens -> no shingles
+    }
+    d = str(tmp_path / "novelty")
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    def sh(t):
+        toks = t.split(" ")
+        return [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+
+    docs_of = defaultdict(set)
+    for i, t in texts.items():
+        for g in set(sh(t)):
+            docs_of[g].add(i)
+    expect = {}
+    for i, t in texts.items():
+        grams = sh(t)
+        if not grams:
+            expect[i] = (0, 0, -1)
+            continue
+        dup = sum(1 for g in grams if len(docs_of[g]) >= 2)
+        expect[i] = (
+            len(grams), dup, (1000000 * (len(grams) - dup)) // len(grams)
+        )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"], r["novelty_ppm"])
+        for r in text_ngram_novelty(spark, d).collect()
+    }
+    assert got == expect
+    assert got[3] == (0, 0, -1)          # sentinel row present
+    assert got[1][1] == 0                # fully novel doc
+    assert got[0][1] == 3 and got[2][1] == 3  # the shared 5-token block
+
+
+def test_bloom_filter_transcription_and_one_sided(spark, tmp_path):
+    """rel_bloom_filter == a literal Python transcription of the
+    build/probe rule (deterministic md5 bit coordinates), and the
+    one-sided error contract holds on EVERY row: bloom_hit >=
+    is_member (no false negatives, ever). The gadget probes a strict
+    superset of the member set so true hits AND true misses are both
+    exercised; with 900 members over 4096 bits (~48% set) at K=3,
+    false positives occur with overwhelming probability and the
+    transcription pins each one exactly."""
+    import hashlib
+    import os
+
+    from denrl_spark.plans.driver_queries import (
+        BLOOM_K, BLOOM_M, rel_bloom_filter,
+    )
+
+    members = list(range(0, 1800, 2))           # 900 member keys
+    probes = list(range(1800))                   # superset: odds are misses
+    d = str(tmp_path / "bloom")
+    spark.createDataFrame(
+        [(i, m, "1995-01-01", 1.0, "O") for i, m in enumerate(members)],
+        "o_orderkey long, o_custkey long, o_orderdate string, "
+        "o_totalprice double, o_orderpriority string",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(c, f"c{c}", 0) for c in probes],
+        "c_custkey long, c_name string, c_nationkey int",
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+
+    def bit(key: str, j: int) -> int:
+        return int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:12],
+                   16) % BLOOM_M
+
+    set_bits = {bit(str(m), j) for m in members for j in range(BLOOM_K)}
+    expect = {}
+    for c in probes:
+        hit = int(all(bit(str(c), j) in set_bits for j in range(BLOOM_K)))
+        expect[c] = (int(c in set(members)), hit)
+
+    got = {
+        r["c_custkey"]: (r["is_member"], r["bloom_hit"])
+        for r in rel_bloom_filter(spark, d).collect()
+    }
+    assert got == expect
+    # one-sided error: never a false negative
+    assert all(h >= m for m, h in got.values())
+    # all three regimes exercised: true hit, true miss, false positive
+    assert any(m == 1 and h == 1 for m, h in got.values())
+    assert any(m == 0 and h == 0 for m, h in got.values())
+    assert any(m == 0 and h == 1 for m, h in got.values())
