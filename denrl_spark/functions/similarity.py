@@ -807,3 +807,154 @@ def lsh_near_dup_pairs_sql(
           JOIN e eb ON eb.vec_id = c.vec_b)
         SELECT vec_a, vec_b, cos_e3 FROM scored WHERE cos_e3 >= {min_cos_e3}
     """
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 5,
+    n_candidates: int = 16,
+    lam_millis: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the rerank a retrieval-backed curation pipeline
+    runs AFTER ANN so the k examples it keeps are not k near-copies of
+    the same passage: greedily pick argmax of
+    ``lam * rel(d) - (1 - lam) * max sim(d, already-selected)``.
+    Returns (rank, vec_id, rel_e3, mmr_score); rank 0 is the pure-
+    relevance pick (empty selected set contributes nothing), and
+    mmr_score = lam_millis*rel_e3 - (1000-lam_millis)*maxsim_e3 — all
+    arithmetic on the 1e-3-floored cosines in integer thousandths, so
+    selection order is exact cross-engine (ties by vec_id ASC).
+
+    Shape: relevance is ONE scan of the corpus against the broadcast
+    1-row query (this is where ANN drops in at fleet scale — the scan
+    becomes ivf/lsh/pq_adc candidate generation); everything after is
+    bounded by n_candidates: the candidate frame and its pairwise
+    sim matrix (<= n^2 rows) are broadcast-sized, and each of the k
+    greedy steps is one anti-join + one max-aggregate + a LIMIT 1 on
+    that bounded frame, localCheckpoint-ed so the step plans stay
+    O(1). The greedy recurrence is inherently sequential in k — the
+    per-step work, not the step count, is what scales."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v"))
+    q = e.where(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv")
+    )
+    rel = (
+        e.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            F.floor(1000 * _dot(F.col("qv"), F.col("v"))
+                    / (_norm(F.col("qv")) * _norm(F.col("v"))))
+            .cast("long").alias("rel_e3"),
+        )
+    )
+    cand = (
+        rel.orderBy(F.desc("rel_e3"), F.asc("vec_id"))
+        .limit(n_candidates)
+        .localCheckpoint()
+    )
+    ca = cand.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    cb = cand.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    sims = (
+        ca.crossJoin(cb)
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a", "b",
+            F.floor(1000 * _dot(F.col("va"), F.col("vb"))
+                    / (_norm(F.col("va")) * _norm(F.col("vb"))))
+            .cast("long").alias("sim_e3"),
+        )
+        .localCheckpoint()
+    )
+    lam, mu = F.lit(lam_millis).cast("long"), F.lit(1000 - lam_millis)
+    sel = (
+        cand.orderBy(F.desc("rel_e3"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(0).cast("int").alias("rank"),
+            "vec_id",
+            "rel_e3",
+            (lam * F.col("rel_e3")).cast("long").alias("mmr_score"),
+        )
+        .localCheckpoint()
+    )
+    for i in range(1, k):
+        maxsim = (
+            sims.join(sel.select(F.col("vec_id").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.max("sim_e3").alias("ms"))
+        )
+        pick = (
+            cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+            .join(maxsim, cand.vec_id == maxsim.a)
+            .select(
+                F.lit(i).cast("int").alias("rank"),
+                "vec_id",
+                "rel_e3",
+                (lam * F.col("rel_e3") - mu * F.col("ms"))
+                .cast("long").alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel
+
+
+def mmr_topk_sql(
+    rel: str = "embeddings",
+    query_vec_id: int = 0,
+    k: int = 5,
+    n_candidates: int = 16,
+    lam_millis: int = 500,
+) -> str:
+    """mmr_topk twin: the k greedy steps UNROLLED into chained
+    MATERIALIZED CTEs (sel{i} is referenced by the next step's
+    anti-filter, max-sim aggregate, and the final union — DuckDB
+    inlines plain CTEs, re-expanding everything per reference). Every
+    comparison runs on the same 1e-3-floored integer cosines as the
+    Spark side."""
+    cos = ("CAST(floor(1000 * list_dot_product({x}, {y}) / "
+           "(sqrt(list_dot_product({x}, {x})) * "
+           "sqrt(list_dot_product({y}, {y})))) AS BIGINT)")
+    mu = 1000 - lam_millis
+    body = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM {rel}),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+        cand AS MATERIALIZED (
+          SELECT vec_id, v, {cos.format(x='qv', y='v')} AS rel_e3
+          FROM e, q WHERE vec_id <> {query_vec_id}
+          ORDER BY rel_e3 DESC, vec_id ASC LIMIT {n_candidates}),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 {cos.format(x='a.v', y='b.v')} AS sim_e3
+          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        sel0 AS MATERIALIZED (
+          SELECT CAST(0 AS INT) AS rank, vec_id, rel_e3,
+                 CAST({lam_millis} * rel_e3 AS BIGINT) AS mmr_score
+          FROM cand ORDER BY rel_e3 DESC, vec_id ASC LIMIT 1)"""
+    for i in range(1, k):
+        body += f""",
+        sel{i} AS MATERIALIZED (
+          SELECT * FROM sel{i-1}
+          UNION ALL
+          SELECT * FROM (
+            SELECT CAST({i} AS INT) AS rank, c.vec_id, c.rel_e3,
+                   CAST({lam_millis} * c.rel_e3 - {mu} * ms.ms AS BIGINT)
+                     AS mmr_score
+            FROM cand c
+            JOIN (SELECT s.a, max(s.sim_e3) AS ms
+                  FROM sims s JOIN sel{i-1} p ON p.vec_id = s.b
+                  GROUP BY 1) ms ON ms.a = c.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i-1})
+            ORDER BY mmr_score DESC, c.vec_id ASC LIMIT 1))"""
+    return body + f"""
+        SELECT rank, vec_id, rel_e3, mmr_score FROM sel{k-1}
+    """

@@ -2249,6 +2249,19 @@ def sim_pq_adc(spark, sf_dir):
     return similarity.pq_adc_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@_q("sim_mmr", similarity.mmr_topk_sql())
+def sim_mmr(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-k rerank (Carbonell
+    & Goldstein 1998): after candidate generation, greedily select k
+    results trading relevance-to-query against max similarity to the
+    already-selected set — the dedup-at-selection-time step that stops
+    a retrieval-backed data pipeline from keeping five near-copies of
+    the same passage. All comparisons on 1e-3-floored integer cosines
+    (exact cross-engine ordering); unrolled MATERIALIZED-CTE greedy
+    twin; candidate-bounded per-step work (see similarity.mmr_topk)."""
+    return similarity.mmr_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @_q(
     "rel_weighted_sample",
     """

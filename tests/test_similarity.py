@@ -407,3 +407,77 @@ def test_knn_graph_ranks_cluster_mates_first(spark, clustered, tmp_path):
         want = [v for _, v in sorted(lst)[:KNN_K]]
         got = [dst for _, dst, _ in sorted(by_src[src])]
         assert got == want, src
+
+
+def test_mmr_transcription_and_diversity(spark, tmp_path):
+    """mmr_topk == a literal Python transcription of the greedy MMR
+    recurrence on the same 1e-3-floored cosines, AND the diversity
+    term actually changes the outcome: the gadget puts three
+    near-duplicate vectors closest to the query plus two moderately
+    relevant but diverse ones — pure top-k keeps all three near-dups,
+    MMR at lambda=0.5 must not."""
+    import math
+    import os
+
+    from denrl_spark.functions.similarity import mmr_topk
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],          # the query
+        1: [0.98, 0.20, 0.0, 0.0],        # near-dup cluster
+        2: [0.97, 0.22, 0.0, 0.0],
+        3: [0.99, 0.18, 0.0, 0.0],
+        4: [0.70, 0.0, 0.71, 0.0],        # diverse, moderate relevance
+        5: [0.60, 0.0, 0.0, 0.80],        # diverse, moderate relevance
+        6: [0.0, 1.0, 0.0, 0.0],          # irrelevant
+        7: [-0.5, 0.5, 0.5, 0.5],         # irrelevant
+    }
+    d = str(tmp_path / "mmr")
+    spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    def cos_e3(x, y):
+        dot = 0.0
+        for a, b in zip(x, y):
+            dot = dot + a * b
+        nx = math.sqrt(sum(a * a for a in x))
+        ny = math.sqrt(sum(b * b for b in y))
+        return math.floor(1000 * dot / (nx * ny))
+
+    k, n_cand, lam = 4, 6, 500
+    rel = {i: cos_e3(vecs[0], v) for i, v in vecs.items() if i != 0}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:n_cand]
+    sims = {(a, b): cos_e3(vecs[a], vecs[b])
+            for a in cand for b in cand if a != b}
+    first = min(cand, key=lambda i: (-rel[i], i))
+    expect = [(0, first, rel[first], lam * rel[first])]
+    sel = [first]
+    for step in range(1, k):
+        best = None
+        for c in cand:
+            if c in sel:
+                continue
+            ms = max(sims[(c, s)] for s in sel)
+            score = lam * rel[c] - (1000 - lam) * ms
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        expect.append((step, best[1], rel[best[1]], best[2]))
+        sel.append(best[1])
+
+    emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+    got = [
+        (r["rank"], r["vec_id"], r["rel_e3"], r["mmr_score"])
+        for r in mmr_topk(emb, k=k, n_candidates=n_cand).orderBy("rank").collect()
+    ]
+    assert got == expect
+    # rank 0 is the pure-relevance argmax
+    assert got[0][1] == min(rel, key=lambda i: (-rel[i], i))
+    # diversity bites: plain top-k would be the 3 near-dups first,
+    # MMR's first 3 picks must NOT be {1, 2, 3}
+    topk_plain = sorted(rel, key=lambda i: (-rel[i], i))[:3]
+    assert set(topk_plain) == {1, 2, 3}
+    assert {v for _, v, _, _ in got[:3]} != {1, 2, 3}
+    # both diverse-but-relevant vectors make the MMR cut
+    assert {4, 5} <= {v for _, v, _, _ in got}
