@@ -2409,3 +2409,105 @@ def stress_sql(rel: str = "documents", n_roots: int = 4,
           SELECT surface, sum(sigma * phi) AS stress
           FROM allp WHERE surface <> root GROUP BY 1) st USING (surface)
     """
+
+
+def entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level entity CO-OCCURRENCE graph: per unordered pair of
+    canonical entities mentioned in the same doc (as subject or object
+    of ANY gold triple — including pairs no extracted relation links
+    directly), the distinct-doc co-occurrence count and the pointwise
+    mutual information of the pair under the doc-occurrence
+    distribution, floor-scaled to integer 1e-4 units. This is the
+    entity-association signal RELATION edges can't express (the
+    "appears alongside" prior used for entity-linking disambiguation
+    and for proposing missing KG edges), and the classic bipartite
+    doc-entity projection.
+
+    Exactness: pmi = ln((n_docs * N) / (n_a * n_b)) computed as ONE
+    double division of exactly-representable integer products (the
+    edge_pmi trick), so both engines floor the identical double.
+
+    Shape: the distinct (doc_id, entity) mention set is built once
+    (one canonicalize pass + one distinct) and localCheckpointed —
+    it feeds the pair join AND both marginals without recomputing the
+    extraction; pairs come from ONE self-equi-join on doc_id (AQE
+    skew-splits hot docs) with the a.ent < b.ent residual, so each
+    pair is emitted once per doc and never mirrored. Per-doc fan-out
+    is quadratic in the doc's DISTINCT canonical entity count, which
+    the extraction bounds by the KB surface inventory; a 100 TB
+    deployment over an open KB would rank-cap entities per doc before
+    the self-join (the provenance/adjacency cap pattern). Marginals
+    are map-side-combined counts over the same checkpointed set."""
+    from denrl_spark.operators.linking import canonicalize
+
+    trips = gold_triples_by_doc(spark, sf_dir).cache()
+    trips.count()
+    am = canonicalize(trips).select("surface", "canonical_surface")
+    ents = (
+        trips.select("doc_id", F.col("ent1").alias("surface"))
+        .unionByName(trips.select("doc_id", F.col("ent2").alias("surface")))
+        .where(F.col("surface") != "")
+        .join(am, "surface")
+        .select("doc_id", F.col("canonical_surface").alias("ent"))
+        .distinct()
+        .localCheckpoint()
+    )
+    trips.unpersist()
+    n_total = ents.select("doc_id").distinct().count()
+    if n_total == 0:
+        return spark.createDataFrame(
+            [], "ent_a string, ent_b string, n_docs bigint, pmi_e4 bigint"
+        )
+    a = ents.select(F.col("doc_id"), F.col("ent").alias("ent_a"))
+    b = ents.select(F.col("doc_id"), F.col("ent").alias("ent_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    marg = ents.groupBy("ent").agg(F.count(F.lit(1)).alias("n_e"))
+    return (
+        pairs.join(marg.select(F.col("ent").alias("ent_a"),
+                               F.col("n_e").alias("n_a")), "ent_a")
+        .join(marg.select(F.col("ent").alias("ent_b"),
+                          F.col("n_e").alias("n_b")), "ent_b")
+        .select(
+            "ent_a", "ent_b", "n_docs",
+            F.floor(
+                10_000
+                * F.log(
+                    (F.col("n_docs") * F.lit(int(n_total))).cast("double")
+                    / (F.col("n_a") * F.col("n_b"))
+                )
+            ).cast("long").alias("pmi_e4"),
+        )
+    )
+
+
+def entity_cooccurrence_sql(rel: str = "documents") -> str:
+    return f"""
+        WITH {_gold_triples_cte(rel)},
+        {_canon_cte()},
+        dm AS (
+          SELECT DISTINCT m.doc_id, c.canonical_surface AS ent
+          FROM (SELECT doc_id, ent1 AS surface FROM gold
+                UNION ALL SELECT doc_id, ent2 FROM gold) m
+          JOIN canon c ON c.surface = m.surface
+          WHERE m.surface <> ''),
+        t AS (SELECT count(DISTINCT doc_id) AS n FROM dm),
+        marg AS (SELECT ent, count(*) AS n_e FROM dm GROUP BY 1),
+        p AS (
+          SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS n_docs
+          FROM dm a JOIN dm b
+            ON a.doc_id = b.doc_id AND a.ent < b.ent
+          GROUP BY 1, 2)
+        SELECT p.ent_a, p.ent_b, CAST(p.n_docs AS BIGINT) AS n_docs,
+               CAST(floor(10000 * ln(
+                 CAST(p.n_docs * t.n AS DOUBLE) / (ma.n_e * mb.n_e)))
+                 AS BIGINT) AS pmi_e4
+        FROM p
+        CROSS JOIN t
+        JOIN marg ma ON ma.ent = p.ent_a
+        JOIN marg mb ON mb.ent = p.ent_b
+    """

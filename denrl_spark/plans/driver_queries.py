@@ -491,6 +491,11 @@ _q("kg_triples_per_conv", docs_kg.triples_per_conv_sql())(docs_kg.triples_per_co
 # edge association strength: integer-scaled PMI confidence per canonical edge
 _q("kg_edge_pmi", docs_kg.edge_pmi_sql())(docs_kg.edge_pmi)
 
+# doc-level entity co-occurrence graph (bipartite projection + integer PMI)
+_q("kg_cooccurrence", docs_kg.entity_cooccurrence_sql())(
+    docs_kg.entity_cooccurrence
+)
+
 # filtered corrupted-tail negatives (TransE-style KG-embedding training data)
 _q("kg_negatives", docs_kg.kg_edge_negatives_sql())(docs_kg.kg_edge_negatives)
 
@@ -1155,6 +1160,70 @@ def text_substring_dedup(spark, sf_dir):
 )
 def text_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+HASH_FEATURE_DIM = 128  # hashed feature-space width (2^7)
+
+
+@_q(
+    "text_hash_features",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT)
+               % {HASH_FEATURE_DIM} AS feature_idx,
+             CASE WHEN CAST(('0x' || substr(md5(tok), 13, 1)) AS BIGINT)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM t WHERE tok <> '')
+    SELECT doc_id, feature_idx,
+           count(*) AS tf,
+           CAST(sum(sgn) AS BIGINT) AS signed_tf
+    FROM f GROUP BY 1, 2
+    """,
+)
+def text_hash_features(spark, sf_dir):
+    """Feature-HASHING vectorizer (the HashingVectorizer /
+    hashing-trick stage of a training-data pipeline): per doc, the
+    sparse hashed bag-of-words — feature_idx = 48 md5 bits of the
+    token mod HASH_FEATURE_DIM, raw term frequency, and the
+    sign-hashed sum (sign from an independent md5 nibble; the
+    textbook collision-bias correction, Weinberger et al. 2009).
+
+    Why it matters at 100 TB: tf-idf / word->id encoding need a vocab
+    build (a corpus-wide distinct + broadcast); the hashing trick
+    needs NEITHER — feature space is fixed at HASH_FEATURE_DIM
+    regardless of vocabulary, so the featurizer is one scan ->
+    explode -> map-side-combined (doc_id, feature_idx) aggregate with
+    no joins, no windows, no driver state, and streams trivially.
+
+    Exactness: md5-prefix arithmetic is the house cross-engine hash
+    idiom (kg_edge_negatives, rel_weighted_sample); counts and signed
+    sums are integers, so the oracle matches at hash level."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+    sgn = F.when(
+        F.conv(F.substring(F.md5("tok"), 13, 1), 16, 10).cast("long") % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(
+            "doc_id",
+            (h % HASH_FEATURE_DIM).alias("feature_idx"),
+            sgn.alias("sgn"),
+        )
+        .groupBy("doc_id", "feature_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.sum("sgn").cast("bigint").alias("signed_tf"),
+        )
+    )
 
 
 @_q(

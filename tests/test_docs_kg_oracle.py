@@ -521,3 +521,53 @@ def test_entity_cards_match_python_recomputation(spark):
         for _, r in docs_kg.entity_cards(spark, SF_DIR).toPandas().iterrows()
     }
     assert got == want and len(want) > 0
+
+
+def test_entity_cooccurrence_matches_python(spark):
+    """kg_cooccurrence vs a literal Python recomputation: distinct
+    (doc, canonical entity) sets -> unordered pair doc counts -> PMI as
+    one double division of exact integer products, floor-scaled."""
+    import itertools
+    import math
+
+    gold = docs_kg.gold_triples_by_doc(spark, SF_DIR).toPandas()
+    alias = {
+        r["surface"]: r["canonical_surface"]
+        for _, r in docs_kg.alias_map(spark, SF_DIR).toPandas().iterrows()
+    }
+    per_doc: dict[int, set[str]] = {}
+    for _, r in gold.iterrows():
+        for s in (r["ent1"], r["ent2"]):
+            if s:
+                per_doc.setdefault(int(r["doc_id"]), set()).add(alias[s])
+    n_total = len(per_doc)
+    marg: dict[str, int] = {}
+    pair_docs: dict[tuple[str, str], int] = {}
+    for ents in per_doc.values():
+        for e in ents:
+            marg[e] = marg.get(e, 0) + 1
+        for a, b in itertools.combinations(sorted(ents), 2):
+            pair_docs[(a, b)] = pair_docs.get((a, b), 0) + 1
+    want = {
+        (a, b): (
+            n,
+            math.floor(10_000 * math.log((n * n_total) / (marg[a] * marg[b]))),
+        )
+        for (a, b), n in pair_docs.items()
+    }
+    got = {
+        (r["ent_a"], r["ent_b"]): (int(r["n_docs"]), int(r["pmi_e4"]))
+        for _, r in docs_kg.entity_cooccurrence(spark, SF_DIR)
+        .toPandas()
+        .iterrows()
+    }
+    assert got == want and len(got) > 0
+    # pairs are unordered and emitted exactly once, a-side strictly first
+    assert all(a < b for a, b in got)
+    # the projection is a superset of the direct relation edges'
+    # endpoint pairs (every related pair co-occurs in its witness doc)
+    edges = docs_kg.edges_by_doc(spark, SF_DIR).toPandas()
+    for _, r in edges.iterrows():
+        a, b = sorted((r["src_surface"], r["dst_surface"]))
+        if a != b:
+            assert (a, b) in got

@@ -625,3 +625,54 @@ def test_gopher_rules_plan_is_shuffle_free(spark):
         ))._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hash_features_transcription_and_plan(spark):
+    """text_hash_features vs a literal hashlib.md5 recomputation at
+    sf0.001 (idx = 48-bit md5 prefix mod DIM, sign = 13th-nibble
+    parity), plus the vectorizer invariants: per-doc tf sums to the
+    doc's whitespace token count, |signed_tf| <= tf with matching
+    parity, and the plan is scan -> agg (no joins, no windows)."""
+    import hashlib
+    from collections import defaultdict
+
+    from denrl_spark.plans.driver_queries import (
+        HASH_FEATURE_DIM,
+        text_hash_features,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (int(r["doc_id"]), int(r["feature_idx"])): (
+            int(r["tf"]),
+            int(r["signed_tf"]),
+        )
+        for r in text_hash_features(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    want: dict = defaultdict(lambda: [0, 0])
+    tok_counts: dict = defaultdict(int)
+    for r in docs:
+        for tok in r["text"].split(" "):
+            if not tok:
+                continue
+            h = hashlib.md5(tok.encode()).hexdigest()
+            idx = int(h[:12], 16) % HASH_FEATURE_DIM
+            sgn = 1 if int(h[12], 16) % 2 == 0 else -1
+            cell = want[(int(r["doc_id"]), idx)]
+            cell[0] += 1
+            cell[1] += sgn
+            tok_counts[int(r["doc_id"])] += 1
+    assert got == {k: tuple(v) for k, v in want.items()} and len(got) > 0
+    per_doc = defaultdict(int)
+    for (doc_id, _), (tf, signed) in got.items():
+        per_doc[doc_id] += tf
+        assert abs(signed) <= tf and (signed - tf) % 2 == 0
+    assert per_doc == dict(tok_counts)
+    plan = (
+        text_hash_features(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
