@@ -958,3 +958,124 @@ def mmr_topk_sql(
     return body + f"""
         SELECT rank, vec_id, rel_e3, mmr_score FROM sel{k-1}
     """
+
+
+def prefix_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    prefix_dims: int = 16,
+    n_cands: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Progressive dimension-reduced top-k (the Matryoshka / PCA-prefix
+    rerank pattern): a COARSE pass ranks every candidate by cosine over
+    only the first ``prefix_dims`` dimensions (1e-3-floored, id
+    tie-break — deterministic cross-engine), keeps the top ``n_cands``
+    per query, and an exact full-dimension rerank of those candidates
+    emits the final top-k. Same output shape as cosine_topk /
+    ivf_topk: (query_id, rank, neighbor_id, cos_e3).
+
+    Why at scale: the coarse pass touches prefix_dims/dim of the
+    vector bytes (a production deployment stores the prefix as its own
+    column, so the scan prunes to it — ReadSchema does that here via
+    the slice), and the exact rerank touches only n_cands rows per
+    query instead of the corpus. Shape: one broadcast nested-loop of
+    the small query side against the corpus (the cosine_topk baseline
+    shape), one query-keyed window capped at n_cands, then a
+    candidates-only rescore — no corpus self-join, no global sort."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qp = F.slice(F.col("qv"), 1, prefix_dims)
+    cp = F.slice(F.col("cv"), 1, prefix_dims)
+    coarse = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qv",
+            "neighbor_id",
+            "cv",
+            F.floor(1000 * _dot(qp, cp) / (_norm(qp) * _norm(cp)))
+            .cast("long")
+            .alias("pcos_e3"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("pcos_e3"), F.asc("neighbor_id")
+    )
+    cands = (
+        coarse.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= n_cands)
+    )
+    rescored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(
+            1000 * _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        )
+        .cast("long")
+        .alias("cos_e3"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_e3"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "cos_e3",
+        )
+    )
+
+
+def prefix_rerank_sql(
+    rel: str = "embeddings",
+    query_pred: str = "vec_id < 8",
+    k: int = 3,
+    prefix_dims: int = 16,
+    n_cands: int = 10,
+) -> str:
+    """DuckDB twin of prefix_rerank (list slice is 1-based inclusive on
+    both engines: v[1:P] == F.slice(v, 1, P))."""
+    p = prefix_dims
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {rel}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred}),
+        coarse AS (
+          SELECT q.query_id, q.qv, e.vec_id AS neighbor_id, e.v AS cv,
+                 CAST(floor(1000 * list_dot_product(q.qv[1:{p}], e.v[1:{p}]) /
+                      (sqrt(list_dot_product(q.qv[1:{p}], q.qv[1:{p}])) *
+                       sqrt(list_dot_product(e.v[1:{p}], e.v[1:{p}]))))
+                   AS BIGINT) AS pcos_e3
+          FROM q, e WHERE e.vec_id <> q.query_id),
+        cands AS (
+          SELECT query_id, qv, neighbor_id, cv FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY pcos_e3 DESC, neighbor_id ASC) AS crank
+            FROM coarse)
+          WHERE crank <= {n_cands}),
+        rescored AS (
+          SELECT query_id, neighbor_id,
+                 CAST(floor(1000 * list_dot_product(qv, cv) /
+                      (sqrt(list_dot_product(qv, qv)) *
+                       sqrt(list_dot_product(cv, cv)))) AS BIGINT) AS cos_e3
+          FROM cands),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_e3,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_e3 DESC, neighbor_id ASC) AS INT) AS rank
+          FROM rescored)
+        SELECT query_id, rank, neighbor_id, cos_e3
+        FROM ranked WHERE rank <= {k}
+    """

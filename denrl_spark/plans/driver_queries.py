@@ -887,6 +887,64 @@ def rel_sessionize(spark, sf_dir):
 
 
 @_q(
+    "rel_transition_counts",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, sum(n) AS t FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           CAST((1000000 * c.n) // tot.t AS BIGINT) AS p_ppm
+    FROM c JOIN tot USING (from_type)
+    """,
+)
+def rel_transition_counts(spark, sf_dir):
+    """First-order Markov TRANSITION matrix over per-user event
+    sequences (the sequence-mining staple behind next-event
+    prediction and funnel diagnosis): each user's events ordered by
+    (ts, event_id — a total order, so lead() is deterministic
+    cross-engine), adjacent pairs counted into (from_type, to_type)
+    cells, with the conditional probability P(to|from) in exact
+    integer ppm (floor division of bigint products).
+
+    Shape: ONE user-keyed window (no global sort — the partition key
+    is the user, the natural shard of a 10^12-event log) feeding a
+    map-side-combined aggregate over a |types|^2-bounded frame; the
+    row-total join is over that same tiny frame. Skewed users cost
+    one window partition each — at 100 TB the window is already
+    co-partitioned with any upstream per-user stage."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    c = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return c.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.floor((1_000_000 * F.col("n")) / F.col("t"))
+        .cast("long")
+        .alias("p_ppm"),
+    )
+
+
+@_q(
     "rel_session_windows",
     """
     WITH e AS (
@@ -2068,6 +2126,18 @@ def sim_ivf_topk(spark, sf_dir):
     similarity.ivf_topk, hash-verified against the DuckDB twin."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.where("vec_id < 8"), k=3)
+
+
+@_q("sim_prefix_rerank", similarity.prefix_rerank_sql())
+def sim_prefix_rerank(spark, sf_dir):
+    """Progressive dimension-reduced ANN (Matryoshka-prefix rerank):
+    coarse cosine over the first 16 dims -> top-10 candidates ->
+    exact full-dim rerank to top-3. The bandwidth-scaling path between
+    brute force (sim_cosine_topk) and IVF (sim_ivf_topk): the coarse
+    pass reads 1/4 of the vector bytes and the exact pass reads only
+    candidates. similarity.prefix_rerank, hash-verified vs the twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.prefix_rerank(emb, emb.where("vec_id < 8"), k=3)
 
 
 @_q("dedup_embedding_pairs_lsh", similarity.lsh_near_dup_pairs_sql())

@@ -1013,3 +1013,40 @@ def test_bloom_filter_transcription_and_one_sided(spark, tmp_path):
     assert any(m == 1 and h == 1 for m, h in got.values())
     assert any(m == 0 and h == 0 for m, h in got.values())
     assert any(m == 0 and h == 1 for m, h in got.values())
+
+
+def test_transition_counts_transcription(spark):
+    """rel_transition_counts == a literal Python transcription: per
+    user, events totally ordered by (ts, event_id), adjacent pairs
+    tallied, P(to|from) floored to exact ppm; cells partition the
+    pair count and each from-row's ppm sums to <= 1e6."""
+    from collections import defaultdict
+
+    from denrl_spark.plans.driver_queries import rel_transition_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["from_type"], r["to_type"]): (int(r["n"]), int(r["p_ppm"]))
+        for r in rel_transition_counts(spark, sf).collect()
+    }
+    rows = spark.read.parquet(f"{sf}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    counts: dict = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    tot = defaultdict(int)
+    for (a, _), n in counts.items():
+        tot[a] += n
+    want = {
+        (a, b): (n, (1_000_000 * n) // tot[a]) for (a, b), n in counts.items()
+    }
+    assert got == want and len(got) > 0
+    # each from-row's conditional ppm mass is bounded by 1e6 (floor loss)
+    mass = defaultdict(int)
+    for (a, _), (_, ppm) in got.items():
+        mass[a] += ppm
+    assert all(0 < m <= 1_000_000 for m in mass.values())

@@ -481,3 +481,58 @@ def test_mmr_transcription_and_diversity(spark, tmp_path):
     assert {v for _, v, _, _ in got[:3]} != {1, 2, 3}
     # both diverse-but-relevant vectors make the MMR cut
     assert {4, 5} <= {v for _, v, _, _ in got}
+
+
+def test_prefix_rerank_transcription_and_exact_limit(spark):
+    """prefix_rerank == a literal numpy transcription of the two-stage
+    recurrence (prefix-cosine coarse rank -> top-C candidates ->
+    full-dim exact rerank) at sf0.001, AND degenerates to exact
+    cosine_topk when the prefix is the whole vector and the candidate
+    budget covers the corpus."""
+    import math
+
+    from denrl_spark.functions.similarity import cosine_topk, prefix_rerank
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 4")
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_e3"])
+        for r in prefix_rerank(emb, q, k=3, prefix_dims=16, n_cands=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def fcos(a, b):
+        return math.floor(
+            1000 * float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    want = []
+    for qid in sorted(v for v in vecs if v < 4):
+        coarse = sorted(
+            (
+                (-fcos(vecs[qid][:16], vecs[n][:16]), n)
+                for n in vecs
+                if n != qid
+            )
+        )[:10]
+        exact = sorted(
+            ((-fcos(vecs[qid], vecs[n]), n) for _, n in coarse)
+        )[:3]
+        want += [
+            (qid, i + 1, n, -negc) for i, (negc, n) in enumerate(exact)
+        ]
+    assert got == want and len(got) == 12
+
+    # full-prefix + full-candidate budget == exact brute force
+    n = emb.count()
+    full = prefix_rerank(emb, q, k=3, prefix_dims=64, n_cands=n)
+    exact_df = cosine_topk(emb, q, k=3)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exact_df.collect())
+    )
