@@ -743,6 +743,69 @@ def jaccard_pairs(docs: DataFrame, min_j_e6: int = 200_000) -> DataFrame:
     return j.where(F.col("j_e6") >= min_j_e6).select("doc_a", "doc_b", "j_e6")
 
 
+PREFIX_JOIN_MIN_J_E6 = 500_000  # Jaccard >= 0.5; the prefix rule below is derived for this t
+
+
+def prefix_filter_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, j_e6): EXACT set-similarity self-join at Jaccard
+    >= 0.5 via prefix filtering (SSJoin, Chaudhuri et al. ICDE 2006;
+    All-Pairs, Bayardo et al. WWW 2007; PPJoin, Xiao et al. WWW 2008)
+    — the deterministic companion to MinHash-LSH: the same output
+    contract as ``jaccard_pairs`` at t = 0.5 but with recall 1.0 BY
+    THEOREM instead of by corpus measurement, so the unpruned exact SQL
+    oracle matches by construction on every input.
+
+    Rule: order each doc's distinct shingles by the GLOBAL (df, shingle)
+    order (rarest first) and keep its first n - ceil(t*n) + 1 =
+    n DIV 2 + 1 as the doc's PREFIX. The SSJoin prefix lemma: if
+    J(A,B) >= t then |A and B| >= ceil(t * max(|A|,|B|)) >= each doc's
+    ceil(t*n), and two sets whose overlap is >= alpha must collide
+    within their first n - alpha + 1 elements under any shared total
+    order — so every qualifying pair shares a PREFIX shingle and the
+    candidate set from the prefix-only equi-join is complete. Exact
+    verify (``jaccard_verify_pairs``) re-scores candidates only.
+
+    100 TB shape: the df table is a map-side-combined aggregate; the
+    per-doc prefix rank is a doc-partitioned window (state bounded by
+    the 512-token doc cap, F1); candidate fan-out is bounded by the
+    inverted-list length of PREFIX shingles, and rarest-first ordering
+    biases prefixes away from hot boilerplate shingles (a hot shingle
+    enters a doc's prefix only when over half that doc's shingles are
+    globally hotter). Degenerate corpora (thousands of identical docs)
+    still pair up quadratically — that is the EXACT answer this
+    operator contracts to return; the capped probabilistic path for
+    that regime is ``lsh_candidate_pairs``/``near_dedup_greedy``."""
+    if sh is None:
+        sh = shingles(docs).distinct()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rnk", F.row_number().over(w.orderBy("df", "shingle")))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w))
+    )
+    pref = ranked.where(F.col("rnk") <= F.expr("n_sh DIV 2") + F.lit(1))
+    a = pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify_pairs(docs, cand, PREFIX_JOIN_MIN_J_E6, sh=sh)
+
+
+def prefix_join_pruned(docs: DataFrame) -> DataFrame:
+    """``prefix_filter_pairs`` with the distinct shingle table computed
+    ONCE and shared between the df/prefix stages and the exact verify
+    joins (same localCheckpoint barrier rationale as
+    ``jaccard_pairs_pruned`` — without it each subtree recomputes the
+    shingle scan)."""
+    shd = shingles(docs).distinct().localCheckpoint()
+    return prefix_filter_pairs(docs, sh=shd)
+
+
 CONTAINMENT_DF_CAP = 16
 
 

@@ -102,10 +102,29 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d
 
 
-def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+TOOL_NAMES = ("search", "code_exec", "browse")
+
+
+def transcripts_from_documents(
+    spark: SparkSession, sf_dir: str, tools: bool = False
+) -> DataFrame:
     """documents -> transcript rows, fully deterministic and
-    SQL-reproducible: conv = doc_id // 4, turn = doc_id % 4."""
+    SQL-reproducible: conv = doc_id // 4, turn = doc_id % 4. With
+    ``tools=True`` every 4th turn (turn_idx == 3, an assistant turn)
+    becomes a tool call with the tool name keyed by doc_id % 3 — the
+    ``tool`` modality of the input contract (BASELINE.json input_hint),
+    synthesized reproducibly so the DuckDB twins can re-derive the
+    identical turns."""
     d = load_documents(spark, sf_dir)
+    tool = F.lit(None).cast("string")
+    if tools:
+        tool = F.when(
+            F.pmod("doc_id", F.lit(4)) == 3,
+            F.element_at(
+                F.array(*[F.lit(t) for t in TOOL_NAMES]),
+                (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+            ),
+        )
     return d.select(
         # format_string, not lpad: lpad TRUNCATES past the pad width, so
         # conv indices >= 1e8 (doc_id >= 4e8) would silently collide;
@@ -114,7 +133,7 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("turn_idx"),
         F.when(F.pmod("doc_id", F.lit(2)) == 0, "user").otherwise("assistant").alias("role"),
         F.col("text"),
-        F.lit(None).cast("string").alias("tool"),
+        tool.alias("tool"),
         F.timestamp_seconds(
             F.lit(TS_EPOCH_BASE) + F.col("doc_id") * TS_SPACING_S
         ).alias("ts"),
@@ -529,6 +548,44 @@ def edges_by_role_sql(rel: str = "documents") -> str:
           WHERE g.ent2_tag LIKE '%/%')
         SELECT src_surface, pred, dst_surface, role, count(*) AS n_obs
         FROM rel_rows GROUP BY 1, 2, 3, 4
+    """
+
+
+def tool_edges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tool, pred, surface, etype, n_obs, n_convs): tool-usage edges
+    over the deterministic tool-call turns (transcripts_from_documents
+    with tools=True) — puts operators/graph.py:tool_edges, previously
+    pytest-only, under the driver's cross-engine oracle. The `tool`
+    column is the transcript-native input modality (BASELINE.json
+    input_hint) that document KGs don't have."""
+    from denrl_spark.operators.graph import tool_edges
+
+    tr = transcripts_from_documents(spark, sf_dir, tools=True)
+    return tool_edges(tr, docs_kb())
+
+
+def tool_edges_sql(rel: str = "documents") -> str:
+    """tool_edges twin: tool turns are doc_id % 4 == 3, tool name keyed
+    by doc_id % 3 (TOOL_NAMES order); the KB's surfaces are all single
+    tokens (DOC_ENTITIES), so the n-gram explode degenerates to token
+    unnest. n_convs counts distinct doc_id // 4, which is injective with
+    the Spark side's conv-%08d string."""
+    return f"""
+        WITH tt AS (
+          SELECT doc_id // 4 AS conv,
+                 CASE doc_id % 3 WHEN 0 THEN '{TOOL_NAMES[0]}'
+                                 WHEN 1 THEN '{TOOL_NAMES[1]}'
+                                 ELSE '{TOOL_NAMES[2]}' END AS tool,
+                 text
+          FROM {rel} WHERE doc_id % 4 = 3),
+        tok AS (
+          SELECT conv, tool, unnest(string_split(text, ' ')) AS surface
+          FROM tt)
+        SELECT tool, '/agent/tool/touches' AS pred, surface, typ AS etype,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               count(DISTINCT conv) AS n_convs
+        FROM tok JOIN {_ent_values_sql()} ON tok.surface = ent.surf
+        GROUP BY 1, 2, 3, 4
     """
 
 

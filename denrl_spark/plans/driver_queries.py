@@ -168,6 +168,9 @@ _q("kg_edge_history", docs_kg.edge_history_sql())(docs_kg.edge_history)
 # speaker-role edge provenance: who asserted the fact (user vs
 # assistant) — the transcript-native KG dimension (docs_kg.edges_by_role)
 _q("kg_edges_by_role", docs_kg.edges_by_role_sql())(docs_kg.edges_by_role)
+# tool-usage edges over deterministic tool-call turns — the `tool` input
+# modality (operators/graph.py:tool_edges) under the cross-engine oracle
+_q("kg_tool_edges", docs_kg.tool_edges_sql())(docs_kg.tool_edges_docs)
 
 
 ADJ_MAX_NEIGHBORS = 64
@@ -1980,6 +1983,36 @@ def dedup_jaccard_pairs(spark, sf_dir):
     table is computed once and shared between the candidate and verify
     stages (textops.jaccard_pairs_pruned)."""
     return textops.jaccard_pairs_pruned(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_prefix_join",
+    f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(floor(1000000 * shared / (na.n_sh + nb.n_sh - shared)) AS BIGINT) AS j_e6
+    FROM shared
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE floor(1000000 * shared / (na.n_sh + nb.n_sh - shared))
+          >= {textops.PREFIX_JOIN_MIN_J_E6}
+    """,
+)
+def dedup_prefix_join(spark, sf_dir):
+    """EXACT set-similarity self-join at Jaccard >= 0.5 via prefix
+    filtering (SSJoin / All-Pairs / PPJoin): candidates come from an
+    equi-join on each doc's n DIV 2 + 1 globally-rarest shingles, whose
+    completeness at t = 0.5 is the SSJoin prefix lemma — so unlike
+    dedup_jaccard_pairs (LSH candidates, recall measured per corpus)
+    this oracle match is recall-1.0 by theorem on EVERY input. The
+    deterministic exact path of the dedup family
+    (textops.prefix_filter_pairs)."""
+    return textops.prefix_join_pruned(_t(spark, sf_dir, "documents"))
 
 
 @_q(

@@ -45,8 +45,10 @@ def duck():
         (docs_kg.pred_triples_numeric_by_doc, docs_kg.gold_triples_by_doc_sql()),
         (docs_kg.edges_by_doc, docs_kg.edges_by_doc_sql()),
         (docs_kg.vertices_by_doc, docs_kg.vertices_by_doc_sql()),
+        (docs_kg.tool_edges_docs, docs_kg.tool_edges_sql()),
     ],
-    ids=["gold_triples", "pred_triples_numeric", "edges", "vertices"],
+    ids=["gold_triples", "pred_triples_numeric", "edges", "vertices",
+         "tool_edges"],
 )
 def test_by_doc_queries_match_duckdb(spark, duck, fn, sql):
     sdf = _normalize(fn(spark, SF_DIR).toPandas())
@@ -54,6 +56,21 @@ def test_by_doc_queries_match_duckdb(spark, duck, fn, sql):
     assert list(sdf.columns) == list(odf.columns)
     assert len(sdf) == len(odf)
     pd.testing.assert_frame_equal(sdf, odf)
+
+
+def test_transcripts_tool_turn_synthesis(spark):
+    """tools=True marks exactly the turn_idx == 3 rows as tool calls,
+    names keyed by doc_id % 3 in TOOL_NAMES order; tools=False (the
+    default, used by every other consumer) stays all-NULL."""
+    tr = docs_kg.transcripts_from_documents(spark, SF_DIR, tools=True)
+    rows = tr.select("conv_id", "turn_idx", "tool").collect()
+    for r in rows:
+        doc_id = int(r.conv_id.split("-")[1]) * 4 + r.turn_idx
+        want = docs_kg.TOOL_NAMES[doc_id % 3] if r.turn_idx == 3 else None
+        assert r.tool == want, (doc_id, r.tool, want)
+    assert any(r.tool is not None for r in rows)
+    base = docs_kg.transcripts_from_documents(spark, SF_DIR)
+    assert base.where(base.tool.isNotNull()).count() == 0
 
 
 def test_raw_paths_match_by_doc_twins(spark):

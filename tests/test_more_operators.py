@@ -148,6 +148,94 @@ def test_jaccard_pruned_equals_unpruned(spark):
             assert "doc_b#" in line or "doc_a#" in line, line
 
 
+def test_prefix_join_equals_unpruned_exact(spark):
+    """dedup_prefix_join's oracle is the UNPRUNED exact join at 0.5 —
+    valid by the SSJoin prefix lemma, not by corpus measurement.
+    Asserted anyway on the corpus plus appended near-dup rows (the
+    corpus alone may have no pairs at 0.5), and on a randomized
+    small-vocab corpus where high-Jaccard pairs are dense."""
+    from denrl_spark.functions.textops import jaccard_pairs, prefix_join_pruned
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dup = base.limit(8).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing marker token")).alias("text"),
+    )
+    docs = base.select("doc_id", "text").unionByName(dup)
+    exact = {tuple(r) for r in jaccard_pairs(docs, min_j_e6=500_000).collect()}
+    pruned = {tuple(r) for r in prefix_join_pruned(docs).collect()}
+    assert pruned == exact and len(pruned) >= 8
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=int(rng.integers(5, 12)))))
+        for i in range(40)
+    ]
+    rnd = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {tuple(r) for r in jaccard_pairs(rnd, min_j_e6=500_000).collect()}
+    pruned = {tuple(r) for r in prefix_join_pruned(rnd).collect()}
+    assert pruned == exact
+
+
+def test_prefix_join_boundary_and_pruning(spark):
+    """J = 0.5 exactly is IN (>= threshold, integer floor exact);
+    J < 0.5 is OUT; and on a hot-shingle star corpus the prefix rule
+    provably generates ZERO candidates where the shared-shingle join
+    would emit all C(n,2) pairs — the pruning the algorithm exists for."""
+    from denrl_spark.functions.textops import prefix_join_pruned
+
+    gadget = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # shingles {abc, bcd, cde}
+            (2, "a b c d f"),   # {abc, bcd, cdf}: overlap 2, union 4 -> 0.5
+            (3, "a b c x y"),   # {abc, bcx, cxy}: J(1,3) = 1/5 < 0.5
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b, r.j_e6) for r in prefix_join_pruned(gadget).collect()}
+    assert got == {(1, 2, 500_000)}
+
+    # star corpus: one corpus-wide hot shingle, three unique shingles per
+    # doc; n_sh = 4 -> prefix = 3 rarest = the unique ones, so the hot
+    # shingle never reaches the candidate join
+    n = 10
+    star = spark.createDataFrame(
+        [(i, f"h1 h2 h3 r{i}a r{i}b r{i}c") for i in range(n)],
+        "doc_id long, text string",
+    )
+    assert prefix_join_pruned(star).count() == 0
+    # Python twin of the prefix rule confirms zero candidates (vs the
+    # C(n,2) = 45 pairs the raw shared-shingle join would touch)
+    sets = {
+        i: {f"h1 h2 h3"} | {f"h2 h3 r{i}a", f"h3 r{i}a r{i}b", f"r{i}a r{i}b r{i}c"}
+        for i in range(n)
+    }
+    df = {}
+    for s in sets.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    prefixes = {
+        i: set(sorted(s, key=lambda g: (df[g], g))[: len(s) // 2 + 1])
+        for i, s in sets.items()
+    }
+    cand = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if prefixes[a] & prefixes[b]
+    }
+    shared_pairs = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if sets[a] & sets[b]
+    }
+    assert cand == set() and len(shared_pairs) == n * (n - 1) // 2
+
+
 def test_lsh_bucket_cap_degenerate_boilerplate(spark):
     """10k identical boilerplate docs land every doc on the same
     (band, mh) bucket in all 8 bands. Uncapped, the pairwise self-join
