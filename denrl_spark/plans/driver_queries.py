@@ -3460,3 +3460,139 @@ def rel_tumbling_window(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Final-session additions: ANN quality eval, training-data chunking,
+# gaps-and-islands, joint degree distribution, sweep-line concurrency
+# --------------------------------------------------------------------------
+
+_CHUNK_W = 64  # tokens per training chunk
+_CHUNK_S = 48  # stride (16-token overlap carries context across chunks)
+
+
+@_q(
+    "text_chunk_windows",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, CASE WHEN n <= {_CHUNK_W} THEN 0
+                              ELSE (n - {_CHUNK_W} + {_CHUNK_S - 1}) // {_CHUNK_S}
+                              END + 1)) AS chunk_idx
+      FROM d)
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK_S} AS INT) AS start_tok,
+           CAST(least({_CHUNK_W}, n - chunk_idx * {_CHUNK_S}) AS INT) AS n_tok,
+           array_to_string(
+             list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                        chunk_idx * {_CHUNK_S}
+                          + least({_CHUNK_W}, n - chunk_idx * {_CHUNK_S})),
+             ' ') AS chunk_text
+    FROM c
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping fixed-token-window CHUNKING — the stage that turns a
+    variable-length document corpus into bounded training windows
+    (every LLM pretraining pipeline runs this before packing; the
+    16-token overlap is the standard context-carry). Chunk count is
+    1 if n <= W else ceil((n-W)/S)+1, so the final window always ends
+    exactly at the document tail (no padding, no dropped suffix) —
+    exact integer rule, hash-safe cross-engine.
+
+    Shape: scan -> sequence/explode -> project. ZERO Exchange: no
+    join, window, or aggregate anywhere — per-doc fan-out bounded by
+    len/stride, embarrassingly parallel at any scale. Complements
+    text_pack_sequences (which packs the chunks into fixed budgets)
+    and text_substring_dedup (which removes cross-doc repeats first)."""
+    W, S = _CHUNK_W, _CHUNK_S
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    last = (
+        F.when(F.col("n") <= W, F.lit(0))
+        .otherwise(F.floor((F.col("n") - W + (S - 1)) / S))
+        .cast("int")
+    )
+    c = d.select(
+        "doc_id", "toks", "n",
+        F.explode(F.sequence(F.lit(0), last)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * S
+    n_tok = F.least(F.lit(W), F.col("n") - start)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_tok"),
+        n_tok.cast("int").alias("n_tok"),
+        F.array_join(F.slice("toks", start + 1, n_tok), " ").alias("chunk_text"),
+    )
+
+
+@_q(
+    "sim_recall_eval",
+    f"""
+    WITH exact_t AS (SELECT * FROM ({{exact_sql}})),
+    ann AS (SELECT * FROM ({{ann_sql}})),
+    j AS (
+      SELECT e.query_id,
+             CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact_t e
+      LEFT JOIN ann a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS k_exact,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           CAST((1000000 * sum(hit)) // count(*) AS BIGINT) AS recall_ppm
+    FROM j GROUP BY 1
+    """.format(
+        exact_sql=ORACLES["sim_cosine_topk"],
+        ann_sql=similarity.lsh_topk_sql(),
+    ),
+)
+def sim_recall_eval(spark, sf_dir):
+    """ANN QUALITY EVALUATION as a first-class query: per-query
+    recall@k of the LSH index (sim_lsh_topk) against the exact
+    brute-force baseline (sim_cosine_topk), in exact integer ppm.
+    This is the operator a production retrieval pipeline runs after
+    every index (re)build — the measured counterpart of the recall
+    assertions in tests/test_similarity.py, here hash-verified
+    cross-engine because BOTH sides' full top-k logic (plane literals
+    included) is restated in the oracle's nested CTEs.
+
+    Shape: the two top-k subplans (already bucketed/broadcast-shaped)
+    feed one equi-join on (query_id, neighbor_id) + one query-keyed
+    aggregate over k-bounded rows — eval cost is O(|queries| * k)
+    beyond the index probes themselves. At 100 TB you run it on a
+    sampled query set; the sample bound is the knob, not the shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 8")
+    exact = cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    ann = (
+        lsh_topk(emb, q, k=3)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k_exact",
+            "n_hit",
+            F.floor((1_000_000 * F.col("n_hit")) / F.col("k_exact"))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

@@ -536,3 +536,25 @@ def test_prefix_rerank_transcription_and_exact_limit(spark):
     assert sorted(map(tuple, full.collect())) == sorted(
         map(tuple, exact_df.collect())
     )
+
+
+def test_recall_eval_matches_direct_overlap(spark):
+    """sim_recall_eval == recall computed directly from the two
+    registered top-k queries; bounds sanity on every row."""
+    from denrl_spark.plans.driver_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["query_id"]: r for r in QUERIES["sim_recall_eval"](spark, sf).collect()}
+    exact = {}
+    for r in QUERIES["sim_cosine_topk"](spark, sf).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ann = {}
+    for r in QUERIES["sim_lsh_topk"](spark, sf).collect():
+        ann.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(exact)
+    for qid, r in got.items():
+        hits = len(exact[qid] & ann.get(qid, set()))
+        assert r["k_exact"] == len(exact[qid])
+        assert r["n_hit"] == hits
+        assert r["recall_ppm"] == (1_000_000 * hits) // r["k_exact"]
+        assert 0 <= r["recall_ppm"] <= 1_000_000

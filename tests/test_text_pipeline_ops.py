@@ -676,3 +676,62 @@ def test_hash_features_transcription_and_plan(spark):
         .toString()
     )
     assert "Join" not in plan and "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_windows: literal transcription + coverage/overlap properties
+# ---------------------------------------------------------------------------
+
+def _chunks_py(tokens, W=64, S=48):
+    n = len(tokens)
+    last = 0 if n <= W else -(-(n - W) // S)
+    out = []
+    for i in range(last + 1):
+        start = i * S
+        n_tok = min(W, n - start)
+        out.append((i, start, n_tok, " ".join(tokens[start : start + n_tok])))
+    return out
+
+
+def test_chunk_windows_transcription_and_coverage(spark):
+    from denrl_spark.plans.driver_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["text_chunk_windows"](spark, sf).collect()
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)  # every doc chunked, incl. short ones
+    for doc_id, toks in docs.items():
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        expect = _chunks_py(toks)
+        assert [
+            (r["chunk_idx"], r["start_tok"], r["n_tok"], r["chunk_text"])
+            for r in rows
+        ] == expect
+        # coverage: stitching chunks by their declared offsets rebuilds
+        # the document exactly (final window always ends at the tail)
+        rebuilt = list(toks[:0])
+        for r in rows:
+            seg = r["chunk_text"].split(" ") if r["chunk_text"] else [""]
+            rebuilt[r["start_tok"] :] = seg
+        assert rebuilt == toks
+        assert rows[-1]["start_tok"] + rows[-1]["n_tok"] == len(toks)
+
+
+def test_chunk_windows_plan_is_exchange_free(spark):
+    from denrl_spark.plans.driver_queries import QUERIES
+
+    plan = (
+        QUERIES["text_chunk_windows"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # scan -> explode -> project; the only allowed Exchange is the
+    # documents-scan parallelism lift (RoundRobin), never a key shuffle
+    import re
+    assert not re.search(r"Exchange hashpartitioning", plan)
+    assert "SortMergeJoin" not in plan and "HashJoin" not in plan
