@@ -1427,3 +1427,37 @@ def stress_scores(edges: DataFrame, n_roots: int = STRESS_ROOTS,
         "surface",
         F.coalesce(F.col("stress"), F.lit(0)).cast("bigint").alias("stress_u"),
     )
+
+
+def degree_correlation(edges: DataFrame, src: str = "src_surface",
+                       dst: str = "dst_surface",
+                       weight: str = "n_obs") -> DataFrame:
+    """Joint degree distribution (src out-degree x dst in-degree,
+    Newman-2002 assortativity signal) as an exact-integer histogram:
+    (src_out_deg, dst_in_deg, n_edges, sum_obs). The |V|-row degree
+    table equi-joins the edges twice on the vertex key, then one
+    map-side-combined aggregate over the (deg, deg) support."""
+    deg = degrees(edges, src=src, dst=dst, weight=weight).select(
+        "surface", "out_deg", "in_deg"
+    )
+    return (
+        edges.join(
+            deg.select(
+                F.col("surface").alias(src),
+                F.col("out_deg").alias("src_out_deg"),
+            ),
+            src,
+        )
+        .join(
+            deg.select(
+                F.col("surface").alias(dst),
+                F.col("in_deg").alias("dst_in_deg"),
+            ),
+            dst,
+        )
+        .groupBy("src_out_deg", "dst_in_deg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(weight).cast("bigint").alias("sum_obs"),
+        )
+    )

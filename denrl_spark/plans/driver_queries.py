@@ -3596,3 +3596,89 @@ def sim_recall_eval(spark, sf_dir):
             .alias("recall_ppm"),
         )
     )
+
+
+@_q(
+    "rel_gap_islands",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    kept AS (SELECT * FROM seq WHERE (event_id * 2654435761) % 4 <> 0),
+    isl AS (
+      SELECT user_id, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM kept)
+    SELECT user_id,
+           CAST(min(rn) AS INT) AS start_rn,
+           CAST(max(rn) AS INT) AS end_rn,
+           CAST(count(*) AS BIGINT) AS n_run
+    FROM isl GROUP BY user_id, grp
+    """,
+)
+def rel_gap_islands(spark, sf_dir):
+    """GAPS-AND-ISLANDS: maximal runs of consecutive per-user sequence
+    numbers that SURVIVE a filter — the canonical shape for "which
+    contiguous stretches of a session remain after a drop stage"
+    (retry storms, moderation removals, sampling). The survivor set is
+    synthesized deterministically (Knuth-hash drop of ~1/4 of events,
+    pure bigint modular arithmetic, identical cross-engine). Island
+    key = rn - row_number-over-survivors: constant within a
+    consecutive run, strictly different across a gap — exact integer
+    rule, no flag/prefix-sum pass needed.
+
+    Shape: two windows + one aggregate, ALL keyed by user_id (the
+    natural shard of a per-user event log; no global order anywhere).
+    At 100 TB the windows co-partition with any upstream per-user
+    stage — one shuffle total. Complements rel_sessionize (time-gap
+    islands) with the sequence-gap variant."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("rn", F.row_number().over(w))
+    kept = seq.where((F.col("event_id") * F.lit(2654435761)) % 4 != 0)
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    isl = kept.withColumn("grp", F.col("rn") - F.row_number().over(w2))
+    return (
+        isl.groupBy("user_id", "grp")
+        .agg(
+            F.min("rn").cast("int").alias("start_rn"),
+            F.max("rn").cast("int").alias("end_rn"),
+            F.count(F.lit(1)).cast("bigint").alias("n_run"),
+        )
+        .select("user_id", "start_rn", "end_rn", "n_run")
+    )
+
+
+@_q(
+    "kg_degree_correlation",
+    f"""
+    WITH edges AS ({docs_kg.edges_by_doc_sql()}),
+    deg AS (SELECT * FROM ({docs_kg.degree_sql()}))
+    SELECT ds.out_deg AS src_out_deg, dd.in_deg AS dst_in_deg,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(e.n_obs) AS BIGINT) AS sum_obs
+    FROM edges e
+    JOIN deg ds ON ds.surface = e.src_surface
+    JOIN deg dd ON dd.surface = e.dst_surface
+    GROUP BY 1, 2
+    """,
+)
+def kg_degree_correlation(spark, sf_dir):
+    """JOINT DEGREE DISTRIBUTION of the canonical graph: per directed
+    edge, (out-degree of source, in-degree of target), histogrammed —
+    the degree-assortativity signal (Newman 2002: hub-to-hub vs
+    hub-to-leaf wiring) in its exact-integer, mergeable form. The
+    Pearson assortativity coefficient is a closed-form function of
+    these cells (moments are integer sums over the histogram), so the
+    float sqrt stays OUT of the hashed surface.
+
+    Shape: the |V|-row degree table equi-joins the edge table twice on
+    the vertex key (broadcast when |V| is small, AQE-splittable
+    shuffle join otherwise; skewed hubs split by AQE), then ONE
+    map-side-combined aggregate over a frame bounded by the distinct
+    (deg, deg) support — tiny on any power-law graph."""
+    from denrl_spark.operators.graph_analytics import degree_correlation
+
+    return degree_correlation(docs_kg.edges_by_doc(spark, sf_dir))

@@ -1149,3 +1149,30 @@ def test_stress_path_gadget_and_empty(spark):
         [], "src_surface string, pred string, dst_surface string, n_obs long"
     )
     assert stress_scores(empty).count() == 0
+
+
+def test_degree_correlation_consistent_with_degrees(edges):
+    """The joint (src_out_deg, dst_in_deg) histogram re-derives from
+    degrees() by brute force on the gadget graph, and its marginals
+    carry the exact second moments (sum n_edges == |E|; sum
+    src_out_deg*n_edges == sum_v out_deg(v)^2)."""
+    from collections import Counter
+
+    from denrl_spark.operators.graph_analytics import degree_correlation
+
+    deg = {r["surface"]: r for r in degrees(edges).collect()}
+    want = Counter()
+    obs = Counter()
+    for s_, _, o, w in EDGES:
+        key = (deg[s_]["out_deg"], deg[o]["in_deg"])
+        want[key] += 1
+        obs[key] += w
+    got = {
+        (r["src_out_deg"], r["dst_in_deg"]): (r["n_edges"], r["sum_obs"])
+        for r in degree_correlation(edges).collect()
+    }
+    assert got == {k: (want[k], obs[k]) for k in want}
+    assert sum(n for n, _ in got.values()) == len(EDGES)
+    assert sum(k[0] * n for k, (n, _) in got.items()) == sum(
+        deg[s_]["out_deg"] for s_, _, _, _ in EDGES
+    )

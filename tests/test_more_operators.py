@@ -1138,3 +1138,53 @@ def test_transition_counts_transcription(spark):
     for (a, _), (_, ppm) in got.items():
         mass[a] += ppm
     assert all(0 < m <= 1_000_000 for m in mass.values())
+
+
+def test_gap_islands_transcription_and_partition(spark):
+    """rel_gap_islands == a literal Python transcription of the
+    rn - row_number island rule over the Knuth-hash survivor set;
+    islands partition the survivors into disjoint maximal runs."""
+    from collections import defaultdict
+
+    from denrl_spark.plans.driver_queries import rel_gap_islands
+
+    sf = "/root/testdata/sf0.001"
+    got = defaultdict(list)
+    for r in rel_gap_islands(spark, sf).collect():
+        got[r["user_id"]].append((r["start_rn"], r["end_rn"], r["n_run"]))
+    rows = spark.read.parquet(f"{sf}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    want = defaultdict(list)
+    any_gap = False
+    for uid, seq in by_user.items():
+        seq.sort()
+        kept = [
+            rn
+            for rn, (_, eid) in enumerate(seq, start=1)
+            if (eid * 2654435761) % 4 != 0
+        ]
+        runs, i = [], 0
+        while i < len(kept):
+            j = i
+            while j + 1 < len(kept) and kept[j + 1] == kept[j] + 1:
+                j += 1
+            runs.append((kept[i], kept[j], j - i + 1))
+            i = j + 1
+        if len(runs) > 1:
+            any_gap = True
+        if runs:
+            want[uid] = runs
+    assert {u: sorted(v) for u, v in got.items()} == {
+        u: sorted(v) for u, v in want.items()
+    }
+    assert any_gap  # the drop rule actually fragments some sequence
+    # islands are disjoint and maximal: n_run == end - start + 1 and
+    # consecutive islands of one user never touch
+    for runs in got.values():
+        runs.sort()
+        for s, e, n in runs:
+            assert n == e - s + 1
+        for (_, e1, _), (s2, _, _) in zip(runs, runs[1:]):
+            assert s2 > e1 + 1
