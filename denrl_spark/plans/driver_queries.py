@@ -3682,3 +3682,75 @@ def kg_degree_correlation(spark, sf_dir):
     from denrl_spark.operators.graph_analytics import degree_correlation
 
     return degree_correlation(docs_kg.edges_by_doc(spark, sf_dir))
+
+
+@_q(
+    "rel_concurrency",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS delta
+      FROM events
+      UNION ALL
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) + 1800, -1
+      FROM events),
+    r AS (
+      SELECT event_type, t,
+             sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM d)
+    SELECT event_type,
+           CAST(t // 3600 AS BIGINT) AS hour_bucket,
+           CAST(max(run) AS BIGINT) AS max_concurrent
+    FROM r GROUP BY 1, 2
+    """,
+)
+def rel_concurrency(spark, sf_dir):
+    """SWEEP-LINE peak concurrency: each event opens a 30-min activity
+    interval [t, t+1800); per (event_type, hour), the maximum number
+    of simultaneously open intervals — the capacity-planning stat
+    behind "peak concurrent sessions". Interval-end deltas sort BEFORE
+    same-instant starts (ORDER BY t, delta with -1 < +1: the [s, e)
+    convention), so the rule is exact and the per-bucket max is
+    tie-order invariant (equal-delta ties permute prefix sums within
+    the same multiset).
+
+    Shape — the scalable TWO-PHASE sweep, not a global sort: the
+    running sum decomposes as bucket_offset + within-bucket prefix.
+    Phase 1 windows the deltas per (event_type, hour_bucket) —
+    bounded partitions, one shuffle, and the following per-bucket
+    aggregate reuses that partitioning. Phase 2 windows the tiny
+    per-bucket frame (|types| x |hours| rows) per event_type to build
+    exclusive offsets. The oracle restates it as the textbook single
+    window; bucket granularity is the scale knob."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.unix_timestamp("ts")).cast("long").alias("t")
+    )
+    d = e.select("event_type", "t", F.lit(1).alias("delta")).unionByName(
+        e.select(
+            "event_type",
+            (F.col("t") + 1800).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    ).withColumn("hour_bucket", F.floor(F.col("t") / 3600).cast("long"))
+    w_in = (
+        Window.partitionBy("event_type", "hour_bucket")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = d.withColumn("run_in", F.sum("delta").over(w_in))
+    per_bucket = runs.groupBy("event_type", "hour_bucket").agg(
+        F.max("run_in").alias("max_in"),
+        F.sum("delta").alias("bsum"),
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_bucket.withColumn(
+        "off", F.coalesce(F.sum("bsum").over(w_off), F.lit(0))
+    ).select(
+        "event_type",
+        "hour_bucket",
+        (F.col("off") + F.col("max_in")).cast("bigint").alias("max_concurrent"),
+    )

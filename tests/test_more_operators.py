@@ -1188,3 +1188,52 @@ def test_gap_islands_transcription_and_partition(spark):
             assert n == e - s + 1
         for (_, e1, _), (s2, _, _) in zip(runs, runs[1:]):
             assert s2 > e1 + 1
+
+
+def test_concurrency_transcription_and_boundary_ties(spark):
+    """rel_concurrency == a literal Python sweep (sorted deltas, ends
+    before same-instant starts, per-hour max of the running count) at
+    sf0.001, plus a hand gadget where an interval END coincides with
+    the next START to pin the [s, e) tie rule."""
+    from collections import defaultdict
+
+    from denrl_spark.plans.driver_queries import rel_concurrency
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_type"], r["hour_bucket"]): r["max_concurrent"]
+        for r in rel_concurrency(spark, sf).collect()
+    }
+    rows = spark.read.parquet(f"{sf}/events.parquet").collect()
+    deltas = defaultdict(list)
+    for r in rows:
+        t = int(r["ts"].timestamp())
+        deltas[r["event_type"]].append((t, 1))
+        deltas[r["event_type"]].append((t + 1800, -1))
+    want: dict = {}
+    for etype, ds in deltas.items():
+        run = 0
+        for t, delta in sorted(ds):
+            run += delta
+            key = (etype, t // 3600)
+            want[key] = max(want.get(key, -(10**9)), run)
+    assert got == want and len(got) > 0
+    assert any(v > 1 for v in got.values())  # overlap actually occurs
+
+    # boundary gadget: B starts exactly when A ends -> never concurrent
+    import datetime as dt
+
+    mk = lambda s: dt.datetime(2025, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    gadget = spark.createDataFrame(
+        [(1, mk(0), 1, "x", 0.0, ""), (2, mk(1800), 1, "x", 0.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        gadget.write.parquet(os.path.join(td, "events.parquet"))
+        g = {
+            r["hour_bucket"]: r["max_concurrent"]
+            for r in rel_concurrency(spark, td).collect()
+        }
+    assert max(g.values()) == 1
