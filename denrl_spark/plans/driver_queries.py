@@ -3754,3 +3754,87 @@ def rel_concurrency(spark, sf_dir):
         "hour_bucket",
         (F.col("off") + F.col("max_in")).cast("bigint").alias("max_concurrent"),
     )
+
+
+@_q(
+    "rel_rollup_agg",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_stat,
+           count(*) AS n,
+           CAST(sum(CAST(floor(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rel_rollup_agg(spark, sf_dir):
+    """Hierarchical ROLLUP (leaf -> per-priority subtotal -> grand
+    total) with explicit GROUPING indicators so subtotal rows are
+    distinguishable from genuine-NULL keys; money summed as exact
+    per-row integer cents (floor(100*x) BEFORE the sum) so the hash
+    never sees float accumulation order. Complements rel_cube_agg:
+    rollup is the prefix-lattice shape (|levels| ~ dims, not 2^dims).
+    One Expand + one map-side-combined aggregate — a single shuffle
+    regardless of level count."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(100 * F.col("o_totalprice")).cast("bigint")
+    )
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.grouping("o_orderstatus").cast("int").alias("g_stat"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus",
+            "g_prio", "g_stat", "n", "sum_cents",
+        )
+    )
+
+
+@_q(
+    "kg_pred_functionality",
+    f"""
+    WITH edges AS ({docs_kg.edges_by_doc_sql()})
+    SELECT pred,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(count(DISTINCT src_surface) AS BIGINT) AS n_subj,
+           CAST(count(DISTINCT dst_surface) AS BIGINT) AS n_obj,
+           CAST((1000000 * count(DISTINCT src_surface)) // count(*) AS BIGINT)
+             AS functionality_ppm,
+           CAST((1000000 * count(DISTINCT dst_surface)) // count(*) AS BIGINT)
+             AS inv_functionality_ppm
+    FROM edges GROUP BY 1
+    """,
+)
+def kg_pred_functionality(spark, sf_dir):
+    """Per-predicate FUNCTIONALITY profile — the schema-induction
+    statistic (PARIS/AMIE lineage: functionality = |distinct subj| /
+    |edges|, 1.0 ppm-scale means every subject has exactly one object)
+    that drives which predicates kg_conflicts may treat as functional
+    and which direction an entity-resolution pass should trust.
+    Exact integer ppm; edge grain is the DISTINCT (subj, pred, obj)
+    canonical edge, so n_obs weighting never skews the profile.
+
+    Shape: one aggregate over the edge table keyed by pred; the two
+    countDistincts plan as the usual two-phase expand — still a single
+    shuffle on a |preds|-bounded frame."""
+    edges = docs_kg.edges_by_doc(spark, sf_dir)
+    return (
+        edges.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.countDistinct("src_surface").cast("bigint").alias("n_subj"),
+            F.countDistinct("dst_surface").cast("bigint").alias("n_obj"),
+        )
+        .select(
+            "pred", "n_edges", "n_subj", "n_obj",
+            F.floor((1_000_000 * F.col("n_subj")) / F.col("n_edges"))
+            .cast("long").alias("functionality_ppm"),
+            F.floor((1_000_000 * F.col("n_obj")) / F.col("n_edges"))
+            .cast("long").alias("inv_functionality_ppm"),
+        )
+    )

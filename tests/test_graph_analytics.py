@@ -1176,3 +1176,42 @@ def test_degree_correlation_consistent_with_degrees(edges):
     assert sum(k[0] * n for k, (n, _) in got.items()) == sum(
         deg[s_]["out_deg"] for s_, _, _, _ in EDGES
     )
+
+
+def test_pred_functionality_bounds_and_gadget(spark):
+    """kg_pred_functionality on a gadget: a strictly functional
+    predicate scores exactly 1e6 ppm; a one-subject fan-out predicate
+    scores 1e6/n; ppm is always in (0, 1e6]."""
+    from denrl_spark.plans.driver_queries import QUERIES
+    from pyspark.sql import functions as F
+
+    got = {
+        r["pred"]: r
+        for r in QUERIES["kg_pred_functionality"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for r in got.values():
+        assert 0 < r["functionality_ppm"] <= 1_000_000
+        assert 0 < r["inv_functionality_ppm"] <= 1_000_000
+        assert r["n_subj"] <= r["n_edges"] and r["n_obj"] <= r["n_edges"]
+        assert r["functionality_ppm"] == (1_000_000 * r["n_subj"]) // r["n_edges"]
+
+    gadget = spark.createDataFrame(
+        [
+            ("a", "fn", "x", 1), ("b", "fn", "y", 1), ("c", "fn", "y", 1),
+            ("h", "fan", "p", 1), ("h", "fan", "q", 1), ("h", "fan", "r", 1),
+        ],
+        "src_surface string, pred string, dst_surface string, n_obs long",
+    )
+    agg = (
+        gadget.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("src_surface").alias("n_subj"),
+        )
+        .collect()
+    )
+    by = {r["pred"]: r for r in agg}
+    assert (1_000_000 * by["fn"]["n_subj"]) // by["fn"]["n_edges"] == 1_000_000
+    assert (1_000_000 * by["fan"]["n_subj"]) // by["fan"]["n_edges"] == 333_333

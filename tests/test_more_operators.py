@@ -1237,3 +1237,22 @@ def test_concurrency_transcription_and_boundary_ties(spark):
             for r in rel_concurrency(spark, td).collect()
         }
     assert max(g.values()) == 1
+
+
+def test_rollup_agg_levels_and_exact_cents(spark):
+    """rel_rollup_agg: leaf rows sum to their priority subtotal, which
+    sums to the grand total, in exact integer cents; GROUPING flags
+    mark exactly the three lattice levels."""
+    from denrl_spark.plans.driver_queries import rel_rollup_agg
+
+    rows = rel_rollup_agg(spark, "/root/testdata/sf0.001").collect()
+    leaf = [r for r in rows if (r["g_prio"], r["g_stat"]) == (0, 0)]
+    sub = [r for r in rows if (r["g_prio"], r["g_stat"]) == (0, 1)]
+    top = [r for r in rows if (r["g_prio"], r["g_stat"]) == (1, 1)]
+    assert len(top) == 1 and len(leaf) + len(sub) + 1 == len(rows)
+    assert sum(r["n"] for r in leaf) == top[0]["n"]
+    assert sum(r["sum_cents"] for r in leaf) == top[0]["sum_cents"]
+    for s in sub:
+        mine = [r for r in leaf if r["o_orderpriority"] == s["o_orderpriority"]]
+        assert sum(r["n"] for r in mine) == s["n"]
+        assert sum(r["sum_cents"] for r in mine) == s["sum_cents"]
