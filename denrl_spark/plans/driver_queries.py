@@ -3838,3 +3838,170 @@ def kg_pred_functionality(spark, sf_dir):
             .cast("long").alias("inv_functionality_ppm"),
         )
     )
+
+
+_BM25_TERMS = ("join", "hash", "spark", "vector")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_K = 20
+
+
+@_q(
+    "text_bm25",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(dl) AS BIGINT) AS a FROM dd),
+    tf AS (
+      SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+      WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2),
+    dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    c AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               CAST(floor((1000000 * (22 * a * tf.tf))
+                          / (10 * a * tf.tf + 3 * a + 9 * n * dd.dl)) AS BIGINT)
+               * (2 * n - 2 * df + 1) / (2 * df + 1)) AS BIGINT) AS contrib
+      FROM tf JOIN dd USING (doc_id) JOIN dfr USING (term), tot)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+           CAST(sum(contrib) AS BIGINT) AS score_e6
+    FROM c GROUP BY 1
+    ORDER BY score_e6 DESC, doc_id ASC LIMIT {_BM25_K}
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """BM25 LEXICAL RETRIEVAL top-k over the corpus for a frozen query
+    term set — the keyword-search half of a hybrid retrieval stack (the
+    dense half is sim_cosine_topk/sim_lsh_topk), and the standard
+    quality-curation ranking for "find docs about X" audits. Okapi
+    BM25 with k1 = 6/5, b = 3/4 restated in EXACT RATIONAL form so the
+    score is hash-safe cross-engine:
+
+      tf-part  = 22*A*tf / (10*A*tf + 3*A + 9*N*dl)   (A = total tokens,
+                 N = docs; algebraically identical to the k1/b form with
+                 avgdl = A/N, multiplied through by 10*A)
+      idf-part = (2N - 2df + 1)/(2df + 1)             (the log-FREE
+                 rational BM25 idf — the same monotone core the Robertson
+                 log wraps; ln() is transcendental and its last ULP is
+                 not portable across engines, so the repo's integer-exact
+                 score convention uses the rational form directly)
+
+    Each term contribution is floor-scaled to 1e-6 units in two steps
+    (tf-part first, then idf multiply) so every intermediate is an
+    exact bigint and the one double division per step has integer
+    operands < 2^53 (exact while 2.2e7 * A * tf < 2^53, i.e. A up to
+    ~4e8 tokens at tf<=10; past that drop the scale to 1e3 or move the
+    products to decimal(38,0) — the floor semantics carry over). The
+    per-term integer contributions then sum order-invariantly.
+
+    Shape: one corpus scan -> explode filtered to the |Q| query terms
+    (fan-out |Q| rows/doc max, not |doc|), map-side-combined tf
+    aggregate, a |Q|-row df aggregate BROADCAST back, one doc-keyed
+    aggregate, TakeOrdered top-k (no global sort, no SinglePartition).
+    Corpus totals (N, A) come off a one-row driver action and return as
+    literals — the text_source_mixture pattern. At 100 TB: tf rows are
+    bounded by |Q| * n_docs_containing_a_term; everything downstream of
+    the scan is term-sparse."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("dl", F.size("toks").cast("bigint"))
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("a"),
+    ).collect()[0]
+    n_docs, a_tok = int(tot["n"]), int(tot["a"])
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    tf_part = F.floor(
+        (1_000_000 * (22 * a_tok) * F.col("tf"))
+        / (10 * a_tok * F.col("tf") + 3 * a_tok + 9 * n_docs * F.col("dl"))
+    ).cast("long")
+    contrib = F.floor(
+        tf_part * (2 * n_docs - 2 * F.col("df") + 1) / (2 * F.col("df") + 1)
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(dfr), "term")
+        .select("doc_id", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            F.sum("contrib").cast("bigint").alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(_BM25_K)
+    )
+
+
+@_q(
+    "dedup_levenshtein",
+    f"""
+    WITH cand AS ({ORACLES["dedup_lsh_pairs"]}),
+    t AS (SELECT doc_id, text FROM documents),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+             CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS maxlen
+      FROM cand c
+      JOIN t a ON a.doc_id = c.doc_a
+      JOIN t b ON b.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, lev,
+           CAST(floor(1000000 * (maxlen - lev) / maxlen) AS BIGINT) AS sim_e6
+    FROM pairs
+    WHERE maxlen > 0 AND 2 * lev <= maxlen
+    """,
+)
+def dedup_levenshtein(spark, sf_dir):
+    """EDIT-DISTANCE near-dup verification — the character-grain twin of
+    the shingle-Jaccard verify: LSH candidate pairs are confirmed by
+    Levenshtein similarity sim = (maxlen - lev)/maxlen >= 1/2, the
+    measure that catches single-character boilerplate drift (version
+    strings, date stamps) that token shingles blur. Both engines'
+    built-in unit-cost levenshtein agree exactly (integer edit counts);
+    sim is floor-scaled to 1e-6 integer units.
+
+    Shape: the DP is O(la*lb) per pair, so it NEVER runs all-pairs —
+    candidates come from the capped LSH bucket join
+    (textops.lsh_candidate_pairs, cost ~ |candidates|), and a length
+    prefilter drops hopeless pairs BEFORE the quadratic DP: lev >=
+    |la - lb| always, so 2*|la - lb| > maxlen cannot pass the final
+    2*lev <= maxlen cut (the filter is implied by the output predicate
+    — same result set, the DP just never runs on length-skewed pairs).
+    At 100 TB: two candidate-sized equi-joins on doc_id for the texts,
+    then per-row compute — embarrassingly parallel, cost proportional
+    to surviving candidates. The oracle nests the dedup_lsh_pairs twin
+    (cap semantics included) and verifies the identical pair set."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = textops.lsh_candidate_pairs(docs)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    p = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("la", F.length("ta").cast("bigint"))
+        .withColumn("lb", F.length("tb").cast("bigint"))
+        .withColumn("maxlen", F.greatest("la", "lb"))
+        .where(
+            (F.col("maxlen") > 0)
+            & (2 * F.abs(F.col("la") - F.col("lb")) <= F.col("maxlen"))
+        )
+        .withColumn("lev", F.levenshtein("ta", "tb").cast("bigint"))
+        .where(2 * F.col("lev") <= F.col("maxlen"))
+    )
+    return p.select(
+        "doc_a",
+        "doc_b",
+        "lev",
+        F.floor(1_000_000 * (F.col("maxlen") - F.col("lev")) / F.col("maxlen"))
+        .cast("long")
+        .alias("sim_e6"),
+    )

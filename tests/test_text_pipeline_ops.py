@@ -735,3 +735,91 @@ def test_chunk_windows_plan_is_exchange_free(spark):
     import re
     assert not re.search(r"Exchange hashpartitioning", plan)
     assert "SortMergeJoin" not in plan and "HashJoin" not in plan
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_bm25_matches_python_transcription(spark, tmp_path):
+    """text_bm25 equals a literal Python transcription of the rational
+    BM25 rule (two-step floor, exact integers) on a corpus with known
+    tf/df/dl, and the top-k tie-break is doc_id-ascending."""
+    from denrl_spark.plans.driver_queries import _BM25_TERMS, text_bm25
+
+    rows = [
+        (0, "join join hash pad pad pad", "en", "s", 1),
+        (1, "join vector pad pad", "en", "s", 1),
+        (2, "pad pad pad pad pad pad pad pad", "en", "s", 1),  # no query term
+        (3, "join join hash pad pad pad", "en", "s", 1),       # tie with doc 0
+        (4, "spark", "en", "s", 1),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    toks = {r[0]: r[1].split(" ") for r in rows}
+    n, a = len(rows), sum(len(t) for t in toks.values())
+    tf = {
+        (d, w): toks[d].count(w)
+        for d in toks for w in set(toks[d]) if w in _BM25_TERMS
+    }
+    df = {w: sum(1 for (_, w2) in tf if w2 == w) for w in _BM25_TERMS}
+    exp = {}
+    for (d, w), t in tf.items():
+        dl = len(toks[d])
+        c1 = (1_000_000 * 22 * a * t) // (10 * a * t + 3 * a + 9 * n * dl)
+        c = (c1 * (2 * n - 2 * df[w] + 1)) // (2 * df[w] + 1)
+        s, k = exp.get(d, (0, 0))
+        exp[d] = (s + c, k + 1)
+    order = sorted(exp, key=lambda d: (-exp[d][0], d))
+    out = text_bm25(spark, sf).collect()
+    assert [r["doc_id"] for r in out] == order
+    for r in out:
+        assert (r["score_e6"], r["n_terms"]) == exp[r["doc_id"]]
+    # identical docs 0 and 3 tie exactly; ascending doc_id breaks it
+    assert order.index(0) + 1 == order.index(3)
+    assert exp[0][0] == exp[3][0]
+
+
+def test_dedup_levenshtein_verify(spark, tmp_path):
+    """dedup_levenshtein confirms a one-edit near-dup pair with the
+    exact edit count, rejects an LSH candidate below sim 1/2, and the
+    length prefilter provably never changes the result set (a
+    doc-in-doc candidate is dropped by 2*lev<=maxlen anyway)."""
+    from denrl_spark.plans.driver_queries import dedup_levenshtein
+
+    base = " ".join(f"w{i}" for i in range(40))
+    neardup = base.replace("w7 ", "w7x ", 1)          # 1 insert
+    short = " ".join(f"w{i}" for i in range(6))       # contained prefix
+    host = base + " " + " ".join(f"z{i}" for i in range(200))
+    rows = [
+        (0, base, "en", "s", 1),
+        (1, neardup, "en", "s", 1),
+        (2, short, "en", "s", 1),   # shares shingles with 0 but too short
+        (3, host, "en", "s", 1),    # shares shingles, fails the sim cut
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {(r["doc_a"], r["doc_b"]): r for r in dedup_levenshtein(spark, sf).collect()}
+    assert (0, 1) in out
+    r = out[(0, 1)]
+    assert r["lev"] == _lev(base, neardup) == 1
+    maxlen = max(len(base), len(neardup))
+    assert r["sim_e6"] == (1_000_000 * (maxlen - 1)) // maxlen
+    # every emitted pair satisfies the output predicate; the skewed
+    # candidates (0,2)/(0,3) fail 2*lev<=maxlen with or without the
+    # prefilter (lev >= |la-lb| > maxlen/2)
+    for (da, db), rr in out.items():
+        assert 2 * rr["lev"] <= max(len(rows[da][1]), len(rows[db][1]))
+    assert (0, 3) not in out and (0, 2) not in out
+    assert 2 * _lev(base, host) > len(host)
