@@ -4005,3 +4005,131 @@ def dedup_levenshtein(spark, sf_dir):
         .cast("long")
         .alias("sim_e6"),
     )
+
+
+@_q(
+    "sim_rrf",
+    f"""
+    WITH exact_t AS (SELECT * FROM ({{exact_sql}})),
+    ann AS (SELECT * FROM ({{ann_sql}}))
+    SELECT coalesce(e.query_id, a.query_id) AS query_id,
+           coalesce(e.neighbor_id, a.neighbor_id) AS neighbor_id,
+           CAST(CASE WHEN e.rank IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_exact,
+           CAST(CASE WHEN a.rank IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_ann,
+           CAST(coalesce(1000000 // (60 + e.rank), 0)
+                + coalesce(1000000 // (60 + a.rank), 0) AS BIGINT) AS rrf_e6
+    FROM exact_t e
+    FULL OUTER JOIN ann a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    """.format(
+        exact_sql=ORACLES["sim_cosine_topk"],
+        ann_sql=similarity.lsh_topk_sql(),
+    ),
+)
+def sim_rrf(spark, sf_dir):
+    """HYBRID-RETRIEVAL FUSION via Reciprocal Rank Fusion (Cormack et
+    al. 2009): the standard way production search stacks combine a
+    lexical/exact ranking with an ANN ranking without score
+    calibration. Per (query, candidate): rrf = sum over the lists that
+    retrieved it of 1/(60 + rank), here as exact integer contributions
+    floor(1e6/(60+rank)) summed order-invariantly (the repo's
+    integer-score convention — rank is a small int, so the per-list
+    term is an exact integer division, no float sum ordering to drift
+    cross-engine). in_exact/in_ann flags make the provenance auditable.
+
+    Shape: the two top-k subplans are the already-bucketed index probes
+    (brute-force-baseline cosine + hyperplane-LSH ANN); fusion itself
+    is ONE full-outer equi-join on (query_id, neighbor_id) over
+    k-bounded rows — O(|queries| * k), trivially parallel, no new
+    scale shape. At 100 TB both inputs are index probes, not scans."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 8")
+    exact = cosine_topk(emb, q, k=3).select(
+        "query_id", "neighbor_id", F.col("rank").alias("re")
+    )
+    ann = lsh_topk(emb, q, k=3).select(
+        F.col("query_id").alias("qa"),
+        F.col("neighbor_id").alias("na"),
+        F.col("rank").alias("ra"),
+    )
+    j = exact.join(
+        ann,
+        (F.col("query_id") == F.col("qa")) & (F.col("neighbor_id") == F.col("na")),
+        "full_outer",
+    )
+    term = lambda r: F.coalesce(
+        F.floor(F.lit(1_000_000) / (60 + F.col(r))).cast("long"), F.lit(0)
+    )
+    return j.select(
+        F.coalesce("query_id", "qa").alias("query_id"),
+        F.coalesce("neighbor_id", "na").alias("neighbor_id"),
+        F.col("re").isNotNull().cast("int").alias("in_exact"),
+        F.col("ra").isNotNull().cast("int").alias("in_ann"),
+        (term("re") + term("ra")).cast("bigint").alias("rrf_e6"),
+    )
+
+
+@_q(
+    "rel_anomaly",
+    """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents
+      FROM events),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v_cents) AS BIGINT) AS s,
+             CAST(sum(v_cents * v_cents) AS BIGINT) AS q
+      FROM v GROUP BY 1)
+    SELECT v.event_id, v.event_type, v.v_cents,
+           CAST(floor(1000 * (v.v_cents * n - s) /
+                sqrt(CAST(n * q - s * s AS DOUBLE))) AS BIGINT) AS z_e3
+    FROM v JOIN s USING (event_type)
+    WHERE (v.v_cents * n - s) > 0
+      AND (v.v_cents * n - s) * (v.v_cents * n - s) > 9 * (n * q - s * s)
+    """,
+)
+def rel_anomaly(spark, sf_dir):
+    """STATISTICAL ANOMALY GATE — flag events whose value sits more
+    than 3 sigma above its event-type mean, the per-key outlier filter
+    every metrics/billing ingest runs before aggregation. The 3-sigma
+    rule is evaluated in EXACT integer algebra (the cents trick:
+    v = floor(100*value) — both engines floor the identical double
+    product): (v - mu) > 3*sigma  <=>  (v*n - S) > 0 AND
+    (v*n - S)^2 > 9*(n*Q - S^2), with S = sum(v), Q = sum(v^2) — no
+    float mean/stddev ever computed, so the flag set is hash-exact.
+    The reported z_e3 IS one deterministic double op chain (bigint ->
+    double conversion, IEEE-exact sqrt, one division, floor). Bigint
+    envelope: needs (v*n - S)^2 and n*Q < 2^63 — at v_cents <= 5e4
+    that is ~1e9 rows per key; past it, scale cents down or move the
+    squares to decimal(38,0).
+
+    Shape: one scan -> one map-side-combined per-type aggregate
+    (|event_types| rows) BROADCAST back onto the stream -> stateless
+    filter. No window, no sort; the heavy side is touched twice but
+    shuffles zero rows at any scale."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v_cents").cast("bigint").alias("s"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).cast("bigint").alias("q"),
+    )
+    dev = F.col("v_cents") * F.col("n") - F.col("s")
+    # dev = n*(v - mu) and sqrt(n*Q - S^2) = n*sigma, so z = dev/sqrt(n*Q - S^2)
+    nvar = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        v.join(F.broadcast(s), "event_type")
+        .where((dev > 0) & (dev * dev > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))))
+        .select(
+            "event_id",
+            "event_type",
+            "v_cents",
+            F.floor(1000 * dev / F.sqrt(nvar.cast("double")))
+            .cast("bigint")
+            .alias("z_e3"),
+        )
+    )

@@ -1256,3 +1256,55 @@ def test_rollup_agg_levels_and_exact_cents(spark):
         mine = [r for r in leaf if r["o_orderpriority"] == s["o_orderpriority"]]
         assert sum(r["n"] for r in mine) == s["n"]
         assert sum(r["sum_cents"] for r in mine) == s["sum_cents"]
+
+
+def test_anomaly_exact_three_sigma_rule(spark, tmp_path):
+    """rel_anomaly flags exactly the rows a Python transcription of the
+    integer 3-sigma rule flags (upper tail only), z_e3 matches the one
+    deterministic double chain, and a constant-valued key flags
+    nothing (zero variance never divides)."""
+    import datetime
+    import math
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_anomaly
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = {
+        # one violent outlier over a tight cluster (a single point among
+        # n can reach at most z ~ sqrt(n-1), so n must exceed ~10 for a
+        # 3-sigma flag to be reachable at all)
+        "click": [10.0 + 0.1 * (i % 5) for i in range(30)] + [99.0],
+        # constant key: variance 0, nothing can flag
+        "view": [5.0, 5.0, 5.0, 5.0],
+        # mild spread, max inside 3 sigma
+        "error": [1.0, 2.0, 3.0, 4.0, 5.0],
+    }
+    rows, eid = [], 0
+    for et, vs in vals.items():
+        for x in vs:
+            rows.append((eid, t0, eid % 3, et, x, "{}"))
+            eid += 1
+    d = str(tmp_path / "anom")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    exp = {}
+    eid = 0
+    for et, vs in vals.items():
+        cents = [math.floor(x * 100) for x in vs]
+        n, s, q = len(cents), sum(cents), sum(c * c for c in cents)
+        for c in cents:
+            dev = c * n - s
+            if dev > 0 and dev * dev > 9 * (n * q - s * s):
+                exp[eid] = (et, c, math.floor(1000 * dev / math.sqrt(n * q - s * s)))
+            eid += 1
+
+    got = {r["event_id"]: (r["event_type"], r["v_cents"], r["z_e3"])
+           for r in rel_anomaly(spark, d).collect()}
+    assert got == exp
+    assert len(exp) == 1 and list(exp.values())[0][0] == "click"
+    assert not any(et == "view" for et, _, _ in got.values())

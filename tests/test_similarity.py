@@ -558,3 +558,48 @@ def test_recall_eval_matches_direct_overlap(spark):
         assert r["n_hit"] == hits
         assert r["recall_ppm"] == (1_000_000 * hits) // r["k_exact"]
         assert 0 <= r["recall_ppm"] <= 1_000_000
+
+
+def test_rrf_fusion_matches_list_transcription(spark, tmp_path):
+    """sim_rrf equals RRF recomputed in Python from the two top-k lists
+    it fuses: every (query, neighbor) from either list appears exactly
+    once, contributions are floor(1e6/(60+rank)) per retrieving list,
+    and the provenance flags match list membership."""
+    import os
+
+    from denrl_spark.plans.driver_queries import sim_rrf
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(3, 64))
+    rows = []
+    # noise high enough that the 6-plane LSH ranking diverges from the
+    # exact ranking for at least one query (the fusion has to handle
+    # one-list-only candidates, not just re-rank a shared set)
+    for i in range(24):
+        v = base[i % 3] + rng.normal(scale=0.9, size=64)
+        rows.append((i, [float(x) for x in v], i % 3))
+    d = str(tmp_path / "rrf")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+    q = emb.where("vec_id < 8")
+    exact = {(r["query_id"], r["neighbor_id"]): r["rank"]
+             for r in cosine_topk(emb, q, k=3).collect()}
+    ann = {(r["query_id"], r["neighbor_id"]): r["rank"]
+           for r in lsh_topk(emb, q, k=3).collect()}
+    exp = {}
+    for key in set(exact) | set(ann):
+        c = (1_000_000 // (60 + exact[key]) if key in exact else 0) + (
+            1_000_000 // (60 + ann[key]) if key in ann else 0
+        )
+        exp[key] = (int(key in exact), int(key in ann), c)
+    got = {(r["query_id"], r["neighbor_id"]): (r["in_exact"], r["in_ann"], r["rrf_e6"])
+           for r in sim_rrf(spark, d).collect()}
+    assert got == exp
+    # both sources genuinely contribute on this corpus
+    assert any(v[0] and not v[1] for v in got.values()) or any(
+        v[1] and not v[0] for v in got.values()
+    )
+    assert any(v[0] and v[1] for v in got.values())
