@@ -1461,3 +1461,51 @@ def degree_correlation(edges: DataFrame, src: str = "src_surface",
             F.sum(weight).cast("bigint").alias("sum_obs"),
         )
     )
+
+
+def coreness(edges: DataFrame, rounds: int = 6,
+             src: str = "src_surface", dst: str = "dst_surface") -> DataFrame:
+    """Full core decomposition via the h-index operator (Lu et al. 2016,
+    "The H-index of a network node and its relation to degree and
+    coreness", Nature Communications): c_0(v) = deg(v), c_{t+1}(v) =
+    H({c_t(u) : u in N(v)}), which converges monotonically DOWN to the
+    exact coreness (the max k such that v survives the k-core peel).
+    Unlike ``kcore`` — one fixed k, survivors only — this returns
+    (surface, coreness) for EVERY vertex: the per-entity density rank
+    that prioritizes which mentions to canonicalize first and which
+    subgraph tiers to materialize.
+
+    Determinism contract: exactly ``rounds`` h-operator sweeps in both
+    this operator and the SQL twin (the kcore/sssp discipline) — the
+    recurrence is a pure function of the graph, so fixed rounds match
+    bit-for-bit, converged or not (iterates are non-increasing and
+    freeze at the answer; real web KGs settle in a handful of sweeps).
+
+    Shape per round: one adjacency equi-join carrying the |E|-sized
+    (v, c_nbr) frame, one per-vertex window (partitionBy v — shuffles
+    on the vertex key, never a global sort: h = max(min(rank, c)) over
+    neighbors ranked by c desc), one map-side-combined max agg; eager
+    localCheckpoint keeps lineage O(1). Skewed hubs are one key each —
+    AQE splits the straggler partition; the window state per key is
+    the neighbor list it would take to compute any order statistic."""
+    from pyspark.sql import Window
+
+    und = undirected_edges(edges, src, dst).localCheckpoint()
+    adj = (
+        und.select(F.col("va").alias("v"), F.col("vb").alias("nbr"))
+        .unionByName(und.select(F.col("vb").alias("v"), F.col("va").alias("nbr")))
+        .localCheckpoint()
+    )
+    c = adj.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.partitionBy("v").orderBy(F.desc("cn"), F.asc("nbr"))
+    for _ in range(rounds):
+        j = (
+            adj.join(c.select(F.col("v").alias("nbr"), F.col("c").alias("cn")), "nbr")
+            .withColumn("rk", F.row_number().over(w))
+        )
+        c = (
+            j.groupBy("v")
+            .agg(F.max(F.least(F.col("rk").cast("bigint"), F.col("cn"))).alias("c"))
+            .localCheckpoint()
+        )
+    return c.select(F.col("v").alias("surface"), F.col("c").cast("bigint").alias("coreness"))

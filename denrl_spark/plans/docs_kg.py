@@ -2568,3 +2568,35 @@ def entity_cooccurrence_sql(rel: str = "documents") -> str:
         JOIN marg ma ON ma.ent = p.ent_a
         JOIN marg mb ON mb.ent = p.ent_b
     """
+
+
+def coreness_sql(rel: str = "documents", rounds: int = 6) -> str:
+    """graph_analytics.coreness twin: the fixed-round h-operator
+    recurrence unrolled into MATERIALIZED chained CTEs (each round
+    references the previous iterate once through the adjacency join;
+    materialization per round keeps DuckDB from re-expanding the base
+    extraction, the kcore_sql lesson). h-index per vertex = max over
+    neighbors ranked by iterate DESC of min(rank, iterate) — the rank
+    tie-break (nbr ASC) cannot change the max since equal iterates are
+    interchangeable under min(rank, c)."""
+    body = f"""
+        WITH {_edges_cte(rel)},
+        {_und_cte()},
+        adj AS MATERIALIZED (
+          SELECT va AS v, vb AS nbr FROM u
+          UNION ALL SELECT vb, va FROM u),
+        c0 AS MATERIALIZED (
+          SELECT v, CAST(count(*) AS BIGINT) AS c FROM adj GROUP BY 1)"""
+    for i in range(1, rounds + 1):
+        body += f""",
+        r{i} AS MATERIALIZED (
+          SELECT a.v, c.c AS cn,
+                 row_number() OVER (PARTITION BY a.v
+                       ORDER BY c.c DESC, a.nbr ASC) AS rk
+          FROM adj a JOIN c{i-1} c ON c.v = a.nbr),
+        c{i} AS MATERIALIZED (
+          SELECT v, CAST(max(least(CAST(rk AS BIGINT), cn)) AS BIGINT) AS c
+          FROM r{i} GROUP BY 1)"""
+    return body + f"""
+        SELECT v AS surface, c AS coreness FROM c{rounds}
+    """

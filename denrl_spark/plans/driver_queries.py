@@ -4133,3 +4133,171 @@ def rel_anomaly(spark, sf_dir):
             .alias("z_e3"),
         )
     )
+
+
+@_q("kg_coreness", docs_kg.coreness_sql())
+def kg_coreness(spark, sf_dir):
+    """FULL core decomposition (per-vertex core number) via the
+    h-index operator, fixed 6 sweeps in both engines — the density
+    rank for every entity, where kg_kcore returns only one fixed-k
+    core's survivors. See graph_analytics.coreness for the
+    convergence and shape contract."""
+    from denrl_spark.operators.graph_analytics import coreness
+
+    return coreness(docs_kg.edges_by_doc(spark, sf_dir), rounds=6)
+
+
+@_q(
+    "dedup_est_vs_exact",
+    f"""
+    WITH shx AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    sigx AS MATERIALIZED (
+      SELECT doc_id, band,
+             min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS mh
+      FROM (SELECT doc_id, unnest(range(0, 8)) AS band, shingle FROM shx)
+      GROUP BY 1, 2),
+    cand AS (SELECT * FROM ({{cand_sql}})),
+    m AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS INT)
+               AS n_match
+      FROM cand c
+      JOIN sigx sa ON sa.doc_id = c.doc_a
+      JOIN sigx sb ON sb.doc_id = c.doc_b AND sb.band = sa.band
+      GROUP BY 1, 2),
+    sizesx AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY 1),
+    ex AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(floor(1000000 * count(*) /
+                  (any_value(na.n_sh) + any_value(nb.n_sh) - count(*)))
+               AS BIGINT) AS exact_e6
+      FROM cand c
+      JOIN shx a ON a.doc_id = c.doc_a
+      JOIN shx b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      JOIN sizesx na ON na.doc_id = c.doc_a
+      JOIN sizesx nb ON nb.doc_id = c.doc_b
+      GROUP BY 1, 2)
+    SELECT m.doc_a, m.doc_b, m.n_match,
+           CAST(floor(1000000 * m.n_match / 8) AS BIGINT) AS est_e6,
+           CAST(coalesce(ex.exact_e6, 0) AS BIGINT) AS exact_e6,
+           CAST(floor(1000000 * m.n_match / 8)
+                - coalesce(ex.exact_e6, 0) AS BIGINT) AS err_e6
+    FROM m LEFT JOIN ex ON ex.doc_a = m.doc_a AND ex.doc_b = m.doc_b
+    """.format(cand_sql=ORACLES["dedup_lsh_pairs"]),
+)
+def dedup_est_vs_exact(spark, sf_dir):
+    """DEDUP-INDEX QUALITY EVALUATION — the MinHash analogue of
+    sim_recall_eval: per LSH candidate pair, the signature-estimated
+    Jaccard (matching band-mins / 8, the unbiased min-hash estimator)
+    against the exact distinct-3-gram Jaccard, with the signed error.
+    This is the measured calibration a production dedup runs after
+    retuning bands/shingles: a systematic positive err_e6 means the
+    band count is too coarse for the corpus' similarity band and the
+    verify threshold must compensate. All three scores are exact
+    integers (match counts and the repo's floor-1e-6 convention), so
+    the evaluation itself is hash-verified cross-engine.
+
+    Shape: candidates from the capped LSH bucket join; the band-match
+    count is a candidate-pruned equi-join against the ONE groupBy
+    signature table (8 rows/doc); the exact score is the
+    candidate-pruned Jaccard verify. Cost ~ |candidates|, never
+    |docs|^2 — evaluating the index costs no more than using it."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = textops.shingles(docs).distinct().localCheckpoint()
+    cand = textops.lsh_candidate_pairs(docs, sh=sh).localCheckpoint()
+    sig = textops.minhash_from_shingles(sh)
+    m = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("doc_a"), "band",
+                       F.col("mh").alias("mh_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), "band",
+                       F.col("mh").alias("mh_b")),
+            ["doc_b", "band"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
+            .cast("int")
+            .alias("n_match")
+        )
+    )
+    exact = textops.jaccard_verify_pairs(docs, cand, min_j_e6=0, sh=sh).select(
+        "doc_a", "doc_b", F.col("j_e6").alias("exact_e6")
+    )
+    est = F.floor(1_000_000 * F.col("n_match") / 8).cast("long")
+    return (
+        m.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b", "n_match",
+            est.alias("est_e6"),
+            F.coalesce("exact_e6", F.lit(0)).cast("long").alias("exact_e6"),
+            (est - F.coalesce("exact_e6", F.lit(0))).cast("long").alias("err_e6"),
+        )
+    )
+
+
+@_q(
+    "rel_abtest",
+    """
+    WITH v AS (
+      SELECT event_type, user_id % 2 AS variant,
+             CASE WHEN floor(value * 100) >= 5000 THEN 1 ELSE 0 END AS s
+      FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN variant = 0 THEN s ELSE 0 END) AS BIGINT) AS x1,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN variant = 1 THEN s ELSE 0 END) AS BIGINT) AS x2
+      FROM v GROUP BY 1)
+    SELECT event_type, n1, x1, n2, x2,
+           CAST(floor(1000000 * ((x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1)) * (n1 + n2)
+                / (n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2))) AS BIGINT) AS z2_e6,
+           CAST(CASE WHEN ((x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1)) * (n1 + n2)
+                          > 9 * n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2)
+                     THEN 1 ELSE 0 END AS INT) AS significant
+    FROM g
+    """,
+)
+def rel_abtest(spark, sf_dir):
+    """TWO-PROPORTION A/B SIGNIFICANCE GATE in exact integer algebra —
+    the experiment-analysis staple: per event_type, variant = user_id
+    parity, success = value >= 50 (cents trick), and the pooled
+    two-proportion z-test restated so the |z| > 3 decision never
+    touches a float: z^2 = (x1*n2 - x2*n1)^2 * N / (n1*n2*x*(N-x))
+    with x = x1+x2, N = n1+n2 — flag iff LHS_numerator > 9 * LHS_
+    denominator, all bigint products (envelope: (x1*n2)^2 * N < 2^63
+    — fine to ~10^5 events/key at 1e6 scale; past it drop the z2
+    scale or move to decimal(38,0)). z2_e6 is the repo's one-double-
+    division floor of the same exact operands.
+
+    Shape: one scan -> one map-side-combined per-type aggregate
+    carrying four conditional sums -> per-row arithmetic on a
+    |event_types|-sized frame. Nothing shuffles but the tiny
+    aggregate at any scale."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        (F.floor(F.col("value") * 100) >= 5000).cast("int").alias("s"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.sum((F.col("variant") == 0).cast("int")).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("s")).otherwise(0))
+        .cast("bigint").alias("x1"),
+        F.sum((F.col("variant") == 1).cast("int")).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("variant") == 1, F.col("s")).otherwise(0))
+        .cast("bigint").alias("x2"),
+    )
+    dev = F.col("x1") * F.col("n2") - F.col("x2") * F.col("n1")
+    n = F.col("n1") + F.col("n2")
+    x = F.col("x1") + F.col("x2")
+    num = dev * dev * n
+    den = F.col("n1") * F.col("n2") * x * (n - x)
+    return g.select(
+        "event_type", "n1", "x1", "n2", "x2",
+        F.floor(1_000_000 * num / den).cast("long").alias("z2_e6"),
+        (num > 9 * den).cast("int").alias("significant"),
+    )

@@ -1215,3 +1215,51 @@ def test_pred_functionality_bounds_and_gadget(spark):
     by = {r["pred"]: r for r in agg}
     assert (1_000_000 * by["fn"]["n_subj"]) // by["fn"]["n_edges"] == 1_000_000
     assert (1_000_000 * by["fan"]["n_subj"]) // by["fan"]["n_edges"] == 333_333
+
+
+def test_coreness_matches_min_degree_peel(spark, edges):
+    """coreness (h-operator, converged rounds) equals the classic
+    min-degree-peel core number on the shared gadget AND on a
+    clique+tail graph where the tiers are known by construction."""
+    from denrl_spark.operators.graph_analytics import coreness
+
+    def peel_coreness(pairs):
+        adj: dict[str, set[str]] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        core, k = {}, 0
+        while adj:
+            k_level = {v for v, nb in adj.items() if len(nb) <= k}
+            if not k_level:
+                k += 1
+                continue
+            # exhaust the <=k peel at this level (cascades stay at k)
+            while k_level:
+                for v in k_level:
+                    core[v] = k
+                    for u in adj.pop(v):
+                        if u in adj:
+                            adj[u].discard(v)
+                k_level = {v for v, nb in adj.items() if len(nb) <= k}
+        return core
+
+    got = {r["surface"]: r["coreness"] for r in coreness(edges, rounds=8).collect()}
+    assert got == peel_coreness(_und_pairs())
+
+    # 5-clique with a 3-vertex tail: clique coreness 4, tail 1
+    cl = [(f"c{i}", "p", f"c{j}", 1) for i in range(5) for j in range(i + 1, 5)]
+    tail = [("c0", "p", "t1", 1), ("t1", "p", "t2", 1), ("t2", "p", "t3", 1)]
+    g = spark.createDataFrame(
+        cl + tail, "src_surface string, pred string, dst_surface string, n_obs long"
+    )
+    got2 = {r["surface"]: r["coreness"] for r in coreness(g, rounds=8).collect()}
+    exp = {f"c{i}": 4 for i in range(5)} | {"t1": 1, "t2": 1, "t3": 1}
+    assert got2 == exp
+    # fixed-round determinism: same rounds -> identical iterate even if
+    # short of convergence
+    got_r1 = {r["surface"]: r["coreness"] for r in coreness(g, rounds=1).collect()}
+    got_r1b = {r["surface"]: r["coreness"] for r in coreness(g, rounds=1).collect()}
+    assert got_r1 == got_r1b
+    # iterates are non-increasing toward the fixpoint
+    assert all(got_r1[v] >= got2[v] for v in got2)

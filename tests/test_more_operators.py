@@ -1308,3 +1308,45 @@ def test_anomaly_exact_three_sigma_rule(spark, tmp_path):
     assert got == exp
     assert len(exp) == 1 and list(exp.values())[0][0] == "click"
     assert not any(et == "view" for et, _, _ in got.values())
+
+
+def test_abtest_exact_pooled_z_rule(spark, tmp_path):
+    """rel_abtest against a Python transcription of the pooled
+    two-proportion rule: a crafted blatant variant split flags
+    significant=1, a balanced one flags 0, and z2_e6 matches the exact
+    integer formula (scipy-free by construction)."""
+    import datetime
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_abtest
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for variant, conv, total, et in [
+        (0, 90, 100, "click"), (1, 10, 100, "click"),
+        (0, 50, 100, "view"), (1, 50, 100, "view"),
+    ]:
+        for i in range(total):
+            val = 99.0 if i < conv else 1.0
+            rows.append((eid, t0, variant + 2 * i, et, val, "{}"))
+            eid += 1
+    d = str(tmp_path / "ab")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    got = {r["event_type"]: r for r in rel_abtest(spark, d).collect()}
+    for et, (x1, n1, x2, n2) in {
+        "click": (90, 100, 10, 100), "view": (50, 100, 50, 100)
+    }.items():
+        r = got[et]
+        assert (r["n1"], r["x1"], r["n2"], r["x2"]) == (n1, x1, n2, x2)
+        dev = x1 * n2 - x2 * n1
+        n, x = n1 + n2, x1 + x2
+        num, den = dev * dev * n, n1 * n2 * x * (n - x)
+        assert r["z2_e6"] == (1_000_000 * num) // den
+        assert r["significant"] == int(num > 9 * den)
+    assert got["click"]["significant"] == 1
+    assert got["view"]["significant"] == 0 and got["view"]["z2_e6"] == 0

@@ -823,3 +823,47 @@ def test_dedup_levenshtein_verify(spark, tmp_path):
         assert 2 * rr["lev"] <= max(len(rows[da][1]), len(rows[db][1]))
     assert (0, 3) not in out and (0, 2) not in out
     assert 2 * _lev(base, host) > len(host)
+
+
+def test_est_vs_exact_calibration(spark, tmp_path):
+    """dedup_est_vs_exact on a corpus with an identical pair and a
+    partial-overlap pair: identical docs estimate AND measure 1.0 with
+    zero error; for every pair the estimate equals matching-band-count
+    /8 recomputed from the signature table and the exact score equals
+    Python set Jaccard over distinct 3-gram shingles."""
+    from denrl_spark.functions.textops import minhash_signatures
+    from denrl_spark.plans.driver_queries import dedup_est_vs_exact
+
+    base = " ".join(f"w{i}" for i in range(30))
+    half = " ".join(f"w{i}" for i in range(15)) + " " + " ".join(
+        f"u{i}" for i in range(15)
+    )
+    rows = [(0, base, "en", "s", 1), (1, base, "en", "s", 1),
+            (2, half, "en", "s", 1)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = {(r["doc_a"], r["doc_b"]): r for r in dedup_est_vs_exact(spark, sf).collect()}
+    assert (0, 1) in out
+    r01 = out[(0, 1)]
+    assert r01["n_match"] == 8 and r01["est_e6"] == 1_000_000
+    assert r01["exact_e6"] == 1_000_000 and r01["err_e6"] == 0
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sig = {}
+    for r in minhash_signatures(docs.select("doc_id", "text")).collect():
+        sig.setdefault(r["doc_id"], {})[r["band"]] = r["mh"]
+
+    def sh3(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    for (a, b), r in out.items():
+        n_match = sum(sig[a][k] == sig[b][k] for k in range(8))
+        assert r["n_match"] == n_match
+        assert r["est_e6"] == (1_000_000 * n_match) // 8
+        sa, sb = sh3(rows[a][1]), sh3(rows[b][1])
+        j = (1_000_000 * len(sa & sb)) // len(sa | sb)
+        assert r["exact_e6"] == j and r["err_e6"] == r["est_e6"] - j
