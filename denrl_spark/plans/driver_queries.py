@@ -4301,3 +4301,152 @@ def rel_abtest(spark, sf_dir):
         F.floor(1_000_000 * num / den).cast("long").alias("z2_e6"),
         (num > 9 * den).cast("int").alias("significant"),
     )
+
+
+@_q(
+    "rel_changepoint",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents
+      FROM events),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v_cents) AS BIGINT) AS s
+      FROM v GROUP BY 1),
+    pre AS (
+      SELECT v.event_type, v.event_id, n, s,
+             CAST(row_number() OVER w AS BIGINT) AS t,
+             CAST(sum(v_cents) OVER w AS BIGINT) AS p
+      FROM v JOIN tot USING (event_type)
+      WINDOW w AS (PARTITION BY v.event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    sel AS (
+      SELECT event_type, n, abs(n * p - t * s) AS dev, t, event_id,
+             row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(n * p - t * s) DESC, t ASC) AS rk
+      FROM pre)
+    SELECT event_type, n, CAST(dev AS BIGINT) AS cusum_max,
+           CAST(t AS BIGINT) AS cp_t, CAST(event_id AS BIGINT) AS cp_event_id
+    FROM sel WHERE rk = 1
+    """,
+)
+def rel_changepoint(spark, sf_dir):
+    """CUSUM CHANGEPOINT LOCATOR per key — the drift detector a
+    metrics/billing ingest runs to find WHEN a series shifted, where
+    rel_anomaly finds single outlier rows. Classic centered CUSUM:
+    C_t = sum_{i<=t}(v_i) - t*mean, maximized over t; the argmax is
+    the most likely level-shift point. Evaluated in EXACT integer
+    algebra scaled by n (the rel_anomaly trick): n*C_t = n*P_t - t*S
+    with P_t the prefix sum, S/n the key totals — no float mean, so
+    statistic and argmax are hash-exact. Ties -> smallest t. Bigint
+    envelope: n*P_t <= n^2 * max_cents, ~1e7 rows/key at 1e4 cents.
+
+    Shape: one scan, one map-side-combined per-key total BROADCAST
+    back, one per-key ordered window (prefix sum + row_number — the
+    key partitions the shuffle; a key's series must fit one task,
+    which is the nature of an ordered statistic; at 100 TB the keys
+    are the parallelism), one argmax aggregate via min(struct). The
+    oracle restates the argmax as a rank-1 window over the identical
+    (dev DESC, t ASC) composite."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    tot = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v_cents").cast("bigint").alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pre = (
+        v.join(F.broadcast(tot), "event_type")
+        .withColumn("t", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "p",
+            F.sum("v_cents")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+    )
+    dev = F.abs(F.col("n") * F.col("p") - F.col("t") * F.col("s"))
+    return (
+        pre.select(
+            "event_type", "n", "event_id", "t", dev.alias("dev")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n"),
+            F.min(
+                F.struct(
+                    (-F.col("dev")).alias("neg"),
+                    F.col("t").alias("t"),
+                    F.col("event_id").alias("e"),
+                )
+            ).alias("_m"),
+        )
+        .select(
+            "event_type", "n",
+            F.col("_m.neg").cast("bigint").alias("_neg"),
+            F.col("_m.t").cast("bigint").alias("cp_t"),
+            F.col("_m.e").cast("bigint").alias("cp_event_id"),
+        )
+        .select(
+            "event_type", "n",
+            (-F.col("_neg")).cast("bigint").alias("cusum_max"),
+            "cp_t", "cp_event_id",
+        )
+    )
+
+
+@_q(
+    "sim_label_centroids",
+    """
+    WITH x AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             CAST(floor(1000000 * CAST(unnest(embedding) AS DOUBLE)) AS BIGINT)
+               AS e6
+      FROM embeddings)
+    SELECT label, dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(e6) AS BIGINT) AS sum_e6,
+           CAST(floor(sum(e6) / count(*)) AS BIGINT) AS mean_e6
+    FROM x GROUP BY 1, 2
+    """,
+)
+def sim_label_centroids(spark, sf_dir):
+    """PER-CLASS CENTROID PROFILE of the embedding corpus — the
+    cluster-prototype table that seeds IVF coarse quantizers, drives
+    dataset-cartography pruning (points far from their class centroid
+    are label-noise suspects), and powers nearest-class-mean
+    classification. Components are quantized to exact 1e-6 integer
+    units BEFORE the sum (float -> double widening is exact, floor of
+    the identical double is engine-portable), so the centroid sums
+    are order-invariant bigints and the whole profile hash-verifies —
+    the same discipline as the LM scorers. mean_e6 floors sum/n once
+    per cell. Bigint envelope: |sum_e6| <= 1e6 * max|x| * n — ~1e10
+    rows per (label) at unit-norm inputs.
+
+    Shape: one scan -> posexplode (64 rows/vector, the column store
+    of the embedding table) -> ONE map-side-combined aggregate keyed
+    (label, dim): |labels| * dim result rows, shuffle bounded by the
+    same. No joins, no windows; at 100 TB this is a pure partial-agg
+    pipeline."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(1_000_000 * F.col("x").cast("double")).cast("bigint").alias("e6"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("e6").cast("bigint").alias("sum_e6"),
+        )
+        .select(
+            "label", "dim", "n", "sum_e6",
+            F.floor(F.col("sum_e6") / F.col("n")).cast("bigint").alias("mean_e6"),
+        )
+    )

@@ -1350,3 +1350,51 @@ def test_abtest_exact_pooled_z_rule(spark, tmp_path):
         assert r["significant"] == int(num > 9 * den)
     assert got["click"]["significant"] == 1
     assert got["view"]["significant"] == 0 and got["view"]["z2_e6"] == 0
+
+
+def test_changepoint_exact_cusum_argmax(spark, tmp_path):
+    """rel_changepoint finds the constructed level shift: a series
+    that jumps from ~10 to ~90 at index k maximizes |n*P_t - t*S|
+    exactly at t = k, and the statistic matches a literal Python
+    transcription (ties -> smallest t)."""
+    import datetime
+    import math
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_changepoint
+
+    t0 = datetime.datetime(2024, 1, 1)
+    series = {
+        "click": [10.0] * 12 + [90.0] * 8,      # shift at t=12
+        "view": [50.0] * 10,                     # flat: dev 0 everywhere -> t=1
+    }
+    rows, eid = [], 0
+    for et, vs in series.items():
+        for i, x in enumerate(vs):
+            rows.append((eid, t0 + datetime.timedelta(seconds=i), eid % 3, et, x, "{}"))
+            eid += 1
+    d = str(tmp_path / "cp")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    got = {r["event_type"]: r for r in rel_changepoint(spark, d).collect()}
+    eid = 0
+    for et, vs in series.items():
+        cents = [math.floor(x * 100) for x in vs]
+        n, s = len(cents), sum(cents)
+        best = None
+        p = 0
+        for t, c in enumerate(cents, 1):
+            p += c
+            dev = abs(n * p - t * s)
+            if best is None or dev > best[0]:
+                best = (dev, t, eid + t - 1)
+        eid += len(cents)
+        r = got[et]
+        assert (r["cusum_max"], r["cp_t"], r["cp_event_id"]) == best
+        assert r["n"] == n
+    assert got["click"]["cp_t"] == 12
+    assert got["view"]["cusum_max"] == 0 and got["view"]["cp_t"] == 1

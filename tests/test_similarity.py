@@ -603,3 +603,42 @@ def test_rrf_fusion_matches_list_transcription(spark, tmp_path):
         v[1] and not v[0] for v in got.values()
     )
     assert any(v[0] and v[1] for v in got.values())
+
+
+def test_label_centroids_exact_quantized_sums(spark, tmp_path):
+    """sim_label_centroids equals a numpy transcription of the
+    quantize-then-sum rule (floor to 1e-6 per component BEFORE the
+    sum), including negative-mean cells where floor(sum/n) must floor
+    toward -inf on both engines."""
+    import os
+
+    from denrl_spark.plans.driver_queries import sim_label_centroids
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(scale=0.5, size=64)], i % 3)
+        for i in range(30)
+    ]
+    d = str(tmp_path / "cent")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    import math
+
+    exp = {}
+    for _, emb, lab in rows:
+        for dim, x in enumerate(emb):
+            e6 = math.floor(1_000_000 * float(np.float32(x)))
+            k = (lab, dim)
+            s, n = exp.get(k, (0, 0))
+            exp[k] = (s + e6, n + 1)
+    got = {(r["label"], r["dim"]): r for r in sim_label_centroids(spark, d).collect()}
+    assert set(got) == set(exp)
+    neg_seen = False
+    for k, (s, n) in exp.items():
+        r = got[k]
+        assert (r["sum_e6"], r["n"]) == (s, n)
+        assert r["mean_e6"] == math.floor(s / n)
+        neg_seen = neg_seen or s < 0
+    assert neg_seen  # the floor-toward--inf branch is actually exercised
