@@ -1094,15 +1094,10 @@ def sssp_sql(rel: str = "documents", rounds: int = 8) -> str:
     """
 
 
-def communities_sql(rel: str = "documents", rounds: int = 4) -> str:
-    """graph_analytics.label_propagation twin: the fixed synchronous
-    min-tie-break LPA recurrence unrolled into MATERIALIZED chained
-    CTEs l0..l{rounds} (each round references the previous label table
-    once per adjacency side — plain-CTE inlining would re-expand the
-    base extraction per round, the kcore_sql lesson). Exact integer
-    neighbor-label counts, (count DESC, label ASC) tie-break — both
-    engines execute the identical finite recurrence, so outputs match
-    bit-for-bit, converged or 2-cycling alike."""
+def _lpa_ctes(rel: str, rounds: int) -> str:
+    """Shared WITH-body of the fixed-round synchronous LPA unroll
+    (edges -> u -> adj -> l0..l{rounds}) — consumed by communities_sql
+    and modularity_sql."""
     body = f"""
         WITH {_edges_cte(rel)},
         {_und_cte(materialized=True)},
@@ -1123,8 +1118,53 @@ def communities_sql(rel: str = "documents", rounds: int = 4) -> str:
                                       ORDER BY c DESC, label ASC) AS rn
             FROM c{i})
           WHERE rn = 1)"""
-    return body + f"""
+    return body
+
+
+def communities_sql(rel: str = "documents", rounds: int = 4) -> str:
+    """graph_analytics.label_propagation twin: the fixed synchronous
+    min-tie-break LPA recurrence unrolled into MATERIALIZED chained
+    CTEs l0..l{rounds} (each round references the previous label table
+    once per adjacency side — plain-CTE inlining would re-expand the
+    base extraction per round, the kcore_sql lesson). Exact integer
+    neighbor-label counts, (count DESC, label ASC) tie-break — both
+    engines execute the identical finite recurrence, so outputs match
+    bit-for-bit, converged or 2-cycling alike."""
+    return _lpa_ctes(rel, rounds) + f"""
         SELECT v AS surface, label AS community FROM l{rounds}
+    """
+
+
+def modularity_sql(rel: str = "documents", rounds: int = 4) -> str:
+    """Per-community modularity decomposition over the LPA partition:
+    extends the shared LPA unroll with the Newman-Girvan contribution
+    q_c = e_c/m - (d_c/2m)^2 = (4*m*e_c - d_c^2) / (4*m^2), evaluated
+    as exact bigints up to ONE double division (mirrored op order in
+    the Spark twin: floor(1e9 * (N1/D)))."""
+    return _lpa_ctes(rel, rounds) + f"""
+        , com AS MATERIALIZED (
+          SELECT v AS surface, label AS community FROM l{rounds}),
+        ein AS (
+          SELECT ca.community, CAST(count(*) AS BIGINT) AS e_in
+          FROM u
+          JOIN com ca ON ca.surface = u.va
+          JOIN com cb ON cb.surface = u.vb
+          WHERE ca.community = cb.community GROUP BY 1),
+        deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        dsum AS (
+          SELECT com.community,
+                 CAST(count(*) AS BIGINT) AS n_vertices,
+                 CAST(sum(deg.d) AS BIGINT) AS d_sum
+          FROM com JOIN deg ON deg.v = com.surface GROUP BY 1),
+        mq AS (SELECT CAST(count(*) AS BIGINT) AS m FROM u)
+        SELECT d.community, d.n_vertices,
+               CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in,
+               d.d_sum,
+               CAST(floor(1000000000 * (
+                    CAST(4 * mq.m * coalesce(e.e_in, 0)
+                         - d.d_sum * d.d_sum AS DOUBLE)
+                    / CAST(4 * mq.m * mq.m AS DOUBLE))) AS BIGINT) AS q_e9
+        FROM dsum d LEFT JOIN ein e ON e.community = d.community, mq
     """
 
 

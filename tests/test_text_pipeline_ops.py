@@ -867,3 +867,29 @@ def test_est_vs_exact_calibration(spark, tmp_path):
         sa, sb = sh3(rows[a][1]), sh3(rows[b][1])
         j = (1_000_000 * len(sa & sb)) // len(sa | sb)
         assert r["exact_e6"] == j and r["err_e6"] == r["est_e6"] - j
+
+
+def test_cluster_sizes_histogram_reconciles(spark, tmp_path):
+    """dedup_cluster_sizes on a corpus with one 3-doc near-dup cluster
+    and two singletons: histogram {3:1, 1:2}, n_docs partitions the
+    corpus, and dedup rate = 1 - clusters/docs falls out exactly."""
+    from denrl_spark.plans.driver_queries import dedup_cluster_sizes
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base, "en", "s", 1),
+        (1, base, "en", "s", 1),
+        (2, base.replace("today", "tonight"), "en", "s", 1),
+        (3, "completely different text about spark shuffles and joins filters",
+         "en", "s", 1),
+        (4, "another unrelated document mentioning tables rows and columns only",
+         "en", "s", 1),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {r["cluster_size"]: r for r in dedup_cluster_sizes(spark, sf).collect()}
+    assert got[3]["n_clusters"] == 1 and got[3]["n_docs"] == 3
+    assert got[1]["n_clusters"] == 2 and got[1]["n_docs"] == 2
+    assert sum(r["n_docs"] for r in got.values()) == len(rows)
