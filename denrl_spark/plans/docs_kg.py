@@ -2640,3 +2640,24 @@ def coreness_sql(rel: str = "documents", rounds: int = 6) -> str:
     return body + f"""
         SELECT v AS surface, c AS coreness FROM c{rounds}
     """
+
+
+def pred_gini_sql(rel: str = "documents") -> str:
+    """Per-predicate object-concentration Gini twin: exact bigint
+    counts up to ONE double division (floor(1e6 * (n^2 - sum n_o^2)
+    / n^2)), mirroring kg_pred_gini's op order."""
+    return f"""
+        WITH {_edges_cte(rel)},
+        obj AS (
+          SELECT pred, dst_surface, CAST(sum(n_obs) AS BIGINT) AS n_o
+          FROM edges GROUP BY 1, 2),
+        tot AS (
+          SELECT pred, CAST(sum(n_o) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_objects,
+                 CAST(sum(n_o * n_o) AS BIGINT) AS ss
+          FROM obj GROUP BY 1)
+        SELECT pred, n AS n_obs, n_objects,
+               CAST(floor(1000000 * (CAST(n * n - ss AS DOUBLE)
+                    / CAST(n * n AS DOUBLE))) AS BIGINT) AS gini_e6
+        FROM tot
+    """

@@ -4562,3 +4562,171 @@ def dedup_cluster_sizes(spark, sf_dir):
             .cast("bigint").alias("n_docs"),
         )
     )
+
+
+@_q("kg_pred_gini", docs_kg.pred_gini_sql())
+def kg_pred_gini(spark, sf_dir):
+    """Per-predicate OBJECT-CONCENTRATION profile (Gini impurity of
+    the observation-weighted object distribution): gini = 1 -
+    sum((n_o/n)^2) = (n^2 - sum n_o^2)/n^2. Near 0 means one object
+    absorbs almost every observation of the predicate — the signature
+    of a boilerplate extraction (every conversation "touches" the same
+    entity) that kg_pred_functionality's DISTINCT-count ratio cannot
+    see (distinct objects may be many while the mass sits on one).
+    Exact bigint counts up to one double division (envelope: n^2 <
+    2^63, ~3e9 observations per predicate; past it scale n_obs down
+    or move the squares to decimal(38,0)).
+
+    Shape: two map-side-combined aggregates over the edge table —
+    (pred, dst) then pred — shuffle bounded by distinct objects then
+    |preds|. Nothing else moves at any scale."""
+    obj = (
+        docs_kg.edges_by_doc(spark, sf_dir)
+        .groupBy("pred", "dst_surface")
+        .agg(F.sum("n_obs").cast("bigint").alias("n_o"))
+    )
+    tot = obj.groupBy("pred").agg(
+        F.sum("n_o").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_objects"),
+        F.sum(F.col("n_o") * F.col("n_o")).cast("bigint").alias("ss"),
+    )
+    return tot.select(
+        "pred",
+        F.col("n").alias("n_obs"),
+        "n_objects",
+        F.floor(
+            1_000_000
+            * ((F.col("n") * F.col("n") - F.col("ss")).cast("double")
+               / (F.col("n") * F.col("n")).cast("double"))
+        ).cast("bigint").alias("gini_e6"),
+    )
+
+
+@_q(
+    "sim_centroid_outliers",
+    """
+    WITH x AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             CAST(floor(1000000 * CAST(unnest(embedding) AS DOUBLE)) AS BIGINT)
+               AS e6
+      FROM embeddings),
+    cent AS (
+      SELECT label, dim,
+             CAST(floor(sum(e6) / count(*)) AS BIGINT) AS mean_e6
+      FROM x GROUP BY 1, 2),
+    d2 AS (
+      SELECT x.vec_id, x.label,
+             CAST(sum((x.e6 - c.mean_e6) * (x.e6 - c.mean_e6)) AS BIGINT) AS d2
+      FROM x JOIN cent c ON c.label = x.label AND c.dim = x.dim
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT vec_id, label, d2,
+             CAST(row_number() OVER (PARTITION BY label
+                   ORDER BY d2 DESC, vec_id ASC) AS INT) AS rank
+      FROM d2)
+    SELECT label, vec_id, d2, rank FROM rk WHERE rank <= 3
+    """,
+)
+def sim_centroid_outliers(spark, sf_dir):
+    """DATASET-CARTOGRAPHY PRUNING — per label, the top-3 vectors by
+    squared distance to their class centroid: the label-noise suspects
+    an embedding-space curation pass reviews or drops first (points
+    far from their own class prototype). Distances are computed over
+    the SAME 1e-6-quantized components as sim_label_centroids with the
+    floored integer centroid, so d2 is an exact bigint and the ranking
+    hash-verifies cross-engine (ties -> min vec_id). Envelope: d2 <=
+    dim * (2e6 * max|x|)^2 — exact to |x| ~ 4e2 at dim 64.
+
+    Shape: one scan -> posexplode -> the (label, dim)-keyed centroid
+    aggregate JOINED back on (label, dim) — both sides partition on
+    the same compound key; one vec-keyed aggregate; one per-LABEL
+    window (partitioned top-k, never a global sort). At 100 TB the
+    centroid table is |labels| * dim rows and broadcasts."""
+    x = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.posexplode("embedding").alias("dim", "xx"))
+        .select(
+            "vec_id", "label",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(1_000_000 * F.col("xx").cast("double"))
+            .cast("bigint").alias("e6"),
+        )
+    )
+    cent = x.groupBy("label", "dim").agg(
+        F.floor(F.sum("e6") / F.count(F.lit(1))).cast("bigint").alias("mean_e6")
+    )
+    d2 = (
+        x.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("e6") - F.col("mean_e6")) * (F.col("e6") - F.col("mean_e6")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        d2.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("label", "vec_id", "d2", "rank")
+    )
+
+
+@_q(
+    "rel_rolling_distinct",
+    """
+    WITH e AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM e GROUP BY 1),
+    sup AS (
+      SELECT DISTINCT user_id, day + i AS wday
+      FROM e, (SELECT unnest(range(0, 7)) AS i)),
+    wau AS (SELECT wday AS day, CAST(count(*) AS BIGINT) AS wau
+            FROM sup GROUP BY 1)
+    SELECT d.day, d.dau, w.wau,
+           CAST(floor(1000000 * d.dau / w.wau) AS BIGINT) AS stickiness_e6
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def rel_rolling_distinct(spark, sf_dir):
+    """ROLLING DISTINCT-USER ENGAGEMENT (DAU / trailing-7-day WAU /
+    stickiness) — the engagement dashboard staple, and the canonical
+    "distinct over a sliding window" problem. Computed WITHOUT a
+    window function or re-scanning 7 days per day: each (user, day)
+    activity row SUPPORTS the 7 window-end days [day, day+6], so one
+    bounded explode (x7) + DISTINCT + count gives every trailing
+    window in one shuffle — the same bucket-explode trick as
+    rel_range_join, applied to distinct counting. Exact integers;
+    stickiness = floor(1e6 * dau/wau). Days with zero direct activity
+    report no row (inner join on observed days — the dashboard
+    convention).
+
+    Shape: distinct (user, day) projection -> one 7x bounded fan-out
+    -> two map-side-combined aggregates + one |days|-sized equi-join.
+    At 100 TB the fan-out rides the already-deduplicated (user, day)
+    frame, orders of magnitude smaller than the event log."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    dau = e.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    sup = (
+        e.select("user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+                 "day")
+        .select("user_id", (F.col("day") + F.col("i")).alias("day"))
+        .distinct()
+    )
+    wau = sup.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau",
+        F.floor(1_000_000 * F.col("dau") / F.col("wau"))
+        .cast("bigint").alias("stickiness_e6"),
+    )

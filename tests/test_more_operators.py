@@ -1398,3 +1398,48 @@ def test_changepoint_exact_cusum_argmax(spark, tmp_path):
         assert r["n"] == n
     assert got["click"]["cp_t"] == 12
     assert got["view"]["cusum_max"] == 0 and got["view"]["cp_t"] == 1
+
+
+def test_rolling_distinct_window_semantics(spark, tmp_path):
+    """rel_rolling_distinct against explicit per-day enumeration: a
+    user active on day d counts toward WAU on days d..d+6 only, DAU
+    counts distinct users (not events), and only observed days get a
+    row."""
+    import datetime
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_rolling_distinct
+
+    day0 = datetime.datetime(2024, 1, 1)
+    # (user, day) activity; user 1 active days 0 and 8, user 2 day 0
+    # twice (dedup), user 3 day 3
+    acts = [(1, 0), (1, 0), (2, 0), (1, 8), (3, 3), (2, 3)]
+    rows = [
+        (i, day0 + datetime.timedelta(days=d, hours=2), u, "view", 1.0, "{}")
+        for i, (u, d) in enumerate(acts)
+    ]
+    d = str(tmp_path / "roll")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    base = (day0 - datetime.datetime(1970, 1, 1)).days
+    per_day = {}
+    for u, dd in acts:
+        per_day.setdefault(base + dd, set()).add(u)
+    got = {r["day"]: r for r in rel_rolling_distinct(spark, d).collect()}
+    assert set(got) == set(per_day)  # only observed days
+    for day, users in per_day.items():
+        wau = {
+            u for d2, us in per_day.items() for u in us if day - 6 <= d2 <= day
+        }
+        r = got[day]
+        assert r["dau"] == len(users)
+        assert r["wau"] == len(wau)
+        assert r["stickiness_e6"] == (1_000_000 * len(users)) // len(wau)
+    # day 8's trailing window [2, 8] drops day-0 activity but keeps
+    # day 3 (users 2, 3) plus day-8 user 1; day 0 sees only itself
+    assert got[base + 8]["wau"] == 3 and got[base + 8]["dau"] == 1
+    assert got[base]["wau"] == 2 and got[base]["dau"] == 2

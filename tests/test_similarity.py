@@ -642,3 +642,50 @@ def test_label_centroids_exact_quantized_sums(spark, tmp_path):
         assert r["mean_e6"] == math.floor(s / n)
         neg_seen = neg_seen or s < 0
     assert neg_seen  # the floor-toward--inf branch is actually exercised
+
+
+def test_centroid_outliers_flags_planted_noise(spark, tmp_path):
+    """sim_centroid_outliers ranks a planted far-from-centroid vector
+    first in its class, and d2 matches the numpy transcription of the
+    quantize-then-diff rule against the floored integer centroid."""
+    import math
+    import os
+
+    from denrl_spark.plans.driver_queries import sim_centroid_outliers
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(20):
+        v = rng.normal(scale=0.1, size=64)
+        if i == 7:
+            v = v + 3.0  # planted outlier in label 7 % 2 = 1
+        rows.append((i, [float(x) for x in v], i % 2))
+    d = str(tmp_path / "outl")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    got = sim_centroid_outliers(spark, d).collect()
+    by_label = {}
+    for r in got:
+        by_label.setdefault(r["label"], []).append(r)
+    assert by_label[1][0]["vec_id"] == 7 or any(
+        r["vec_id"] == 7 and r["rank"] == 1 for r in by_label[1]
+    )
+
+    # transcription of d2 for the flagged rows
+    q = {
+        vid: [math.floor(1_000_000 * float(np.float32(x))) for x in emb]
+        for vid, emb, _ in rows
+    }
+    cent = {}
+    for vid, emb, lab in rows:
+        for dim in range(64):
+            k = (lab, dim)
+            s, n = cent.get(k, (0, 0))
+            cent[k] = (s + q[vid][dim], n + 1)
+    mean = {k: math.floor(s / n) for k, (s, n) in cent.items()}
+    for r in got:
+        lab = r["label"]
+        d2 = sum((q[r["vec_id"]][dim] - mean[(lab, dim)]) ** 2 for dim in range(64))
+        assert r["d2"] == d2
