@@ -4730,3 +4730,222 @@ def rel_rolling_distinct(spark, sf_dir):
         F.floor(1_000_000 * F.col("dau") / F.col("wau"))
         .cast("bigint").alias("stickiness_e6"),
     )
+
+
+@_q(
+    "text_cooccur_window",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+    marg AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_w FROM tok GROUP BY 1),
+    right_side AS (
+      SELECT doc_id, pos + i AS pos, tok
+      FROM tok, (SELECT unnest(range(1, 3)) AS i)),
+    pairs AS (
+      SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM right_side a JOIN tok b USING (doc_id, pos)
+      GROUP BY 1, 2)
+    SELECT p.w1, p.w2, p.n_pair,
+           CAST(floor(10000 * (CAST(p.n_pair * t AS DOUBLE)
+                / CAST(ma.n_w * mb.n_w AS DOUBLE))) AS BIGINT) AS lift_e4
+    FROM pairs p
+    JOIN marg ma ON ma.tok = p.w1
+    JOIN marg mb ON mb.tok = p.w2
+    CROSS JOIN tot
+    """,
+)
+def text_cooccur_window(spark, sf_dir):
+    """WINDOWED TOKEN CO-OCCURRENCE — the word2vec/GloVe preprocessing
+    matrix: counts of unordered token pairs within a +-2 word window,
+    plus the PMI lift n_pair * T / (n_w1 * n_w2) in the repo's
+    log-free rational form, floor-scaled to 1e-4 (one double division
+    of exact bigint products — kg_edge_pmi's trick at the token
+    grain). High-lift pairs are collocations; the matrix is the input
+    to count-based embeddings and phrase mining.
+
+    Shape: the non-equi "within distance 2" predicate becomes a pure
+    EQUI-join by exploding each position to the <=2 positions it can
+    pair with to its right (bounded fan-out, each unordered pair
+    formed exactly once — the rel_range_join bucket trick at token
+    grain); one pair-keyed map-side-combined count; two
+    vocab-sized marginal joins (broadcast at scale). The corpus total
+    comes off the |vocab|-row marginal frame on the driver and
+    returns as a literal. Output rows are bounded by distinct
+    co-occurring pairs, not corpus size."""
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    )
+    marg = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    t_total = int(
+        marg.agg(F.sum("n_w").alias("t")).collect()[0]["t"]
+    )
+    right = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(2))).alias("i"),
+        "pos", "tok",
+    ).select("doc_id", (F.col("pos") + F.col("i")).alias("pos"),
+             F.col("tok").alias("tok_a"))
+    pairs = (
+        right.join(tok.withColumnRenamed("tok", "tok_b"), ["doc_id", "pos"])
+        .select(
+            F.least("tok_a", "tok_b").alias("w1"),
+            F.greatest("tok_a", "tok_b").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    ma = marg.select(F.col("tok").alias("w1"), F.col("n_w").alias("n_w1"))
+    mb = marg.select(F.col("tok").alias("w2"), F.col("n_w").alias("n_w2"))
+    return (
+        pairs.join(F.broadcast(ma), "w1")
+        .join(F.broadcast(mb), "w2")
+        .select(
+            "w1", "w2", "n_pair",
+            F.floor(
+                10_000
+                * ((F.col("n_pair") * F.lit(t_total)).cast("double")
+                   / (F.col("n_w1") * F.col("n_w2")).cast("double"))
+            ).cast("bigint").alias("lift_e4"),
+        )
+    )
+
+
+@_q(
+    "sim_knn_probe",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 32),
+    c AS (SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, true_label, neighbor_id, label,
+             CAST(floor(1000 * list_dot_product(qv, cv) /
+                  (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+               AS BIGINT) AS cos_e3
+      FROM q, c WHERE query_id <> neighbor_id),
+    topk AS (
+      SELECT * FROM (
+        SELECT query_id, true_label, label,
+               row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_e3 DESC, neighbor_id ASC) AS rnk
+        FROM scored) WHERE rnk <= 3),
+    votes AS (
+      SELECT query_id, true_label, label, count(*) AS v
+      FROM topk GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT query_id, true_label, label AS pred_label FROM (
+        SELECT query_id, true_label, label,
+               row_number() OVER (PARTITION BY query_id
+                     ORDER BY v DESC, label ASC) AS rn
+        FROM votes) WHERE rn = 1)
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST(floor(1000000 * sum(CASE WHEN pred_label = true_label
+                                         THEN 1 ELSE 0 END) / count(*))
+             AS BIGINT) AS acc_e6
+    FROM pred GROUP BY 1
+    """,
+)
+def sim_knn_probe(spark, sf_dir):
+    """EMBEDDING-QUALITY kNN PROBE — the standard label-recovery eval
+    for an embedding table: predict each probe vector's label by
+    majority vote of its 3 exact-cosine neighbors (self excluded,
+    vote ties -> min label, rank ties -> min neighbor_id) and report
+    per-label accuracy in exact integer ppm. Falling probe accuracy
+    after a re-embed is the canary that the vector space (or its
+    int8/PQ compression upstream) regressed — the supervised
+    counterpart of sim_recall_eval's unsupervised recall.
+
+    Shape: the exact top-k subplan on a bounded probe sample (the
+    production pattern: you probe a sample, not the corpus), one
+    (query, label) vote aggregate, two per-QUERY windows over
+    k-bounded rows, one |labels|-sized aggregate. Nothing beyond the
+    probe's own index cost at any scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 32").select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    nbrs = cosine_topk(emb, emb.where("vec_id < 32"), k=3).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = nbrs.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("query_id", F.col("label").alias("pred_label"))
+        .join(q, "query_id")
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum((F.col("pred_label") == F.col("true_label")).cast("int"))
+            .cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "label", "n_queries", "n_correct",
+            F.floor(1_000_000 * F.col("n_correct") / F.col("n_queries"))
+            .cast("bigint").alias("acc_e6"),
+        )
+    )
+
+
+@_q(
+    "dedup_rate_by_source",
+    f"""
+    WITH cl AS (SELECT * FROM ({{cl_sql}})),
+    j AS (
+      SELECT d.source, cl.is_rep
+      FROM documents d JOIN cl ON cl.doc_id = d.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_rep) AS BIGINT) AS n_kept,
+           CAST(floor(1000000 * (count(*) - sum(is_rep)) / count(*))
+             AS BIGINT) AS dup_rate_e6
+    FROM j GROUP BY 1
+    """.format(cl_sql=ORACLES["dedup_clusters"]),
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """PER-SOURCE DEDUPLICATION RATE — the ingest-quality attribution
+    monitor: which source floods near-duplicates (its docs lose the
+    keep-list election) vs which contributes unique material. The
+    actionable drill-down of dedup_cluster_sizes: a spike here gates a
+    single feed, not the whole batch. Exact integer counts over the
+    hash-verified cluster assignment; rate = floor(1e6 * dropped/n).
+
+    Shape: the keep-list joined back to the doc table on its key (at
+    scale both sides are co-partitioned by doc_id) + one
+    |sources|-sized map-side-combined aggregate."""
+    cl = textops.near_dup_clusters(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        cl.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("is_rep").cast("int")).cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "source", "n_docs", "n_kept",
+            F.floor(
+                1_000_000 * (F.col("n_docs") - F.col("n_kept")) / F.col("n_docs")
+            ).cast("bigint").alias("dup_rate_e6"),
+        )
+    )

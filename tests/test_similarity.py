@@ -689,3 +689,36 @@ def test_centroid_outliers_flags_planted_noise(spark, tmp_path):
         lab = r["label"]
         d2 = sum((q[r["vec_id"]][dim] - mean[(lab, dim)]) ** 2 for dim in range(64))
         assert r["d2"] == d2
+
+
+def test_knn_probe_majority_and_accuracy(spark, tmp_path):
+    """sim_knn_probe on a 3-cluster corpus: in-cluster neighbors
+    dominate the vote so per-label accuracy is 1.0; a deliberately
+    mislabeled probe drops exactly its own label's accuracy."""
+    import os
+
+    from denrl_spark.plans.driver_queries import sim_knn_probe
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(3, 64)) * 4
+    rows = []
+    for i in range(24):
+        v = base[i % 3] + rng.normal(scale=0.05, size=64)
+        lab = i % 3
+        if i == 9:            # probe 9 sits in cluster 0 but claims label 2
+            lab = 2
+        rows.append((i, [float(x) for x in v], lab))
+    d = str(tmp_path / "knn")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    got = {r["label"]: r for r in sim_knn_probe(spark, d).collect()}
+    # probes are vec_id < 32 -> all 24 rows; labels 0/1 fully correct
+    assert got[0]["acc_e6"] == 1_000_000
+    assert got[1]["acc_e6"] == 1_000_000
+    # label 2's probe set contains the planted mislabel, which the
+    # cluster-0 neighborhood votes down
+    assert got[2]["n_correct"] == got[2]["n_queries"] - 1
+    assert got[2]["acc_e6"] < 1_000_000
+    assert sum(r["n_queries"] for r in got.values()) == 24

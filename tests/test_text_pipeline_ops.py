@@ -893,3 +893,45 @@ def test_cluster_sizes_histogram_reconciles(spark, tmp_path):
     assert got[3]["n_clusters"] == 1 and got[3]["n_docs"] == 3
     assert got[1]["n_clusters"] == 2 and got[1]["n_docs"] == 2
     assert sum(r["n_docs"] for r in got.values()) == len(rows)
+
+
+def test_cooccur_window_exact_enumeration(spark, tmp_path):
+    """text_cooccur_window equals brute-force enumeration of +-2
+    windows on a crafted corpus: each unordered pair counted once per
+    ordered occurrence, lift matches the rational-PMI transcription,
+    and a cross-doc pair never forms."""
+    from denrl_spark.plans.driver_queries import text_cooccur_window
+
+    rows = [
+        (0, "a b c a", "en", "s", 1),
+        (1, "c d", "en", "s", 1),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    toks = {r[0]: r[1].split(" ") for r in rows}
+    exp: dict = {}
+    for d, ts in toks.items():
+        for i, w in enumerate(ts):
+            for off in (1, 2):
+                if i + off < len(ts):
+                    k = tuple(sorted((w, ts[i + off])))
+                    exp[k] = exp.get(k, 0) + 1
+    t = sum(len(ts) for ts in toks.values())
+    marg: dict = {}
+    for ts in toks.values():
+        for w in ts:
+            marg[w] = marg.get(w, 0) + 1
+    got = {(r["w1"], r["w2"]): r for r in text_cooccur_window(spark, sf).collect()}
+    assert {k: r["n_pair"] for k, r in got.items()} == exp
+    import math
+    for (w1, w2), r in got.items():
+        assert r["lift_e4"] == math.floor(
+            10_000 * (exp[(w1, w2)] * t / (marg[w1] * marg[w2]))
+        )
+    # 'b'-'d' spans documents: absent
+    assert ("b", "d") not in got
+    # 'a a' at distance 3 in doc 0: too far apart
+    assert ("a", "a") not in got
