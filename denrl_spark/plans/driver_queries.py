@@ -3897,12 +3897,16 @@ def text_bm25(spark, sf_dir):
 
     Shape: one corpus scan -> explode filtered to the |Q| query terms
     (fan-out |Q| rows/doc max, not |doc|), map-side-combined tf
-    aggregate, a |Q|-row df aggregate BROADCAST back, one doc-keyed
-    aggregate, TakeOrdered top-k (no global sort, no SinglePartition).
-    Corpus totals (N, A) come off a one-row driver action and return as
-    literals — the text_source_mixture pattern. At 100 TB: tf rows are
-    bounded by |Q| * n_docs_containing_a_term; everything downstream of
-    the scan is term-sparse."""
+    aggregate — LOCALCHECKPOINTED so the term-sparse tf frame feeds
+    both the df aggregate and the scoring join without re-evaluating
+    the corpus scan twice (plan-verified: the uncheckpointed form
+    scanned parquet once per subtree) — a |Q|-row df aggregate
+    BROADCAST back, one doc-keyed aggregate, TakeOrdered top-k (no
+    global sort, no SinglePartition). Corpus totals (N, A) come off a
+    one-row driver action and return as literals — the
+    text_source_mixture pattern. At 100 TB: tf rows are bounded by
+    |Q| * n_docs_containing_a_term; everything downstream of the scan
+    is term-sparse."""
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("toks"))
@@ -3918,6 +3922,7 @@ def text_bm25(spark, sf_dir):
         .where(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
     )
     dfr = tf.groupBy("term").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
@@ -4638,11 +4643,13 @@ def sim_centroid_outliers(spark, sf_dir):
     hash-verifies cross-engine (ties -> min vec_id). Envelope: d2 <=
     dim * (2e6 * max|x|)^2 — exact to |x| ~ 4e2 at dim 64.
 
-    Shape: one scan -> posexplode -> the (label, dim)-keyed centroid
-    aggregate JOINED back on (label, dim) — both sides partition on
-    the same compound key; one vec-keyed aggregate; one per-LABEL
-    window (partitioned top-k, never a global sort). At 100 TB the
-    centroid table is |labels| * dim rows and broadcasts."""
+    Shape: the exploded component frame feeds the (label, dim)-keyed
+    centroid aggregate and the distance join — two columnar scans of
+    the embedding table (deliberately NOT checkpointed: materializing
+    the 64x-exploded frame would cost more than the second scan of a
+    two-column parquet read); the centroid table is |labels| * dim
+    rows and BROADCASTS back; one vec-keyed aggregate; one per-LABEL
+    window (partitioned top-k, never a global sort)."""
     x = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", "label", F.posexplode("embedding").alias("dim", "xx"))

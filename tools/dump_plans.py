@@ -62,6 +62,12 @@ SHOW = [
     ("sim_knn_graph", "k-NN graph: LSH bucket-join candidates symmetrized + per-source window rank — no all-pairs, bounded rank state"),
     ("kg_closeness", "harmonic closeness final round: root-keyed MS-BFS distance table + one map-side-combined per-root aggregate"),
     ("rel_session_windows", "native session_window aggregation: one shuffle on the user key, merge logic inside the agg"),
+    ("text_bm25", "BM25 retrieval: explode filtered to the |Q| query terms, map-side tf agg, broadcast |Q|-row df join, TakeOrdered top-k (no global sort)"),
+    ("dedup_levenshtein", "edit-distance verify: LSH candidates + length prefilter BEFORE the quadratic DP; candidate-sized text equi-joins"),
+    ("kg_coreness", "h-operator core decomposition final sweep: adjacency equi-join + per-vertex window + map-side max agg over the checkpointed iterate, O(1) lineage"),
+    ("rel_rolling_distinct", "DAU/WAU: bounded 7x explode of the deduplicated (user, day) frame replaces a sliding distinct window; two map-side-combined aggs"),
+    ("text_cooccur_window", "token co-occurrence: +-2 window as offset-explode EQUI-join (no non-equi position join) + broadcast vocab marginals, total as driver literal"),
+    ("kg_modularity", "modularity decomposition: LPA labels checkpointed, two keyed joins/aggs over E and V, m as driver literal (no global funnel)"),
 ]
 
 
