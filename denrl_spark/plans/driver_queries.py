@@ -4956,3 +4956,160 @@ def dedup_rate_by_source(spark, sf_dir):
             ).cast("bigint").alias("dup_rate_e6"),
         )
     )
+
+
+@_q(
+    "dedup_shingle_df_profile",
+    f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+    SELECT CAST(length(bin(df)) - 1 AS INT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(max(df) AS BIGINT) AS max_df
+    FROM df GROUP BY 1
+    """,
+)
+def dedup_shingle_df_profile(spark, sf_dir):
+    """SHINGLE DOCUMENT-FREQUENCY PROFILE — the boilerplate monitor
+    that CALIBRATES the dedup family's knobs: the df <= 16 rare-
+    shingle cut of dedup_containment and the LSH bucket cap both
+    assume a long-tailed df distribution, and a mass migration into
+    high-df buckets (log2-bucketed, exact via binary-representation
+    length — the text_length_histogram trick) is the early warning
+    that a template flood is about to degenerate the bucket join.
+    n_postings per bucket = inverted-index cost attribution; max_df =
+    the hottest shingle.
+
+    Shape: the distinct (doc, shingle) projection (shared shape with
+    every dedup stage) -> one shingle-keyed map-side-combined count ->
+    one |distinct df values|-bounded aggregate. Nothing else moves."""
+    sh = textops.shingles(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).distinct()
+    df = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    return (
+        df.withColumn("log2_bucket", (F.length(F.bin("df")) - 1).cast("int"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            F.max("df").cast("bigint").alias("max_df"),
+        )
+    )
+
+
+@_q(
+    "sim_norm_profile",
+    """
+    WITH x AS (
+      SELECT vec_id,
+             CAST(floor(1000000 * CAST(unnest(embedding) AS DOUBLE)) AS BIGINT)
+               AS e6
+      FROM embeddings),
+    n2 AS (
+      SELECT vec_id, CAST(sum(e6 * e6) AS BIGINT) AS norm2
+      FROM x GROUP BY 1)
+    SELECT CAST(CASE WHEN norm2 = 0 THEN -1
+                     ELSE length(bin(norm2)) - 1 END AS INT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(norm2) AS BIGINT) AS min_norm2,
+           CAST(max(norm2) AS BIGINT) AS max_norm2
+    FROM n2 GROUP BY 1
+    """,
+)
+def sim_norm_profile(spark, sf_dir):
+    """EMBEDDING NORM-HEALTH PROFILE — the first check after every
+    re-embed: a collapsed-norm mode (bucket pile-up far below the
+    corpus mode, or the norm2 = 0 bucket -1 appearing at all) means
+    the encoder run produced degenerate vectors BEFORE any index is
+    built on them. norm2 is summed over the same 1e-6-quantized
+    components as the centroid family (exact bigint, order-invariant),
+    log2-bucketed exactly via binary-representation length; min/max
+    per bucket bound the distribution tails.
+
+    Shape: one scan -> posexplode -> one vec-keyed map-side-combined
+    aggregate -> one |buckets|-bounded aggregate. Pure partial-agg
+    pipeline, no joins."""
+    x = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "xx"),
+    ).select(
+        "vec_id",
+        F.floor(1_000_000 * F.col("xx").cast("double")).cast("bigint").alias("e6"),
+    )
+    n2 = x.groupBy("vec_id").agg(
+        F.sum(F.col("e6") * F.col("e6")).cast("bigint").alias("norm2")
+    )
+    return (
+        n2.withColumn(
+            "log2_bucket",
+            F.when(F.col("norm2") == 0, F.lit(-1))
+            .otherwise(F.length(F.bin("norm2")) - 1)
+            .cast("int"),
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("norm2").cast("bigint").alias("min_norm2"),
+            F.max("norm2").cast("bigint").alias("max_norm2"),
+        )
+    )
+
+
+@_q(
+    "rel_benford",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents
+      FROM events
+      WHERE floor(value * 100) >= 1),
+    d AS (
+      SELECT event_type,
+             CAST(substr(CAST(v_cents AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM v),
+    c AS (
+      SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1)
+    SELECT c.event_type, c.digit, c.n,
+           CAST(floor(1000000 * c.n / tot.t) AS BIGINT) AS share_e6
+    FROM c JOIN tot USING (event_type)
+    """,
+)
+def rel_benford(spark, sf_dir):
+    """FIRST-DIGIT (Benford) PROFILE per event key — the classic
+    fabricated-or-truncated-data screen for metrics/billing feeds: a
+    genuine multiplicative value stream has a monotonically falling
+    leading-digit distribution, while clamped, defaulted, or
+    synthesized values pile onto one digit. This query emits the
+    observed profile in exact integers (digit of the cents-quantized
+    value, share floored to 1e-6); the Benford expectation
+    log10(1+1/d) is transcendental, so judging drift against it stays
+    a consumer-side comparison — the hash-verified artifact is the
+    observed distribution itself.
+
+    Shape: one scan -> one (key, digit)-keyed map-side-combined count
+    (<= 9 rows per key) -> one |keys|-sized total join. Nothing else
+    moves at any scale."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    ).where(F.col("v_cents") >= 1)
+    c = v.select(
+        "event_type",
+        F.substring(F.col("v_cents").cast("string"), 1, 1).cast("int")
+        .alias("digit"),
+    ).groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = c.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("t"))
+    return c.join(F.broadcast(tot), "event_type").select(
+        "event_type", "digit", "n",
+        F.floor(1_000_000 * F.col("n") / F.col("t")).cast("bigint")
+        .alias("share_e6"),
+    )

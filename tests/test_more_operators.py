@@ -1443,3 +1443,39 @@ def test_rolling_distinct_window_semantics(spark, tmp_path):
     # day 3 (users 2, 3) plus day-8 user 1; day 0 sees only itself
     assert got[base + 8]["wau"] == 3 and got[base + 8]["dau"] == 1
     assert got[base]["wau"] == 2 and got[base]["dau"] == 2
+
+
+def test_benford_profile_exact_digits(spark, tmp_path):
+    """rel_benford against literal digit extraction: cents-quantized
+    leading digits, sub-cent values excluded, shares floor to 1e-6 and
+    sum to <= 1e6 per key."""
+    import datetime
+    import math
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_benford
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [1.23, 12.3, 123.0, 9.99, 0.001, 0.02, 555.5, 5.0, 0.009]
+    rows = [(i, t0, i, "click", v, "{}") for i, v in enumerate(vals)]
+    d = str(tmp_path / "ben")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    cents = [math.floor(v * 100) for v in vals]
+    kept = [c for c in cents if c >= 1]
+    exp: dict = {}
+    for c in kept:
+        dgt = int(str(c)[0])
+        exp[dgt] = exp.get(dgt, 0) + 1
+    got = {r["digit"]: r for r in rel_benford(spark, d).collect()}
+    assert {k: r["n"] for k, r in got.items()} == exp
+    t = len(kept)
+    for dgt, r in got.items():
+        assert r["share_e6"] == (1_000_000 * exp[dgt]) // t
+    assert sum(r["share_e6"] for r in got.values()) <= 1_000_000
+    # 0.001 and 0.009 quantize below one cent and are excluded
+    assert t == len(vals) - 2

@@ -722,3 +722,35 @@ def test_knn_probe_majority_and_accuracy(spark, tmp_path):
     assert got[2]["n_correct"] == got[2]["n_queries"] - 1
     assert got[2]["acc_e6"] < 1_000_000
     assert sum(r["n_queries"] for r in got.values()) == 24
+
+
+def test_norm_profile_buckets_and_zero_vector(spark, tmp_path):
+    """sim_norm_profile: exact log2 buckets of the quantized norm2,
+    the planted zero vector lands in the sentinel -1 bucket, and
+    per-bucket counts reconcile with a numpy transcription."""
+    import math
+    import os
+
+    from denrl_spark.plans.driver_queries import sim_norm_profile
+
+    rng = np.random.default_rng(13)
+    rows = [(i, [float(x) for x in rng.normal(scale=0.3, size=64)], 0)
+            for i in range(10)]
+    rows.append((99, [0.0] * 64, 0))          # degenerate vector
+    rows.append((98, [4.0] * 64, 0))          # large-norm mode
+    d = str(tmp_path / "norm")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    exp: dict = {}
+    for _, emb, _ in rows:
+        n2 = sum(math.floor(1_000_000 * float(np.float32(x))) ** 2 for x in emb)
+        b = -1 if n2 == 0 else n2.bit_length() - 1
+        n, lo, hi = exp.get(b, (0, None, None))
+        exp[b] = (n + 1, n2 if lo is None else min(lo, n2),
+                  n2 if hi is None else max(hi, n2))
+    got = {r["log2_bucket"]: (r["n_vecs"], r["min_norm2"], r["max_norm2"])
+           for r in sim_norm_profile(spark, d).collect()}
+    assert got == exp
+    assert -1 in got and got[-1] == (1, 0, 0)

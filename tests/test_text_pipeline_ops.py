@@ -935,3 +935,37 @@ def test_cooccur_window_exact_enumeration(spark, tmp_path):
     assert ("b", "d") not in got
     # 'a a' at distance 3 in doc 0: too far apart
     assert ("a", "a") not in got
+
+
+def test_shingle_df_profile_exact_buckets(spark, tmp_path):
+    """dedup_shingle_df_profile: a shingle shared by 4 docs lands in
+    log2 bucket 2 exactly (power-of-two boundary), singleton shingles
+    in bucket 0, and postings reconcile with the distinct
+    (doc, shingle) set."""
+    from denrl_spark.plans.driver_queries import dedup_shingle_df_profile
+
+    shared = "common block of words here"  # 3 shingles, df=4
+    rows = [(i, shared + f" tail{i}a tail{i}b", "en", "s", 1) for i in range(4)]
+    rows.append((9, "totally unique words appear here", "en", "s", 1))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    def sh3(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    df: dict = {}
+    for _, text, *_ in rows:
+        for s in sh3(text):
+            df[s] = df.get(s, 0) + 1
+    exp: dict = {}
+    for s, d in df.items():
+        b = d.bit_length() - 1
+        n, p, m = exp.get(b, (0, 0, 0))
+        exp[b] = (n + 1, p + d, max(m, d))
+    got = {r["log2_bucket"]: (r["n_shingles"], r["n_postings"], r["max_df"])
+           for r in dedup_shingle_df_profile(spark, sf).collect()}
+    assert got == exp
+    assert 2 in got and got[2][2] == 4  # the df=4 boilerplate block
