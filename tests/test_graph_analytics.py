@@ -1312,3 +1312,19 @@ def test_modularity_matches_python_newman_girvan(spark, tmp_path):
     # partition of the whole: e_in sums never exceed m, degrees sum to 2m
     assert sum(r["d_sum"] for r in got.values()) == 2 * m
     assert sum(r["e_in"] for r in got.values()) <= m
+
+
+def test_partition_invariance_round5_ops(edges, spark):
+    """Same purity property for the round-5 graph operators: coreness
+    (h-operator) and the LPA-modularity inputs are functions of the
+    edge set alone."""
+    from denrl_spark.operators.graph_analytics import (
+        coreness,
+        label_propagation,
+    )
+
+    shuffled = edges.repartition(7)
+    for op in (coreness, label_propagation):
+        a = sorted(map(tuple, op(edges).collect()))
+        b = sorted(map(tuple, op(shuffled).collect()))
+        assert a == b and len(a) > 0, op.__name__
