@@ -5113,3 +5113,91 @@ def rel_benford(spark, sf_dir):
         F.floor(1_000_000 * F.col("n") / F.col("t")).cast("bigint")
         .alias("share_e6"),
     )
+
+
+@_q(
+    "rel_conversion_latency",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE event_type IN ('view', 'click')),
+    v AS (SELECT user_id, min(t) AS tv FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(e.t) AS tc
+      FROM e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.t > v.tv
+      GROUP BY 1),
+    lat AS (
+      SELECT c.user_id, c.tc - v.tv AS latency_s
+      FROM c JOIN v ON v.user_id = c.user_id),
+    rk AS (
+      SELECT latency_s,
+             row_number() OVER (ORDER BY latency_s, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM lat)
+    SELECT CAST(q AS INT) AS quantile_pct,
+           CAST(min(latency_s) AS BIGINT) AS latency_s
+    FROM rk, (SELECT unnest([50, 90, 99]) AS q)
+    WHERE rn >= (q * n + 99) // 100
+    GROUP BY 1
+    """,
+)
+def rel_conversion_latency(spark, sf_dir):
+    """CONVERSION-LATENCY QUANTILES — the funnel's companion metric:
+    per converting user the exact integer seconds from first view to
+    first strictly-later click, then the exact p50/p90/p99 by the
+    integer rank rule rn = ceil(q*n/100) (the smallest latency whose
+    rank reaches the quantile — no interpolation, hash-exact; ties
+    broken by user_id make the rank deterministic even on equal
+    latencies). The product-analytics number a funnel dashboard pairs
+    with its stage counts.
+
+    Shape: two conditional min-aggregates chained through a shrinking
+    user-keyed equi-join (the rel_funnel shape — no per-user windows),
+    then the DISTRIBUTED range-partitioned ranker over the
+    |converting users| frame (functions/ranking.py — no Exchange
+    SinglePartition; the hygiene gate rejected the naive global
+    window formulation of this query). The ranked frame is one row
+    per converting user, orders of magnitude below the event log; for
+    a 100 TB log whose per-user frame is still huge, substitute the
+    rel_quantile_sketch histogram — this operator is the
+    exact-percentile member of that family, and the oracle restates
+    the identical rank rule."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+    ).where(F.col("event_type").isin("view", "click"))
+    v = (
+        e.where("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tv"))
+    )
+    c = (
+        e.where("event_type = 'click'")
+        .join(v, "user_id")
+        .where(F.col("t") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tc"))
+    )
+    lat = c.join(v, "user_id").select(
+        "user_id", (F.col("tc") - F.col("tv")).alias("latency_s")
+    )
+    # global exact rank WITHOUT an Exchange SinglePartition: the
+    # distributed range-partitioned ranker (functions/ranking.py, the
+    # build_vocab machinery); n comes off the ranked frame's count
+    # action and returns as a literal (text_source_mixture pattern)
+    from denrl_spark.functions.ranking import with_global_row_number
+
+    rk = with_global_row_number(
+        lat, [F.asc("latency_s"), F.asc("user_id")], out_col="rn0"
+    ).withColumn("rn", F.col("rn0") + 1)
+    n = rk.count()
+    q = spark.createDataFrame([(50,), (90,), (99,)], "q int")
+    return (
+        rk.crossJoin(F.broadcast(q))
+        .where(F.col("rn") >= F.floor((F.col("q") * F.lit(n) + 99) / 100))
+        .groupBy(F.col("q").cast("int").alias("quantile_pct"))
+        .agg(F.min("latency_s").cast("bigint").alias("latency_s"))
+    )

@@ -1479,3 +1479,47 @@ def test_benford_profile_exact_digits(spark, tmp_path):
     assert sum(r["share_e6"] for r in got.values()) <= 1_000_000
     # 0.001 and 0.009 quantize below one cent and are excluded
     assert t == len(vals) - 2
+
+
+def test_conversion_latency_exact_rank_rule(spark, tmp_path):
+    """rel_conversion_latency against a Python transcription: only
+    strictly-later clicks convert, latency = first click - first view,
+    and each percentile is the min latency with rank >= ceil(q*n/100)."""
+    import datetime
+    import os
+
+    from denrl_spark.plans.driver_queries import rel_conversion_latency
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, u, sec, et):
+        return (eid, t0 + datetime.timedelta(seconds=sec), u, et, 1.0, "{}")
+
+    rows = [
+        # u1 converts in 10s; u2 in 100s; u3 in 1000s; u4 in 5s
+        ev(0, 1, 0, "view"), ev(1, 1, 10, "click"),
+        ev(2, 2, 0, "view"), ev(3, 2, 100, "click"),
+        ev(4, 3, 0, "view"), ev(5, 3, 1000, "click"),
+        ev(6, 4, 0, "view"), ev(7, 4, 5, "click"),
+        # u5: click BEFORE view only -> no conversion
+        ev(8, 5, 0, "click"), ev(9, 5, 10, "view"),
+        # u6: view only
+        ev(10, 6, 0, "view"),
+    ]
+    d = str(tmp_path / "lat")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    lats = sorted([10, 100, 1000, 5])
+    n = len(lats)
+    exp = {}
+    for q in (50, 90, 99):
+        rank = -(-q * n // 100)  # ceil
+        exp[q] = lats[rank - 1]
+    got = {r["quantile_pct"]: r["latency_s"]
+           for r in rel_conversion_latency(spark, d).collect()}
+    assert got == exp
+    assert got[50] == 10 and got[99] == 1000
