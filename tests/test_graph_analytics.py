@@ -1328,3 +1328,30 @@ def test_partition_invariance_round5_ops(edges, spark):
         a = sorted(map(tuple, op(edges).collect()))
         b = sorted(map(tuple, op(shuffled).collect()))
         assert a == b and len(a) > 0, op.__name__
+
+
+def test_pred_gini_matches_transcription(spark):
+    """kg_pred_gini on the real sf0.001 extraction equals a literal
+    Python recomputation of (n^2 - sum n_o^2)/n^2 over
+    observation-weighted object counts."""
+    import math
+
+    from denrl_spark.plans import docs_kg
+    from denrl_spark.plans.driver_queries import kg_pred_gini
+
+    sf = "/root/testdata/sf0.001"
+    edges = docs_kg.edges_by_doc(spark, sf).collect()
+    per: dict = {}
+    for r in edges:
+        per.setdefault(r["pred"], {}).setdefault(r["dst_surface"], 0)
+        per[r["pred"]][r["dst_surface"]] += r["n_obs"]
+    got = {r["pred"]: r for r in kg_pred_gini(spark, sf).collect()}
+    assert set(got) == set(per)
+    for pred, objs in per.items():
+        n = sum(objs.values())
+        ss = sum(v * v for v in objs.values())
+        r = got[pred]
+        assert (r["n_obs"], r["n_objects"]) == (n, len(objs))
+        assert r["gini_e6"] == math.floor(1_000_000 * ((n * n - ss) / (n * n)))
+    # sanity: a predicate with >1 object has gini > 0
+    assert any(r["gini_e6"] > 0 for r in got.values())

@@ -969,3 +969,30 @@ def test_shingle_df_profile_exact_buckets(spark, tmp_path):
            for r in dedup_shingle_df_profile(spark, sf).collect()}
     assert got == exp
     assert 2 in got and got[2][2] == 4  # the df=4 boilerplate block
+
+
+def test_dedup_rate_by_source_attribution(spark, tmp_path):
+    """dedup_rate_by_source attributes the dup loss to the flooding
+    source: a feed whose docs all lose the keep-list election reports
+    the high rate, the clean feed reports zero."""
+    from denrl_spark.plans.driver_queries import dedup_rate_by_source
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base, "clean", "en", 1),           # cluster rep (min doc_id)
+        (1, base, "flood", "en", 1),
+        (2, base, "flood", "en", 1),
+        (3, base.replace("today", "tonight"), "flood", "en", 1),
+        (4, "completely different text about spark shuffles and joins filters",
+         "clean", "en", 1),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {r["source"]: r for r in dedup_rate_by_source(spark, sf).collect()}
+    # all three flood docs join doc 0's cluster and lose to it
+    assert got["flood"]["n_docs"] == 3 and got["flood"]["n_kept"] == 0
+    assert got["flood"]["dup_rate_e6"] == 1_000_000
+    assert got["clean"]["n_docs"] == 2 and got["clean"]["n_kept"] == 2
+    assert got["clean"]["dup_rate_e6"] == 0
