@@ -1079,3 +1079,41 @@ def prefix_rerank_sql(
         SELECT query_id, rank, neighbor_id, cos_e3
         FROM ranked WHERE rank <= {k}
     """
+
+
+def quantized_components(
+    emb: DataFrame, cols: list[str], vec_col: str = "embedding"
+) -> DataFrame:
+    """(cols..., dim, e6): per-component EXACT 1e-6 quantization of the
+    embedding column — e6 = floor(1e6 * double(x)), the single place
+    the convention lives (float -> double widening is exact and both
+    engines floor the identical double). Shared by the centroid /
+    outlier / norm-profile family so their cross-query claim — that
+    distances and norms are computed over the SAME quantized
+    components — holds by construction, not by copy-paste."""
+    return emb.select(
+        *cols, F.posexplode(vec_col).alias("dim", "_x")
+    ).select(
+        *cols,
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(1_000_000 * F.col("_x").cast("double"))
+        .cast("bigint").alias("e6"),
+    )
+
+
+def label_centroids(x: DataFrame) -> DataFrame:
+    """(label, dim, n, sum_e6, mean_e6) over a quantized_components
+    frame carrying a label column: exact bigint sums, mean floored
+    once per cell — the class-prototype aggregate shared by
+    sim_label_centroids and sim_centroid_outliers."""
+    return (
+        x.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("e6").cast("bigint").alias("sum_e6"),
+        )
+        .select(
+            "label", "dim", "n", "sum_e6",
+            F.floor(F.col("sum_e6") / F.col("n")).cast("bigint").alias("mean_e6"),
+        )
+    )

@@ -2024,7 +2024,7 @@ def degree_distribution_sql(rel: str = "documents") -> str:
     identical exact-binary-length semantics."""
     return f"""
         WITH {_edges_cte(rel)},
-        {_und_cte()},
+        {_und_cte(materialized=True)},
         adj AS (SELECT va AS v, vb FROM u UNION ALL SELECT vb, va FROM u),
         deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1)
         SELECT CAST(length(printf('%b', deg)) - 1 AS BIGINT) AS bucket,
@@ -2621,7 +2621,7 @@ def coreness_sql(rel: str = "documents", rounds: int = 6) -> str:
     interchangeable under min(rank, c)."""
     body = f"""
         WITH {_edges_cte(rel)},
-        {_und_cte()},
+        {_und_cte(materialized=True)},
         adj AS MATERIALIZED (
           SELECT va AS v, vb AS nbr FROM u
           UNION ALL SELECT vb, va FROM u),

@@ -3924,8 +3924,10 @@ def text_bm25(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .localCheckpoint()
     )
+    # tf is unique per (doc_id, term) by construction, so a plain
+    # count IS the document frequency (and matches the twin's count(*))
     dfr = tf.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
+        F.count(F.lit(1)).cast("bigint").alias("df")
     )
     tf_part = F.floor(
         (1_000_000 * (22 * a_tok) * F.col("tf"))
@@ -4437,24 +4439,10 @@ def sim_label_centroids(spark, sf_dir):
     (label, dim): |labels| * dim result rows, shuffle bounded by the
     same. No joins, no windows; at 100 TB this is a pure partial-agg
     pipeline."""
-    return (
-        _t(spark, sf_dir, "embeddings")
-        .select("label", F.posexplode("embedding").alias("dim", "x"))
-        .select(
-            "label",
-            F.col("dim").cast("int").alias("dim"),
-            F.floor(1_000_000 * F.col("x").cast("double")).cast("bigint").alias("e6"),
-        )
-        .groupBy("label", "dim")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("e6").cast("bigint").alias("sum_e6"),
-        )
-        .select(
-            "label", "dim", "n", "sum_e6",
-            F.floor(F.col("sum_e6") / F.col("n")).cast("bigint").alias("mean_e6"),
-        )
+    x = similarity.quantized_components(
+        _t(spark, sf_dir, "embeddings"), ["label"]
     )
+    return similarity.label_centroids(x)
 
 
 @_q("kg_modularity", docs_kg.modularity_sql())
@@ -4650,19 +4638,10 @@ def sim_centroid_outliers(spark, sf_dir):
     two-column parquet read); the centroid table is |labels| * dim
     rows and BROADCASTS back; one vec-keyed aggregate; one per-LABEL
     window (partitioned top-k, never a global sort)."""
-    x = (
-        _t(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", F.posexplode("embedding").alias("dim", "xx"))
-        .select(
-            "vec_id", "label",
-            F.col("dim").cast("int").alias("dim"),
-            F.floor(1_000_000 * F.col("xx").cast("double"))
-            .cast("bigint").alias("e6"),
-        )
+    x = similarity.quantized_components(
+        _t(spark, sf_dir, "embeddings"), ["vec_id", "label"]
     )
-    cent = x.groupBy("label", "dim").agg(
-        F.floor(F.sum("e6") / F.count(F.lit(1))).cast("bigint").alias("mean_e6")
-    )
+    cent = similarity.label_centroids(x).select("label", "dim", "mean_e6")
     d2 = (
         x.join(F.broadcast(cent), ["label", "dim"])
         .groupBy("vec_id", "label")
@@ -4793,7 +4772,17 @@ def text_cooccur_window(spark, sf_dir):
         )
         .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
     )
-    marg = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    # the vocab-sized marginal frame is localCheckpointed: it feeds the
+    # two marginal joins AND the totals action, which would otherwise
+    # re-evaluate the corpus explode once each. The token frame itself
+    # is deliberately NOT checkpointed (materializing the exploded
+    # corpus costs more than the second columnar scan the pair join
+    # pays — the sim_centroid_outliers trade).
+    marg = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+        .localCheckpoint()
+    )
     t_total = int(
         marg.agg(F.sum("n_w").alias("t")).collect()[0]["t"]
     )
@@ -5033,12 +5022,8 @@ def sim_norm_profile(spark, sf_dir):
     Shape: one scan -> posexplode -> one vec-keyed map-side-combined
     aggregate -> one |buckets|-bounded aggregate. Pure partial-agg
     pipeline, no joins."""
-    x = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.posexplode("embedding").alias("dim", "xx"),
-    ).select(
-        "vec_id",
-        F.floor(1_000_000 * F.col("xx").cast("double")).cast("bigint").alias("e6"),
+    x = similarity.quantized_components(
+        _t(spark, sf_dir, "embeddings"), ["vec_id"]
     )
     n2 = x.groupBy("vec_id").agg(
         F.sum(F.col("e6") * F.col("e6")).cast("bigint").alias("norm2")
