@@ -5186,3 +5186,84 @@ def rel_conversion_latency(spark, sf_dir):
         .groupBy(F.col("q").cast("int").alias("quantile_pct"))
         .agg(F.min("latency_s").cast("bigint").alias("latency_s"))
     )
+
+
+_RECALL_EVAL_SQL = """
+    WITH exact_t AS (SELECT * FROM ({exact_sql})),
+    ann AS (SELECT * FROM ({ann_sql})),
+    j AS (
+      SELECT e.query_id,
+             CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact_t e
+      LEFT JOIN ann a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS k_exact,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           CAST((1000000 * sum(hit)) // count(*) AS BIGINT) AS recall_ppm
+    FROM j GROUP BY 1
+"""
+
+
+def _recall_eval(spark, sf_dir, ann: DataFrame) -> DataFrame:
+    """Shared recall@k evaluator: exact cosine top-k LEFT-joined to an
+    index's top-k on (query_id, neighbor_id), per-query recall in
+    exact integer ppm (the sim_recall_eval shape, factored so every
+    registered index evaluates through the identical comparison)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 8")
+    exact = cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    a = ann.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        exact.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id", "k_exact", "n_hit",
+            F.floor((1_000_000 * F.col("n_hit")) / F.col("k_exact"))
+            .cast("long").alias("recall_ppm"),
+        )
+    )
+
+
+@_q(
+    "sim_ivf_recall",
+    _RECALL_EVAL_SQL.format(
+        exact_sql=ORACLES["sim_cosine_topk"], ann_sql=ORACLES["sim_ivf_topk"]
+    ),
+)
+def sim_ivf_recall(spark, sf_dir):
+    """IVF INDEX QUALITY EVALUATION — per-query recall@3 of the
+    inverted-list index (sim_ivf_topk) against exact brute force, in
+    exact integer ppm: the registered, hash-verified counterpart of
+    the measured-recall assertions in tests/test_similarity.py, so an
+    IVF rebuild's quality regression shows up in the driver contract
+    itself. Completes the one-eval-per-index rule: LSH has
+    sim_recall_eval, PQ has sim_pq_recall, kNN labels have
+    sim_knn_probe. Shape: two index subplans + one k-bounded equi-join
+    + one query-keyed aggregate — eval costs no more than the probes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return _recall_eval(
+        spark, sf_dir, similarity.ivf_topk(emb, emb.where("vec_id < 8"), k=3)
+    )
+
+
+@_q(
+    "sim_pq_recall",
+    _RECALL_EVAL_SQL.format(
+        exact_sql=ORACLES["sim_cosine_topk"], ann_sql=ORACLES["sim_pq_adc"]
+    ),
+)
+def sim_pq_recall(spark, sf_dir):
+    """PQ-ADC INDEX QUALITY EVALUATION — per-query recall@3 of the
+    product-quantized asymmetric-distance search (sim_pq_adc) against
+    exact brute force, exact integer ppm. The compression-loss
+    monitor: falling PQ recall after a codebook rebuild means the
+    subspace quantizers stopped covering the corpus. Same shared
+    evaluator shape as sim_ivf_recall / sim_recall_eval."""
+    return _recall_eval(
+        spark, sf_dir, similarity.pq_adc_topk(_t(spark, sf_dir, "embeddings"))
+    )

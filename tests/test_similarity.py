@@ -754,3 +754,37 @@ def test_norm_profile_buckets_and_zero_vector(spark, tmp_path):
            for r in sim_norm_profile(spark, d).collect()}
     assert got == exp
     assert -1 in got and got[-1] == (1, 0, 0)
+
+
+def test_registered_recall_evals_reconcile(spark):
+    """The three registered index evals (LSH / IVF / PQ) reconcile
+    with a direct set comparison of their index's top-k against exact
+    top-k on the real sf0.01 tables — the eval query IS the recall
+    measurement, not an independent estimate."""
+    from denrl_spark.functions.similarity import ivf_topk, pq_adc_topk
+    from denrl_spark.plans.driver_queries import (
+        sim_ivf_recall,
+        sim_pq_recall,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.where("vec_id < 8")
+    exact = {}
+    for r in cosine_topk(emb, q, k=3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    for fn, index in (
+        (sim_ivf_recall, ivf_topk(emb, q, k=3)),
+        (sim_pq_recall, pq_adc_topk(emb)),
+    ):
+        got = {r["query_id"]: r for r in fn(spark, sf).collect()}
+        ann = {}
+        for r in index.select("query_id", "neighbor_id").collect():
+            ann.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert set(got) == set(exact)
+        for qid, ex in exact.items():
+            hit = len(ex & ann.get(qid, set()))
+            r = got[qid]
+            assert (r["k_exact"], r["n_hit"]) == (len(ex), hit)
+            assert r["recall_ppm"] == (1_000_000 * hit) // len(ex)
