@@ -28,6 +28,8 @@ QUERY_NAMES = [
     "dedup_rate_by_source",
     "dedup_shingle_df_profile",
     "sim_rrf",
+    "sim_ivf_recall",
+    "sim_pq_recall",
     "sim_knn_probe",
     "sim_label_centroids",
     "sim_centroid_outliers",
