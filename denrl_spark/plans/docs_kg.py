@@ -2661,3 +2661,26 @@ def pred_gini_sql(rel: str = "documents") -> str:
                     / CAST(n * n AS DOUBLE))) AS BIGINT) AS gini_e6
         FROM tot
     """
+
+
+def transitive_edges_sql(rel: str = "documents") -> str:
+    """kg_transitive_edges twin: same-predicate 2-hop closure
+    candidates with a present flag (LEFT join against the direct edge
+    set). Distinct edge grain (n_obs-independent), exact integer path
+    counts."""
+    return f"""
+        WITH {_edges_cte(rel)},
+        de AS MATERIALIZED (
+          SELECT DISTINCT src_surface AS s, pred, dst_surface AS d
+          FROM edges WHERE src_surface <> dst_surface),
+        paths AS (
+          SELECT a.s, a.pred, b.d, CAST(count(*) AS BIGINT) AS n_paths
+          FROM de a JOIN de b ON b.s = a.d AND b.pred = a.pred
+          WHERE a.s <> b.d
+          GROUP BY 1, 2, 3)
+        SELECT p.s AS src_surface, p.pred, p.d AS dst_surface, p.n_paths,
+               CAST(CASE WHEN de.s IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                 AS present
+        FROM paths p
+        LEFT JOIN de ON de.s = p.s AND de.pred = p.pred AND de.d = p.d
+    """

@@ -5267,3 +5267,50 @@ def sim_pq_recall(spark, sf_dir):
     return _recall_eval(
         spark, sf_dir, similarity.pq_adc_topk(_t(spark, sf_dir, "embeddings"))
     )
+
+
+@_q("kg_transitive_edges", docs_kg.transitive_edges_sql())
+def kg_transitive_edges(spark, sf_dir):
+    """SAME-PREDICATE CLOSURE CANDIDATES — every (A, p, C) implied by
+    a 2-hop chain A-p->B-p->C, with the exact number of implying
+    paths and whether the shortcut edge is PRESENT. The two halves
+    are the two classic consumers: present=1 rows are transitive
+    REDUNDANCY a KG compaction can drop (keeping n_paths as
+    provenance); present=0 rows are the INFERRED-edge candidates a
+    completion pass materializes for transitive predicates — and for
+    non-transitive predicates a high closure rate flags hub-induced
+    spurious extraction. Distinct edge grain so n_obs weighting never
+    inflates path counts.
+
+    Shape: the kg_two_hop middle-vertex equi-join restricted to a
+    shared predicate key ((pred, mid) composite — tighter than
+    two_hop's join, AQE splits hot middles), one map-side-combined
+    path count, one LEFT equi-join against the direct edge set. No
+    nested loops; output bounded by same-predicate 2-hop pairs."""
+    de = (
+        docs_kg.edges_by_doc(spark, sf_dir)
+        .select(
+            F.col("src_surface").alias("s"), "pred",
+            F.col("dst_surface").alias("d"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    b = de.select(
+        F.col("s").alias("mid"), F.col("pred").alias("pred"),
+        F.col("d").alias("d2"),
+    )
+    paths = (
+        de.join(b, (de["d"] == b["mid"]) & (de["pred"] == b["pred"]))
+        .where(de["s"] != b["d2"])
+        .groupBy(de["s"].alias("s"), de["pred"].alias("pred"),
+                 b["d2"].alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )
+    direct = de.withColumn("present", F.lit(1))
+    return paths.join(direct, ["s", "pred", "d"], "left").select(
+        F.col("s").alias("src_surface"), "pred",
+        F.col("d").alias("dst_surface"), "n_paths",
+        F.coalesce("present", F.lit(0)).cast("int").alias("present"),
+    )

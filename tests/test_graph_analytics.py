@@ -1355,3 +1355,32 @@ def test_pred_gini_matches_transcription(spark):
         assert r["gini_e6"] == math.floor(1_000_000 * ((n * n - ss) / (n * n)))
     # sanity: a predicate with >1 object has gini > 0
     assert any(r["gini_e6"] > 0 for r in got.values())
+
+
+def test_transitive_edges_matches_closure_twin(spark):
+    """kg_transitive_edges on the real sf0.001 extraction equals a
+    literal Python closure twin: every same-predicate 2-hop pair
+    appears exactly once with its implying-path count, and present
+    flags membership in the direct edge set."""
+    from denrl_spark.plans import docs_kg
+    from denrl_spark.plans.driver_queries import kg_transitive_edges
+
+    sf = "/root/testdata/sf0.001"
+    de = {
+        (r["src_surface"], r["pred"], r["dst_surface"])
+        for r in docs_kg.edges_by_doc(spark, sf).collect()
+        if r["src_surface"] != r["dst_surface"]
+    }
+    exp: dict = {}
+    for (s, p, d) in de:
+        for (s2, p2, d2) in de:
+            if s2 == d and p2 == p and s != d2:
+                k = (s, p, d2)
+                exp[k] = exp.get(k, 0) + 1
+    got = {(r["src_surface"], r["pred"], r["dst_surface"]):
+           (r["n_paths"], r["present"])
+           for r in kg_transitive_edges(spark, sf).collect()}
+    assert set(got) == set(exp)
+    for k, (n, pres) in got.items():
+        assert n == exp[k]
+        assert pres == int(k in de)
