@@ -21,6 +21,10 @@ import pytest
 from denrl_spark.plans.driver_queries import ORACLES, QUERIES
 
 QUERY_NAMES = [
+    "kg_coreness",
+    "kg_modularity",
+    "kg_pred_gini",
+    "kg_transitive_edges",
     "text_bm25",
     "dedup_levenshtein",
     "dedup_est_vs_exact",
