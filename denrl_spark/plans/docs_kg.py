@@ -2684,3 +2684,38 @@ def transitive_edges_sql(rel: str = "documents") -> str:
         FROM paths p
         LEFT JOIN de ON de.s = p.s AND de.pred = p.pred AND de.d = p.d
     """
+
+
+_DE_CTE = """de AS MATERIALIZED (
+          SELECT DISTINCT src_surface AS s, pred, dst_surface AS d
+          FROM edges WHERE src_surface <> dst_surface)"""
+
+
+def metapaths_sql(rel: str = "documents") -> str:
+    """kg_metapaths twin: 2-hop predicate-sequence profile over the
+    distinct directed edge set."""
+    return f"""
+        WITH {_edges_cte(rel)},
+        {_DE_CTE}
+        SELECT a.pred AS pred_a, b.pred AS pred_b,
+               CAST(count(*) AS BIGINT) AS n_paths,
+               CAST(count(DISTINCT a.s || '>' || b.d) AS BIGINT) AS n_pairs
+        FROM de a JOIN de b ON b.s = a.d
+        WHERE a.s <> b.d
+        GROUP BY 1, 2
+    """
+
+
+def edge_explanations_sql(rel: str = "documents") -> str:
+    """kg_edge_explanations twin: alternate 2-hop routes for each
+    present direct edge."""
+    return f"""
+        WITH {_edges_cte(rel)},
+        {_DE_CTE}
+        SELECT e.s AS src_surface, e.pred, e.d AS dst_surface,
+               a.d AS mid, a.pred AS pred_a, b.pred AS pred_b
+        FROM de e
+        JOIN de a ON a.s = e.s
+        JOIN de b ON b.s = a.d AND b.d = e.d
+        WHERE a.d <> e.s AND a.d <> e.d
+    """

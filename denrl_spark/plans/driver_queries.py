@@ -5314,3 +5314,86 @@ def kg_transitive_edges(spark, sf_dir):
         F.col("d").alias("dst_surface"), "n_paths",
         F.coalesce("present", F.lit(0)).cast("int").alias("present"),
     )
+
+
+def _distinct_edges(spark, sf_dir):
+    """Distinct directed (s, pred, d) edge set, self-loops dropped —
+    the shared operand of the path-shaped KG queries."""
+    return (
+        docs_kg.edges_by_doc(spark, sf_dir)
+        .select(
+            F.col("src_surface").alias("s"), "pred",
+            F.col("dst_surface").alias("d"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+@_q("kg_metapaths", docs_kg.metapaths_sql())
+def kg_metapaths(spark, sf_dir):
+    """METAPATH PROFILE — the distribution of predicate SEQUENCES over
+    2-hop paths (metapath2vec / HIN-mining lineage): which relation
+    compositions actually occur, with path and distinct-endpoint-pair
+    counts. The schema-level signal for which composite relations are
+    worth materializing (a dominant (p1, p2) metapath with high
+    n_pairs is a candidate derived edge type) and the input to
+    metapath-guided random walks. Exact integer counts at distinct
+    edge grain.
+
+    Shape: the middle-vertex equi-join (kg_two_hop's shape, AQE skew
+    split on hubs) -> ONE map-side-combined aggregate keyed by the
+    |preds|^2-bounded predicate pair. Output is schema-sized, not
+    graph-sized."""
+    de = _distinct_edges(spark, sf_dir)
+    b = de.select(
+        F.col("s").alias("mid"), F.col("pred").alias("pred_b"),
+        F.col("d").alias("d2"),
+    )
+    return (
+        de.join(b, de["d"] == b["mid"])
+        .where(de["s"] != b["d2"])
+        .groupBy(de["pred"].alias("pred_a"), b["pred_b"].alias("pred_b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+            F.countDistinct(
+                F.concat(de["s"], F.lit(">"), b["d2"])
+            ).cast("bigint").alias("n_pairs"),
+        )
+    )
+
+
+@_q("kg_edge_explanations", docs_kg.edge_explanations_sql())
+def kg_edge_explanations(spark, sf_dir):
+    """EDGE EXPLANATIONS — for every present direct edge, the
+    alternate 2-hop routes between its endpoints (mid vertex +
+    predicate sequence): the provenance answer a KG-serving API gives
+    to "why/how else are X and Z related?", and the redundancy signal
+    graded per edge (an edge with many alternate routes survives
+    source-document deletion; one with none is single-sourced).
+    Cross-predicate closure at explanation grain — kg_triangles /
+    kg_motifs count these shapes, this query NAMES them.
+
+    Shape: one (src-keyed) equi-join of the edge set to itself + one
+    closing equi-join on (mid, dst) — the compact two-join closure,
+    no nested loop; output bounded by closed wedges."""
+    de = _distinct_edges(spark, sf_dir)
+    a = de.select(
+        F.col("s").alias("sa"), F.col("pred").alias("pred_a"),
+        F.col("d").alias("mid"),
+    )
+    b = de.select(
+        F.col("s").alias("sb"), F.col("pred").alias("pred_b"),
+        F.col("d").alias("db"),
+    )
+    return (
+        de.join(a, de["s"] == a["sa"])
+        .join(b, (a["mid"] == b["sb"]) & (de["d"] == b["db"]))
+        .where((a["mid"] != de["s"]) & (a["mid"] != de["d"]))
+        .select(
+            de["s"].alias("src_surface"), de["pred"].alias("pred"),
+            de["d"].alias("dst_surface"),
+            a["mid"].alias("mid"), "pred_a", "pred_b",
+        )
+    )

@@ -1384,3 +1384,47 @@ def test_transitive_edges_matches_closure_twin(spark):
     for k, (n, pres) in got.items():
         assert n == exp[k]
         assert pres == int(k in de)
+
+
+def test_metapaths_and_explanations_match_twins(spark):
+    """kg_metapaths and kg_edge_explanations on the real sf0.001
+    extraction equal literal Python twins over the distinct directed
+    edge set (every 2-hop path counted once; every closed wedge named
+    once with its mid vertex and predicate sequence)."""
+    from denrl_spark.plans import docs_kg
+    from denrl_spark.plans.driver_queries import (
+        kg_edge_explanations,
+        kg_metapaths,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    de = {
+        (r["src_surface"], r["pred"], r["dst_surface"])
+        for r in docs_kg.edges_by_doc(spark, sf).collect()
+        if r["src_surface"] != r["dst_surface"]
+    }
+    mp: dict = {}
+    pairs: dict = {}
+    for (s, p, d) in de:
+        for (s2, p2, d2) in de:
+            if s2 == d and s != d2:
+                k = (p, p2)
+                mp[k] = mp.get(k, 0) + 1
+                pairs.setdefault(k, set()).add((s, d2))
+    expl = {
+        (s, p, d, mid, p2, p3)
+        for (s, p, d) in de                    # the direct edge
+        for (s2, p2, mid) in de                # first hop from s
+        if s2 == s and mid not in (s, d)
+        for (s3, p3, d3) in de                 # closing hop to d
+        if s3 == mid and d3 == d
+    }
+    got_mp = {(r["pred_a"], r["pred_b"]): (r["n_paths"], r["n_pairs"])
+              for r in kg_metapaths(spark, sf).collect()}
+    assert got_mp == {k: (n, len(pairs[k])) for k, n in mp.items()}
+    got_ex = {
+        (r["src_surface"], r["pred"], r["dst_surface"],
+         r["mid"], r["pred_a"], r["pred_b"])
+        for r in kg_edge_explanations(spark, sf).collect()
+    }
+    assert got_ex == expl
