@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from denrl_spark.plans.docs_kg import docs_kb, transcripts_from_documents
 
     tr = transcripts_from_documents(spark, "/root/testdata/sf0.001")
-    return extract_triples_fused(tr, docs_kb(), mode="gold")
+    return extract_triples_fused(tr, docs_kb(), mode="gold", n_partitions=0)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -69,12 +69,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bandwidth-bound simple expressions where the repartition shuffle
     costs more than the single task (measured rel_agg_stats 0.4s ->
     0.7s). Same rationale as docs_kg.load_documents; a no-op at
-    production scale where every table has >= cores splits."""
+    production scale where every table has >= cores splits. The split
+    count probe is cached per (path, cores) — see
+    docs_kg.lift_to_parallelism (r6: ~0.11s driver stall per probe)."""
     d = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in ("documents", "embeddings"):
-        p = spark.sparkContext.defaultParallelism
-        if d.rdd.getNumPartitions() < p:
-            d = d.repartition(p)
+        d = docs_kg.lift_to_parallelism(d, f"{sf_dir}/{name}.parquet")
     return d
 
 
@@ -112,7 +112,9 @@ def kg_gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from denrl_spark.operators.fused import extract_triples_fused
 
     tr = docs_kg.transcripts_from_documents(spark, sf_dir)
-    return extract_triples_fused(tr, docs_kg.docs_kb(), mode="gold")
+    # n_partitions=0: the lifted documents scan is already at cluster
+    # parallelism; skip the redundant hash exchange (guide §2.4)
+    return extract_triples_fused(tr, docs_kg.docs_kb(), mode="gold", n_partitions=0)
 
 
 @_raw("kg_pred_triples")  # scored prediction path, fused fast path
@@ -120,7 +122,7 @@ def kg_pred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from denrl_spark.operators.fused import extract_triples_fused
 
     tr = docs_kg.transcripts_from_documents(spark, sf_dir)
-    return extract_triples_fused(tr, docs_kg.docs_kb(), mode="pred")
+    return extract_triples_fused(tr, docs_kg.docs_kb(), mode="pred", n_partitions=0)
 
 
 @_raw("kg_gold_triples_modular")  # modular operator chain (tests
