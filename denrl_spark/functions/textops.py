@@ -510,13 +510,14 @@ def lsh_candidate_pairs(
     n_bands=8 on real corpora, and the standard production trade
     (exact-dedup first, cap what remains).
 
-    The per-bucket stats join and the self-join carry shuffle_hash
-    hints: both sides descend from a localCheckpoint whose RDD scan
-    reports bogus size estimates, and a statically-planned broadcast of
-    a corpus-sized signature table (the kg_edges incident,
-    plans/docs_kg.py) cannot be reverted by AQE — the hint pins the
-    scale-safe shuffle join; AQE skew splitting still handles the
-    degenerate bucket."""
+    The small-bucket self-join carries shuffle_hash hints: both sides
+    descend from a localCheckpoint whose RDD scan reports bogus size
+    estimates, and a statically-planned broadcast of a corpus-sized
+    signature table (the kg_edges incident, plans/docs_kg.py) cannot be
+    reverted by AQE — the hint pins the scale-safe shuffle join; AQE
+    skew splitting still handles the degenerate bucket. Per-bucket
+    stats are count/min windows sharing one (band, mh) exchange (r6;
+    the former groupBy+join shape shuffled the signature table twice)."""
     sig = (
         minhash_from_shingles(sh, n_bands)
         if sh is not None
@@ -530,14 +531,23 @@ def lsh_candidate_pairs(
     # sf0.1). sig is n_docs x n_bands rows — checkpoint-cheap at any
     # scale next to recomputing the shingle pipeline.
     sig = sig.localCheckpoint()
-    stats = sig.groupBy("band", "mh").agg(
-        F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_bmin")
+    # Bucket stats as count/min windows over ONE (band, mh) exchange —
+    # the r5 groupBy+equi-join formulation shuffled the signature table
+    # by (band, mh) twice (once for the agg, once for the join) and
+    # needed the join pinned with shuffle_hash hints plus an extra
+    # checkpoint barrier; the window shape computes the same (_bsz,
+    # _bmin) per row in one pass (guide §2.4: operations keyed the same
+    # way share one exchange). Window partitions are LSH buckets —
+    # bounded by the corpus's bucket distribution, with the degenerate
+    # boilerplate bucket exactly the case bucket_cap exists for.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "mh")
+    sig = (
+        sig.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .withColumn("_bmin", F.min("doc_id").over(w))
+        .localCheckpoint()
     )
-    # shuffle_hash hints: see docstring — checkpointed scans carry bogus
-    # size estimates and must never be statically broadcast at scale
-    sig = sig.hint("shuffle_hash").join(
-        stats.hint("shuffle_hash"), ["band", "mh"]
-    ).localCheckpoint()
     small = sig.where(F.col("_bsz") <= bucket_cap)
     a = small.hint("shuffle_hash").alias("a")
     b = small.hint("shuffle_hash").alias("b")

@@ -140,18 +140,20 @@ def kg_gold_triples_modular(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from denrl_spark.operators.graph import materialize_graph
 
-    # EAGERLY-materialized cache (cache + count), for two reasons:
-    # (1) the graph consumes the triples in three subtrees of ONE
-    # action, and a lazy cache lets those concurrent stages race to
-    # populate the same partitions — each racer re-runs the Python
-    # extraction (measured ~19s vs ~6s at sf0.1/32c); (2) unlike
-    # localCheckpoint (whose RDD scan reports bogus size estimates that
-    # made the planner broadcast the 3.9M-row TRIPLES side of the
-    # canonical-map join), a materialized InMemoryRelation gives the
-    # planner exact stats, so it broadcasts the small mention map and
-    # shuffles the big side — the right join at every scale.
+    # LAZILY-materialized cache (r6; was cache + count). The r3 race —
+    # concurrent subtrees of one action each re-running the Python
+    # extraction (~19s vs ~6s) — cannot occur under eager="edges",
+    # because materialize_graph SERIALIZES the two triple consumers: the
+    # mention-map cache+count job populates this cache first (single
+    # subtree), and the edges-checkpoint job then reads it warm. Dropping
+    # the explicit count() removes one full pass over the triples
+    # (~0.6s at sf0.1/32c). The cache (not localCheckpoint) is still
+    # load-bearing: a checkpointed RDD scan reports bogus size estimates
+    # that once made the planner broadcast the 3.9M-row TRIPLES side of
+    # the canonical-map join; the InMemoryRelation gives exact stats, so
+    # the small mention map is broadcast and the big side shuffles — the
+    # right join at every scale.
     trips = kg_gold_triples(spark, sf_dir).cache()
-    trips.count()
     # eager="edges": edges come back materialized (localCheckpoint) so
     # both caches (triples here, mention map inside) can be released
     # before returning — repeated invocations in a long session no
