@@ -523,14 +523,6 @@ def lsh_candidate_pairs(
         if sh is not None
         else minhash_signatures(docs, n_bands)
     )
-    # The signature table feeds FOUR subtrees (bucket stats, both sides
-    # of the small-bucket self-join, the star branch) and Spark's
-    # ReuseExchange does not fire across them (different downstream
-    # partitionings) — without a barrier the shingle scan + band-min
-    # aggregation run 4x (measured: 6 FileScans, 0 ReusedExchange at
-    # sf0.1). sig is n_docs x n_bands rows — checkpoint-cheap at any
-    # scale next to recomputing the shingle pipeline.
-    sig = sig.localCheckpoint()
     # Bucket stats as count/min windows over ONE (band, mh) exchange —
     # the r5 groupBy+equi-join formulation shuffled the signature table
     # by (band, mh) twice (once for the agg, once for the join) and
@@ -540,6 +532,14 @@ def lsh_candidate_pairs(
     # way share one exchange). Window partitions are LSH buckets —
     # bounded by the corpus's bucket distribution, with the degenerate
     # boilerplate bucket exactly the case bucket_cap exists for.
+    # With the stats folded into the window, the raw signature table has
+    # exactly ONE consumer, so the r5 pre-window localCheckpoint is
+    # gone too; the single barrier below covers the three remaining
+    # subtrees (self-join sides + star branch) — without it the shingle
+    # scan + band-min aggregation would run 3x (ReuseExchange does not
+    # fire across their different downstream partitionings). sig is
+    # n_docs x n_bands rows — checkpoint-cheap at any scale next to
+    # recomputing the shingle pipeline.
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "mh")
