@@ -413,6 +413,19 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def distinct_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle), deduplicated — row-identical to
+    ``shingles(docs).distinct()`` but WITHOUT the global distinct
+    exchange: (doc_id, shingle) uniqueness is per-doc-keyed, so
+    ``array_distinct`` before the explode does the whole job inside the
+    scan stage (r6, guide §2.4 — a `distinct` on data that is already
+    unique per partition key is an accidental shuffle)."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngram_array(_toks(), n))).alias("shingle"),
+    )
+
+
 def minhash_signature_cols(
     df: DataFrame, text_col: str = "text", n_bands: int = N_BANDS
 ) -> DataFrame:
@@ -577,7 +590,7 @@ def jaccard_verify_pairs(
     risks. ``sh`` optionally supplies a prebuilt DISTINCT
     (doc_id, shingle) frame shared with candidate generation."""
     if sh is None:
-        sh = shingles(docs).distinct()
+        sh = distinct_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
@@ -616,7 +629,7 @@ def jaccard_pairs_pruned(
     the shingle scan; measured ~1.5s of the 4.7s query at sf0.1/32c).
     The checkpoint is corpus-shingle-sized and its blocks are released
     by the context cleaner once the query's RDD goes out of scope."""
-    shd = shingles(docs).distinct().localCheckpoint()
+    shd = distinct_shingles(docs).localCheckpoint()
     cand = lsh_candidate_pairs(docs, n_bands, sh=shd)
     return jaccard_verify_pairs(docs, cand, min_j_e6, sh=shd)
 
@@ -638,7 +651,7 @@ def near_dup_clusters(
     from denrl_spark.operators.linking import connected_components
 
     # shared checkpointed shingle table: see jaccard_pairs_pruned
-    shd = shingles(docs).distinct().localCheckpoint()
+    shd = distinct_shingles(docs).localCheckpoint()
     cand = lsh_candidate_pairs(docs, n_bands, sh=shd)
     verified = jaccard_verify_pairs(docs, cand, min_j_e6, sh=shd)
     nodes = docs.select(F.col("doc_id").alias("node_id"))
@@ -732,7 +745,7 @@ def jaccard_pairs(docs: DataFrame, min_j_e6: int = 200_000) -> DataFrame:
     """(doc_a, doc_b, j_e6): distinct-3-gram Jaccard >= threshold, via
     shared-shingle counting (no cross join: the shingle equi-join prunes
     to pairs that share at least one shingle)."""
-    sh = shingles(docs).distinct()
+    sh = distinct_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -786,7 +799,7 @@ def prefix_filter_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFra
     operator contracts to return; the capped probabilistic path for
     that regime is ``lsh_candidate_pairs``/``near_dedup_greedy``."""
     if sh is None:
-        sh = shingles(docs).distinct()
+        sh = distinct_shingles(docs)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id")
     ranked = (
@@ -812,7 +825,7 @@ def prefix_join_pruned(docs: DataFrame) -> DataFrame:
     joins (same localCheckpoint barrier rationale as
     ``jaccard_pairs_pruned`` — without it each subtree recomputes the
     shingle scan)."""
-    shd = shingles(docs).distinct().localCheckpoint()
+    shd = distinct_shingles(docs).localCheckpoint()
     return prefix_filter_pairs(docs, sh=shd)
 
 
@@ -845,7 +858,7 @@ def containment_pairs(
     exactly over FULL shingle sets (candidate-pruned joins, same
     discipline as jaccard_verify_pairs).
     """
-    sh = shingles(docs).distinct().localCheckpoint()
+    sh = distinct_shingles(docs).localCheckpoint()
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -905,7 +918,7 @@ def contamination_scan(train: DataFrame, benchmark: DataFrame) -> DataFrame:
     the join broadcasts whenever the benchmark is genuinely small
     (runtime stats) and degrades to a shuffle join keyed on the
     shingle — the same plan dedup uses — when it is not."""
-    t_sh = shingles(train).distinct()
+    t_sh = distinct_shingles(train)
     b_sh = (
         shingles(benchmark).select("shingle").distinct().withColumn("hit", F.lit(1))
     )

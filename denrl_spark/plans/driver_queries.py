@@ -4214,7 +4214,7 @@ def dedup_est_vs_exact(spark, sf_dir):
     candidate-pruned Jaccard verify. Cost ~ |candidates|, never
     |docs|^2 — evaluating the index costs no more than using it."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = textops.shingles(docs).distinct().localCheckpoint()
+    sh = textops.distinct_shingles(docs).localCheckpoint()
     cand = textops.lsh_candidate_pairs(docs, sh=sh).localCheckpoint()
     sig = textops.minhash_from_shingles(sh)
     m = (
