@@ -124,14 +124,26 @@ def lang_id(docs: DataFrame) -> DataFrame:
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fp): order-sensitive rolling hash
     fp = sum_i(i * (ascii(tok_i)*31 + len(tok_i))) mod P — pure integer
-    math so the oracle matches bit-exactly."""
-    t = docs.select("doc_id", F.posexplode(_toks()).alias("pos", "tok"))
-    code = (F.ascii("tok") * 31 + F.length("tok")).cast("long")
-    return (
-        t.select("doc_id", ((F.col("pos") + 1) * code).alias("term"))
-        .groupBy("doc_id")
-        .agg(F.pmod(F.sum("term"), F.lit(HASH_P)).alias("fp"))
+    math so the oracle matches bit-exactly.
+
+    r6 shape: one zip_with + aggregate fold per ROW inside the scan
+    stage — the old posexplode + groupBy(doc_id) multiplied rows
+    ~70x only to immediately re-collapse them through a shuffle whose
+    key was the row they came from (guide §2.4; measured 0.50s ->
+    0.27s at sf0.1/32c, bit-identical output incl. the doc-with-null-
+    text absent-row contract, which the size() filter preserves)."""
+    toks = _toks()
+    terms = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda t, i: i.cast("long")
+        * (F.ascii(t) * 31 + F.length(t)).cast("long"),
     )
+    fp = F.pmod(
+        F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x),
+        F.lit(HASH_P),
+    )
+    return docs.where(F.size(toks) >= 1).select("doc_id", fp.alias("fp"))
 
 
 PII_PATTERNS = {
