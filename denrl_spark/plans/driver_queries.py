@@ -4280,10 +4280,15 @@ def rel_abtest(spark, sf_dir):
     two-proportion z-test restated so the |z| > 3 decision never
     touches a float: z^2 = (x1*n2 - x2*n1)^2 * N / (n1*n2*x*(N-x))
     with x = x1+x2, N = n1+n2 — flag iff LHS_numerator > 9 * LHS_
-    denominator, all bigint products (envelope: (x1*n2)^2 * N < 2^63
-    — fine to ~10^5 events/key at 1e6 scale; past it drop the z2
-    scale or move to decimal(38,0)). z2_e6 is the repo's one-double-
-    division floor of the same exact operands.
+    denominator. r6: the products run in decimal(38,0) — the r5 bigint
+    algebra overflowed its documented 2^63 envelope already at sf0.1
+    (~2.5e4 events/key), found by this round's first-ever full-registry
+    sweep at sf0.1 and fixed here; decimal(38,0) matches the ~1.7e38
+    envelope of the HUGEINT that DuckDB auto-promotes its bigint
+    products to, so both engines now agree wherever either computes.
+    z2_e6 is the one-double-division floor of the same exact operands,
+    with the 1e6 scale folded in BEFORE the double conversion exactly
+    as the oracle's left-associative expression does.
 
     Shape: one scan -> one map-side-combined per-type aggregate
     carrying four conditional sums -> per-row arithmetic on a
@@ -4302,15 +4307,21 @@ def rel_abtest(spark, sf_dir):
         F.sum(F.when(F.col("variant") == 1, F.col("s")).otherwise(0))
         .cast("bigint").alias("x2"),
     )
-    dev = F.col("x1") * F.col("n2") - F.col("x2") * F.col("n1")
-    n = F.col("n1") + F.col("n2")
-    x = F.col("x1") + F.col("x2")
+    d38 = "decimal(38,0)"
+    n1d, x1d = F.col("n1").cast(d38), F.col("x1").cast(d38)
+    n2d, x2d = F.col("n2").cast(d38), F.col("x2").cast(d38)
+    dev = x1d * n2d - x2d * n1d
+    n = n1d + n2d
+    x = x1d + x2d
     num = dev * dev * n
-    den = F.col("n1") * F.col("n2") * x * (n - x)
+    den = n1d * n2d * x * (n - x)
+    # oracle shape: ((1e6 * dev^2) * N) exact, THEN one double division
+    num_scaled = F.lit(1_000_000).cast(d38) * num
     return g.select(
         "event_type", "n1", "x1", "n2", "x2",
-        F.floor(1_000_000 * num / den).cast("long").alias("z2_e6"),
-        (num > 9 * den).cast("int").alias("significant"),
+        F.floor(num_scaled.cast("double") / den.cast("double"))
+        .cast("long").alias("z2_e6"),
+        (num > F.lit(9).cast(d38) * den).cast("int").alias("significant"),
     )
 
 
