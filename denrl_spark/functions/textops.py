@@ -631,6 +631,50 @@ def jaccard_verify_pairs(
     return j.where(F.col("j_e6") >= min_j_e6).select("doc_a", "doc_b", "j_e6")
 
 
+def jaccard_verify_pairs_sets(
+    cand: DataFrame, sh: DataFrame, min_j_e6: int = 200_000
+) -> DataFrame:
+    """Exact Jaccard verify over per-doc shingle-SET arrays: shared =
+    size(array_intersect(set_a, set_b)), sizes read off the arrays —
+    row-identical to ``jaccard_verify_pairs`` (verified on all 256
+    sf0.1 / 226,828 sf1 pairs) but a different physical trade: one
+    collect_list agg + two pair-keyed joins carrying arrays, instead of
+    exploding candidates x shingles/doc through two shuffles plus a
+    pair groupBy plus two size joins. Wins once the exploded row volume
+    dominates (~20% at the 10x sf1 corpus), loses at small corpora
+    where the extra agg exchange outweighs it — callers pick by scale
+    (see jaccard_pairs_pruned). ``sh`` must be DISTINCT per (doc_id,
+    shingle): array_intersect dedups, so set semantics require it."""
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("_shs"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("_shs").alias("_sha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("_shs").alias("_shb"))
+    j = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "j_e6",
+            F.floor(
+                1_000_000
+                * F.col("shared")
+                / (F.size("_sha") + F.size("_shb") - F.col("shared"))
+            ).cast("long"),
+        )
+    )
+    return j.where(F.col("j_e6") >= min_j_e6).select("doc_a", "doc_b", "j_e6")
+
+
+# Above this many distinct corpus shingles the verify stage switches to
+# the set-array formulation (see jaccard_verify_pairs_sets): the
+# explode shape's shuffled row volume is |candidates| x shingles/doc,
+# which crosses over around this corpus size on measured A/Bs (sf0.1:
+# 355k shingles, explode wins by ~0.5s; 10x sf1: 3.4M shingles, sets
+# win by ~2s). Scale-adaptive per guide §2 — derived from input size,
+# not a constant tuned to one layout; both shapes are exact and
+# row-identical.
+JACCARD_SETS_MIN_SHINGLES = 1_000_000
+
+
 def jaccard_pairs_pruned(
     docs: DataFrame, min_j_e6: int = 200_000, n_bands: int = N_BANDS
 ) -> DataFrame:
@@ -640,9 +684,15 @@ def jaccard_pairs_pruned(
     joins (two subtrees of one DAG — without the barrier each recomputes
     the shingle scan; measured ~1.5s of the 4.7s query at sf0.1/32c).
     The checkpoint is corpus-shingle-sized and its blocks are released
-    by the context cleaner once the query's RDD goes out of scope."""
+    by the context cleaner once the query's RDD goes out of scope.
+    The verify shape is chosen by measured corpus size (the count is
+    O(partitions) over the already-materialized checkpoint):
+    candidate-pruned explode below JACCARD_SETS_MIN_SHINGLES distinct
+    shingles, set-array intersection above."""
     shd = distinct_shingles(docs).localCheckpoint()
     cand = lsh_candidate_pairs(docs, n_bands, sh=shd)
+    if shd.count() >= JACCARD_SETS_MIN_SHINGLES:
+        return jaccard_verify_pairs_sets(cand, shd, min_j_e6)
     return jaccard_verify_pairs(docs, cand, min_j_e6, sh=shd)
 
 
