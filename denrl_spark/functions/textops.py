@@ -438,6 +438,62 @@ def distinct_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def distinct_gram_docs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, grams): the per-doc DISTINCT shingle ARRAY — the columnar
+    twin of ``distinct_shingles`` (``explode(grams)`` yields exactly its
+    rows; docs with < n tokens keep an empty array). The array layout is
+    the cheaper thing to materialize (localCheckpoint writes n_docs rows
+    instead of n_docs x shingles/doc) and lets downstream consumers read
+    per-doc set sizes (``size(grams)``) and set arrays directly off the
+    checkpoint with ZERO aggregation exchanges (r6b, guide §2.4)."""
+    return docs.select(
+        "doc_id", F.array_distinct(ngram_array(_toks(), n)).alias("grams")
+    )
+
+
+def minhash_band_array(grams: F.Column, n_bands: int = N_BANDS) -> F.Column:
+    """All ``n_bands`` band-min md5s of a gram-array column as ONE array
+    expression: a single ``aggregate`` fold whose accumulator is the
+    elementwise running ``least`` of per-gram hash vectors. The input
+    column is evaluated ONCE per row (the r6 per-band-column experiment
+    was 2x slower precisely because CollapseProject re-evaluated the
+    gram build once per band — the fold sidesteps that without needing a
+    materialization barrier). Elements are NULL iff the array is empty
+    (``least`` skips nulls; md5 of a string is never null)."""
+
+    def hashes(g: F.Column) -> F.Column:
+        return F.array(
+            *[F.md5(F.concat_ws(":", F.lit(str(b)), g)) for b in range(n_bands)]
+        )
+
+    return F.aggregate(
+        grams,
+        F.array_repeat(F.lit(None).cast("string"), n_bands),
+        lambda acc, g: F.zip_with(acc, hashes(g), lambda a, h: F.least(a, h)),
+    )
+
+
+def minhash_from_grams(gd: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, mh) from a (doc_id, grams) frame with NO exchange:
+    the band-min fold runs per row in the scan stage and ``posexplode``
+    unpivots the result (one generator, one evaluation — no stack over
+    aliased columns, which CollapseProject would inline n_bands times).
+    Row-identical to ``minhash_from_shingles(explode(grams))``: min over
+    a set equals min over any multiset with that support, and the
+    post-explode null filter drops exactly the shingle-less docs the
+    groupBy path never emits (r6b; fingerprint-verified at sf0.01/0.1/
+    sf1 and pinned by tests/test_round6_gram_arrays.py)."""
+    return (
+        gd.select(
+            "doc_id",
+            F.posexplode(minhash_band_array(F.col("grams"), n_bands)).alias(
+                "band", "mh"
+            ),
+        )
+        .where(F.col("mh").isNotNull())
+    )
+
+
 def minhash_signature_cols(
     df: DataFrame, text_col: str = "text", n_bands: int = N_BANDS
 ) -> DataFrame:
@@ -489,14 +545,15 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     family is md5('band:shingle') compared lexicographically — identical
     in Spark and DuckDB, so oracle-exact.
 
-    Shape: ONE groupBy(doc_id) computing all band-mins as aggregate
-    columns, then ``stack`` to the long layout. The obvious alternative
-    (explode shingles x n_bands, then groupBy(doc_id, band)) multiplies
-    shuffle input n_bands-fold — at 100 TB that 8x is the difference
-    between a map-side-combined agg and a shuffle-bound one. Partial
-    aggregation still applies: each mapper emits one row per local
-    doc_id with 8 running mins."""
-    return minhash_from_shingles(shingles(docs), n_bands)
+    Shape (r6b): per-row band-min fold over the distinct gram array +
+    posexplode — ZERO exchanges; the signature is a pure projection of
+    the scan stage. Supersedes the groupBy(doc_id) band-min agg (which
+    itself superseded the explode x n_bands shape): min over the
+    distinct set equals min over the raw shingle multiset, so the rows
+    are identical (fingerprint-verified at three scales), and the one
+    remaining exchange disappears. ``minhash_from_shingles`` remains for
+    callers that already hold an exploded shingle frame."""
+    return minhash_from_grams(distinct_gram_docs(docs), n_bands)
 
 
 LSH_BUCKET_CAP = 32  # pairwise-join buckets up to this size; star-link above
@@ -507,12 +564,15 @@ def lsh_candidate_pairs(
     n_bands: int = N_BANDS,
     sh: DataFrame | None = None,
     bucket_cap: int = LSH_BUCKET_CAP,
+    gd: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b): pairs sharing any minhash band bucket. The join is
     on (band, mh) — the bucketed equi-join that replaces the O(n^2)
-    all-pairs comparison at scale. ``sh`` optionally supplies a
-    prebuilt (doc_id, shingle) frame (e.g. a checkpointed distinct
-    shingle table shared with the verify stage).
+    all-pairs comparison at scale. ``gd`` optionally supplies a prebuilt
+    (doc_id, grams) distinct-gram-array frame (e.g. the checkpointed
+    table shared with the verify stage — signatures then cost zero
+    exchanges, minhash_from_grams); ``sh`` the older exploded
+    (doc_id, shingle) layout.
 
     Bucket fan-out is CAPPED: a degenerate bucket — millions of
     identical boilerplate docs landing on one (band, mh) — would emit
@@ -543,11 +603,12 @@ def lsh_candidate_pairs(
     skew splitting still handles the degenerate bucket. Per-bucket
     stats are count/min windows sharing one (band, mh) exchange (r6;
     the former groupBy+join shape shuffled the signature table twice)."""
-    sig = (
-        minhash_from_shingles(sh, n_bands)
-        if sh is not None
-        else minhash_signatures(docs, n_bands)
-    )
+    if gd is not None:
+        sig = minhash_from_grams(gd, n_bands)
+    elif sh is not None:
+        sig = minhash_from_shingles(sh, n_bands)
+    else:
+        sig = minhash_signatures(docs, n_bands)
     # Bucket stats as count/min windows over ONE (band, mh) exchange —
     # the r5 groupBy+equi-join formulation shuffled the signature table
     # by (band, mh) twice (once for the agg, once for the join) and
@@ -592,6 +653,7 @@ def jaccard_verify_pairs(
     cand: DataFrame,
     min_j_e6: int = 200_000,
     sh: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact distinct-3-gram Jaccard re-score of CANDIDATE pairs
     (doc_a, doc_b) — the verify stage that follows LSH candidate
@@ -600,10 +662,15 @@ def jaccard_verify_pairs(
     |candidates| x shingles/doc, never with |docs|^2 and never with the
     hot-shingle square that the unfiltered shared-shingle self-join
     risks. ``sh`` optionally supplies a prebuilt DISTINCT
-    (doc_id, shingle) frame shared with candidate generation."""
+    (doc_id, shingle) frame shared with candidate generation; ``sizes``
+    a prebuilt (doc_id, n_sh) frame (e.g. ``size(grams)`` read straight
+    off a checkpointed gram-array table — no aggregation; extra docs
+    with n_sh = 0 are harmless, the joins are inner on candidate
+    endpoints, which always have shingles)."""
     if sh is None:
         sh = distinct_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
     shared = (
@@ -644,8 +711,14 @@ def jaccard_verify_pairs_sets(
     dominates (~20% at the 10x sf1 corpus), loses at small corpora
     where the extra agg exchange outweighs it — callers pick by scale
     (see jaccard_pairs_pruned). ``sh`` must be DISTINCT per (doc_id,
-    shingle): array_intersect dedups, so set semantics require it."""
-    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("_shs"))
+    shingle): array_intersect dedups, so set semantics require it.
+    ``sh`` may also be a (doc_id, grams) gram-ARRAY frame
+    (distinct_gram_docs) — the per-doc sets are then read directly off
+    the column and the collect_list exchange disappears (r6b)."""
+    if "grams" in sh.columns:
+        sets = sh.select("doc_id", F.col("grams").alias("_shs"))
+    else:
+        sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("_shs"))
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("_shs").alias("_sha"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("_shs").alias("_shb"))
     j = (
@@ -683,17 +756,26 @@ def jaccard_pairs_pruned(
     feed BOTH the minhash candidate generation and the exact verify
     joins (two subtrees of one DAG — without the barrier each recomputes
     the shingle scan; measured ~1.5s of the 4.7s query at sf0.1/32c).
-    The checkpoint is corpus-shingle-sized and its blocks are released
-    by the context cleaner once the query's RDD goes out of scope.
-    The verify shape is chosen by measured corpus size (the count is
-    O(partitions) over the already-materialized checkpoint):
+    r6b: the checkpoint now materializes the gram-ARRAY layout
+    (distinct_gram_docs — n_docs rows instead of n_docs x shingles/doc;
+    same string payload, measured 0.33s vs ~0.9s at sf0.1/32c), the
+    signatures are a zero-exchange per-row fold off it
+    (minhash_from_grams), verify sizes are ``size(grams)`` projections
+    (no groupBy), and the sets branch reads its arrays straight off the
+    checkpoint (no collect_list). Blocks are released by the context
+    cleaner once the query's RDD goes out of scope.
+    The verify shape is chosen by measured corpus size (the sum is one
+    tiny agg over the already-materialized n_docs-row checkpoint):
     candidate-pruned explode below JACCARD_SETS_MIN_SHINGLES distinct
     shingles, set-array intersection above."""
-    shd = distinct_shingles(docs).localCheckpoint()
-    cand = lsh_candidate_pairs(docs, n_bands, sh=shd)
-    if shd.count() >= JACCARD_SETS_MIN_SHINGLES:
-        return jaccard_verify_pairs_sets(cand, shd, min_j_e6)
-    return jaccard_verify_pairs(docs, cand, min_j_e6, sh=shd)
+    gd = distinct_gram_docs(docs).localCheckpoint()
+    cand = lsh_candidate_pairs(docs, n_bands, gd=gd)
+    n_shingles = gd.agg(F.sum(F.size("grams"))).first()[0] or 0
+    if n_shingles >= JACCARD_SETS_MIN_SHINGLES:
+        return jaccard_verify_pairs_sets(cand, gd, min_j_e6)
+    shd = gd.select("doc_id", F.explode("grams").alias("shingle"))
+    sizes = gd.select("doc_id", F.size("grams").alias("n_sh"))
+    return jaccard_verify_pairs(docs, cand, min_j_e6, sh=shd, sizes=sizes)
 
 
 def near_dup_clusters(
@@ -712,10 +794,12 @@ def near_dup_clusters(
     graphs are short chains/cliques in practice."""
     from denrl_spark.operators.linking import connected_components
 
-    # shared checkpointed shingle table: see jaccard_pairs_pruned
-    shd = distinct_shingles(docs).localCheckpoint()
-    cand = lsh_candidate_pairs(docs, n_bands, sh=shd)
-    verified = jaccard_verify_pairs(docs, cand, min_j_e6, sh=shd)
+    # shared checkpointed gram-array table: see jaccard_pairs_pruned
+    gd = distinct_gram_docs(docs).localCheckpoint()
+    cand = lsh_candidate_pairs(docs, n_bands, gd=gd)
+    shd = gd.select("doc_id", F.explode("grams").alias("shingle"))
+    sizes = gd.select("doc_id", F.size("grams").alias("n_sh"))
+    verified = jaccard_verify_pairs(docs, cand, min_j_e6, sh=shd, sizes=sizes)
     nodes = docs.select(F.col("doc_id").alias("node_id"))
     edges = verified.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

@@ -4209,14 +4209,18 @@ def dedup_est_vs_exact(spark, sf_dir):
     the evaluation itself is hash-verified cross-engine.
 
     Shape: candidates from the capped LSH bucket join; the band-match
-    count is a candidate-pruned equi-join against the ONE groupBy
-    signature table (8 rows/doc); the exact score is the
-    candidate-pruned Jaccard verify. Cost ~ |candidates|, never
-    |docs|^2 — evaluating the index costs no more than using it."""
+    count is a candidate-pruned equi-join against the zero-exchange
+    per-row signature table (8 rows/doc, minhash_from_grams); the exact
+    score is the candidate-pruned Jaccard verify. Cost ~ |candidates|,
+    never |docs|^2 — evaluating the index costs no more than using it."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = textops.distinct_shingles(docs).localCheckpoint()
-    cand = textops.lsh_candidate_pairs(docs, sh=sh).localCheckpoint()
-    sig = textops.minhash_from_shingles(sh)
+    # r6b: gram-ARRAY checkpoint (textops.distinct_gram_docs) — the
+    # signature table and the verify sizes are zero-exchange projections
+    # of it; the exploded layout is re-derived in the scan stage where
+    # the shingle-keyed verify join needs it.
+    gd = textops.distinct_gram_docs(docs).localCheckpoint()
+    cand = textops.lsh_candidate_pairs(docs, gd=gd).localCheckpoint()
+    sig = textops.minhash_from_grams(gd)
     m = (
         cand.join(
             sig.select(F.col("doc_id").alias("doc_a"), "band",
@@ -4235,9 +4239,13 @@ def dedup_est_vs_exact(spark, sf_dir):
             .alias("n_match")
         )
     )
-    exact = textops.jaccard_verify_pairs(docs, cand, min_j_e6=0, sh=sh).select(
-        "doc_a", "doc_b", F.col("j_e6").alias("exact_e6")
-    )
+    exact = textops.jaccard_verify_pairs(
+        docs,
+        cand,
+        min_j_e6=0,
+        sh=gd.select("doc_id", F.explode("grams").alias("shingle")),
+        sizes=gd.select("doc_id", F.size("grams").alias("n_sh")),
+    ).select("doc_a", "doc_b", F.col("j_e6").alias("exact_e6"))
     est = F.floor(1_000_000 * F.col("n_match") / 8).cast("long")
     return (
         m.join(exact, ["doc_a", "doc_b"], "left")
