@@ -915,7 +915,11 @@ def jaccard_pairs(docs: DataFrame, min_j_e6: int = 200_000) -> DataFrame:
 PREFIX_JOIN_MIN_J_E6 = 500_000  # Jaccard >= 0.5; the prefix rule below is derived for this t
 
 
-def prefix_filter_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+def prefix_filter_pairs(
+    docs: DataFrame,
+    sh: DataFrame | None = None,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
     """(doc_a, doc_b, j_e6): EXACT set-similarity self-join at Jaccard
     >= 0.5 via prefix filtering (SSJoin, Chaudhuri et al. ICDE 2006;
     All-Pairs, Bayardo et al. WWW 2007; PPJoin, Xiao et al. WWW 2008)
@@ -962,17 +966,22 @@ def prefix_filter_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFra
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return jaccard_verify_pairs(docs, cand, PREFIX_JOIN_MIN_J_E6, sh=sh)
+    return jaccard_verify_pairs(docs, cand, PREFIX_JOIN_MIN_J_E6, sh=sh, sizes=sizes)
 
 
 def prefix_join_pruned(docs: DataFrame) -> DataFrame:
     """``prefix_filter_pairs`` with the distinct shingle table computed
     ONCE and shared between the df/prefix stages and the exact verify
     joins (same localCheckpoint barrier rationale as
-    ``jaccard_pairs_pruned`` — without it each subtree recomputes the
-    shingle scan)."""
-    shd = distinct_shingles(docs).localCheckpoint()
-    return prefix_filter_pairs(docs, sh=shd)
+    ``jaccard_pairs_pruned``; r6b — the checkpoint is the gram-ARRAY
+    layout, with the exploded twin re-derived in the scan stage and the
+    verify sizes read off the arrays with no groupBy)."""
+    gd = distinct_gram_docs(docs).localCheckpoint()
+    return prefix_filter_pairs(
+        docs,
+        sh=gd.select("doc_id", F.explode("grams").alias("shingle")),
+        sizes=gd.select("doc_id", F.size("grams").alias("n_sh")),
+    )
 
 
 CONTAINMENT_DF_CAP = 16
@@ -1004,7 +1013,11 @@ def containment_pairs(
     exactly over FULL shingle sets (candidate-pruned joins, same
     discipline as jaccard_verify_pairs).
     """
-    sh = distinct_shingles(docs).localCheckpoint()
+    # r6b: gram-ARRAY checkpoint (see jaccard_pairs_pruned) — the
+    # exploded layout the shingle-keyed joins need is re-derived in the
+    # scan stage; per-doc sizes are read off the arrays with no groupBy.
+    gd = distinct_gram_docs(docs).localCheckpoint()
+    sh = gd.select("doc_id", F.explode("grams").alias("shingle"))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1021,7 +1034,7 @@ def containment_pairs(
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = gd.select("doc_id", F.size("grams").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     shared = (
